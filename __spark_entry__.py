@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship spatial-join + tile-assignment on pages
+                 synthesized deterministically from sf0.001 doc ids.
+queries()     -> SURVEY.md §2 operator suite (osmgraft.suite).
+oracle_sql()  -> DuckDB-equivalent SQL per query.
 """
 
 from __future__ import annotations
@@ -13,26 +12,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (BASELINE.json): pages -> geocode -> cell
+    encode -> broadcast polygon PIP -> region/subregion + tile."""
+    from osmgraft.operators.flagship import flagship_assign
+    from osmgraft.pages import synth_pages
+    from osmgraft.suite import load
+
+    n = load(spark, SF0001, "documents").count()
+    pages = synth_pages(spark, max(int(n), 100))
+    return flagship_assign(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osmgraft.suite import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmgraft.suite import oracle_sqls
+
+    return oracle_sqls()

@@ -1,0 +1,35 @@
+"""The flagship query (BASELINE.json metric): geocode -> cell encode
+-> broadcast polygon PIP join -> tile assignment.
+
+Equivalent reference invocation (SURVEY.md §3.3):
+    osmassignpoly adr.o5m -B=all.poly --use-admin-levels
+
+Plan: parquet/iceberg scan -> ArrowEval(geocode) -> Filter(coords,
+global bbox — Catalyst) -> Project(cell, codegen int math) ->
+ArrowEval(PIP assign vs broadcast PolygonSet) -> Filter(region).
+Zero shuffles; output partitioning == input partitioning. Writers
+downstream repartition by cell range for spatial locality
+(tiles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..fixtures import fixture_polyset
+from ..pages import geocode
+from .spatial import assign_regions, with_cell
+
+
+def flagship_assign(pages: DataFrame, polyset=None,
+                    keep_noregion: bool = False) -> DataFrame:
+    """pages(url, text, ...) -> (url, lat_i, lon_i, cell, region,
+    subregion). Pages with no geocodable place are dropped (the
+    reference drops no-region nodes by default too)."""
+    ps = polyset if polyset is not None else fixture_polyset()
+    pts = geocode(pages).filter(F.col("lat_i").isNotNull())
+    pts = with_cell(pts)
+    assigned = assign_regions(pts, ps, keep_noregion=keep_noregion)
+    return assigned.select(
+        "url", "lat_i", "lon_i", "cell", "region", "subregion"
+    )

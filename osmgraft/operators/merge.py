@@ -1,0 +1,83 @@
+"""Multi-source merge semantics (SURVEY.md J3/J4/J6, U1-U3).
+
+The reference merges N pre-sorted object streams with
+last-file-wins duplicate suppression (oo__switch + tyid dedup,
+osmconvert.c:9974-10050, 11124-11164), subtracts files (`--subtract`,
+anti-join on id), and diffs two files into create/modify/delete
+actions (osmconvert.c:11147-11215).
+
+Spark realization: unionByName + window dedup; left_anti join;
+full_outer join + struct compare. All shuffle on the merge key once;
+AQE coalesces. At 100 TB the window dedup is a single hash shuffle
+on (otype,id) — the same cost profile as the sort-merge the
+reference forces on its inputs, but parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def union_dedup(
+    files: list[DataFrame],
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """J3: later files override earlier ones for equal keys
+    (osmconvert.c:11158-11164); within a file, higher `order_cols`
+    (e.g. version) wins (--merge-versions, osmconvert.c:11124-11137).
+    """
+    tagged = [
+        df.withColumn("_file_idx", F.lit(i)) for i, df in enumerate(files)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    order = [F.col("_file_idx").desc()] + [
+        F.col(c).desc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_file_idx")
+    )
+
+
+def subtract(base: DataFrame, minus: DataFrame,
+             key_cols: list[str]) -> DataFrame:
+    """J4/U2: objects present in `minus` are removed from `base`
+    (`--subtract`, osmconvert.c:554-556, 11409). Exact anti-join —
+    strictly better than the reference's lossy hash bitsets
+    (osmconvert.c:412-416)."""
+    return base.join(minus.select(*key_cols), on=key_cols,
+                     how="left_anti")
+
+
+def diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """J6: full-outer compare -> action column create/modify/delete
+    (--diff-contents field compare, osmconvert.c:10865-10976).
+    Unchanged rows are suppressed like the reference's
+    (tyid,version)-equal suppression (osmconvert.c:11147-11156)."""
+    o = old.select(
+        *key_cols, F.struct(*payload_cols).alias("_old")
+    )
+    n = new.select(
+        *key_cols, F.struct(*payload_cols).alias("_new")
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+    action = (
+        F.when(F.col("_old").isNull(), F.lit("create"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(F.col("_old") != F.col("_new"), F.lit("modify"))
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(*key_cols, "action")
+    )

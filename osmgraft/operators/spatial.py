@@ -1,0 +1,164 @@
+"""Spatial operators: bbox filter, cell keys, N-polygon assignment.
+
+The flagship operator is `assign_regions` — the Spark realization of
+osmassignpoly's N-polygon spatial join (osmassignpoly.c:1614-1783 /
+SURVEY.md G1/J5):
+
+  reference                      | this engine
+  -------------------------------+---------------------------------
+  2*sqrt(N) grid matrix of       | global-bbox Catalyst prefilter
+  per-cell candidate lists       | (pushed to the parquet scan) +
+                                 | per-polygon bbox reject inside
+                                 | the kernel
+  per-node exact ray-cast PIP    | vectorized numpy kernel over
+                                 | Arrow batches (pandas UDF)
+  polygon table in RAM           | sc.broadcast(PolygonSet) — one
+                                 | copy per executor, not per task
+
+Plan shape at scale: scan -> Filter(bbox, pushed down) -> Project
+(+cell, pure integer Catalyst exprs, whole-stage codegen) ->
+ArrowEvalPython(assign) -> optional Filter(region IS NOT NULL).
+No shuffle at all: the polygon side is broadcast, the point side
+stays partition-local. Skew is irrelevant here (no join keys); it
+matters downstream when grouping by cell — see tiles.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..geo.cells import DEFAULT_SHIFT, LAT_OFFSET, LON_OFFSET, _lon_bits
+from ..geo.pip import PolygonSet, assign_polygons, query_inside
+
+
+def bbox_contains(
+    lon: Column, lat: Column, x1: int, y1: int, x2: int, y2: int
+) -> Column:
+    """Fixed-point bbox predicate (`-b=`, osmconvert.c:2053-2058).
+    Pure Catalyst — pushes down to the scan."""
+    return (
+        (lon >= F.lit(x1))
+        & (lon <= F.lit(x2))
+        & (lat >= F.lit(y1))
+        & (lat <= F.lit(y2))
+    )
+
+
+def with_cell(
+    df: DataFrame,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    out: str = "cell",
+    shift: int = DEFAULT_SHIFT,
+) -> DataFrame:
+    """Engine tile-cell id as a pure integer Catalyst expression —
+    stays inside whole-stage codegen, no UDF (SURVEY.md G11)."""
+    lon_bits = _lon_bits(shift)
+    lat_band = F.shiftright(F.col(lat_col) + F.lit(LAT_OFFSET), shift)
+    lon_band = F.shiftright(F.col(lon_col) + F.lit(LON_OFFSET), shift)
+    return df.withColumn(
+        out,
+        F.shiftleft(lat_band.cast("long"), lon_bits).bitwiseOR(
+            lon_band.cast("long")
+        ),
+    )
+
+
+_ASSIGN_SCHEMA = StructType(
+    [
+        StructField("region", StringType()),
+        StructField("subregion", StringType()),
+        StructField("region_admin", IntegerType()),
+    ]
+)
+
+
+def assign_regions(
+    df: DataFrame,
+    polyset: PolygonSet,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    keep_noregion: bool = False,
+    prefilter_bbox: bool = True,
+) -> DataFrame:
+    """N-polygon spatial join: adds region/subregion columns.
+
+    Exactly reproduces osmassignpoly --use-admin-levels semantics
+    (differentially tested). The polygon index is broadcast; the
+    point side never shuffles.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(polyset)
+    admin_by_idx = polyset.admin_levels
+
+    if prefilter_bbox and len(polyset) and not keep_noregion:
+        gx1, gy1, gx2, gy2 = polyset.global_bbox
+        df = df.filter(
+            bbox_contains(F.col(lon_col), F.col(lat_col),
+                          gx1, gy1, gx2, gy2)
+        )
+
+    @F.pandas_udf(_ASSIGN_SCHEMA)
+    def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        ps = bc.value
+        r, s = assign_polygons(
+            lon.to_numpy("int64"), lat.to_numpy("int64"), ps
+        )
+        # fancy-index name lookup; trailing None catches idx == -1
+        names = np.array(list(ps.names) + [None], dtype=object)
+        admins = np.append(admin_by_idx, 0)
+        adm = pd.Series(admins[r], dtype="Int32")
+        adm[r < 0] = None
+        return pd.DataFrame(
+            {"region": names[r], "subregion": names[s],
+             "region_admin": adm}
+        )
+
+    out = df.withColumn("_a", _assign(F.col(lat_col), F.col(lon_col)))
+    out = (
+        out.withColumn("region", F.col("_a.region"))
+        .withColumn("subregion", F.col("_a.subregion"))
+        .withColumn("region_admin", F.col("_a.region_admin"))
+        .drop("_a")
+    )
+    if not keep_noregion:
+        out = out.filter(F.col("region").isNotNull())
+    return out
+
+
+def filter_border(
+    df: DataFrame,
+    edgeset,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+) -> DataFrame:
+    """osmconvert -B= point clipping: keep rows inside the (single,
+    possibly multi-ring even-odd) border polygon. Enclosing-bbox
+    reject runs as a pushed-down Catalyst filter; exact PIP as a
+    vectorized boolean pandas UDF (SURVEY.md P2)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(edgeset)
+    bx1, by1, bx2, by2 = edgeset.bbox
+    df = df.filter(
+        bbox_contains(F.col(lon_col), F.col(lat_col), bx1, by1, bx2, by2)
+    )
+
+    @F.pandas_udf("boolean")
+    def _inside(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        es = bc.value
+        ins = query_inside(
+            lon.to_numpy("int64"), lat.to_numpy("int64"), es,
+            use_bbox=False,  # already applied as a Catalyst filter
+        )
+        return pd.Series(ins)
+
+    return df.filter(_inside(F.col(lat_col), F.col(lon_col)))

@@ -1,0 +1,534 @@
+"""Driver-contract query suite: every entry pairs a Spark DataFrame
+builder with an equivalent ANSI-SQL oracle that DuckDB runs on the
+same parquet tables (CORRECTNESS gate, __spark_entry__.py).
+
+Spatial queries derive deterministic fixed-point points from doc_id
+with pure integer arithmetic reproducible in both dialects:
+
+    lon_i = 100000000 + (doc_id * 2654435761) % 40000000   # [10,14)
+    lat_i = 470000000 + (doc_id * 2246822519) % 40000000   # [47,51)
+
+so the PIP / assignment / kNN / cell oracles check real geometry on
+~60k distinct points at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .fixtures import fixture_polyset, gazetteer_arrays
+from .geo.cells import DEFAULT_SHIFT, LAT_OFFSET, LON_OFFSET, _lon_bits
+from .operators.knn import knn_broadcast, radius_pairs
+from .operators.merge import diff, subtract, union_dedup
+from .operators.spatial import assign_regions, filter_border, with_cell
+from .operators.text import (
+    dedup_exact,
+    fingerprint,
+    lang_id,
+    ngram_jaccard_pairs,
+    quality_score,
+    token_count,
+)
+
+LON_EXPR = "100000000 + (doc_id * 2654435761) % 40000000"
+LAT_EXPR = "470000000 + (doc_id * 2246822519) % 40000000"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(LAT_EXPR).cast("long").alias("lat_i"),
+        F.expr(LON_EXPR).cast("long").alias("lon_i"),
+    )
+
+
+_PTS_CTE = (
+    f"pts AS (SELECT doc_id, CAST({LAT_EXPR} AS BIGINT) AS lat_i, "
+    f"CAST({LON_EXPR} AS BIGINT) AS lon_i FROM documents)"
+)
+
+
+# ----------------------------------------------------------------
+# SQL fragments generated from the parsed fixture polygons, so the
+# oracle tests the geometry the engine actually broadcast.
+# ----------------------------------------------------------------
+
+
+def _edges_values(ps) -> str:
+    rows = []
+    for i, es in enumerate(ps.polys):
+        for x1, y1, x2, y2 in zip(es.x1, es.y1, es.x2, es.y2):
+            rows.append(f"({i},{x1},{y1},{x2},{y2})")
+    return ",".join(rows)
+
+
+def _polys_values(ps) -> str:
+    rows = []
+    for i, es in enumerate(ps.polys):
+        bx1, by1, bx2, by2 = es.bbox
+        rows.append(
+            f"({i},'{ps.names[i]}',{int(ps.admin_levels[i])},"
+            f"{bx1},{by1},{bx2},{by2})"
+        )
+    return ",".join(rows)
+
+
+_CROSSING_PRED = (
+    "e.x1 <= {lon} AND {lon} < e.x2 AND ("
+    "(e.y1 > {lat} AND e.y2 > {lat}) OR "
+    "((e.y1 > {lat} OR e.y2 > {lat}) AND "
+    "({lat} - e.y1) * (e.x2 - e.x1) < ({lon} - e.x1) * (e.y2 - e.y1)))"
+)
+
+
+def pip_oracle_sql() -> str:
+    """q02: inside/outside one even-odd border (Concavia + hole),
+    osmconvert -B semantics with edge-derived enclosing bbox."""
+    ps = fixture_polyset()
+    es = ps.polys[1]  # Concavia (with hole)
+    # osmconvert border bbox derives from edges, not raw vertices
+    bx1 = int(es.x1.min())
+    bx2 = int(es.x2.max())
+    by1 = int(min(es.y1.min(), es.y2.min()))
+    by2 = int(max(es.y1.max(), es.y2.max()))
+    edges = ",".join(
+        f"({x1},{y1},{x2},{y2})"
+        for x1, y1, x2, y2 in zip(es.x1, es.y1, es.x2, es.y2)
+    )
+    pred = _CROSSING_PRED.format(lat="p.lat_i", lon="p.lon_i")
+    return f"""
+WITH {_PTS_CTE},
+edges(x1, y1, x2, y2) AS (VALUES {edges}),
+cr AS (
+  SELECT p.doc_id, p.lat_i, p.lon_i,
+         SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS crossings
+  FROM pts p CROSS JOIN edges e
+  WHERE p.lon_i >= {bx1} AND p.lon_i <= {bx2}
+    AND p.lat_i >= {by1} AND p.lat_i <= {by2}
+  GROUP BY p.doc_id, p.lat_i, p.lon_i
+)
+SELECT doc_id, lat_i, lon_i FROM cr WHERE crossings % 2 = 1
+"""
+
+
+def assign_oracle_sql() -> str:
+    """q03: full multi-polygon region/subregion assignment.
+
+    Uses the closed form of the reference's order-dependent selection
+    (property-verified equivalent to the state machine at
+    osmassignpoly.c:1758-1783 over 200k random traces):
+      region    = inside poly with (admin, file_idx) minimal
+      subregion = inside poly with (admin DESC, file_idx ASC) first,
+                  iff max(admin) > min(admin)
+    """
+    ps = fixture_polyset()
+    gx1, gy1, gx2, gy2 = ps.global_bbox
+    pred = _CROSSING_PRED.format(lat="c.lat_i", lon="c.lon_i")
+    return f"""
+WITH {_PTS_CTE},
+edges(poly_idx, x1, y1, x2, y2) AS (VALUES {_edges_values(ps)}),
+polys(poly_idx, name, admin, bx1, by1, bx2, by2)
+  AS (VALUES {_polys_values(ps)}),
+cand AS (
+  SELECT p.doc_id, p.lat_i, p.lon_i, po.poly_idx, po.name, po.admin
+  FROM pts p JOIN polys po
+    ON p.lon_i >= po.bx1 AND p.lon_i <= po.bx2
+   AND p.lat_i >= po.by1 AND p.lat_i <= po.by2
+  WHERE p.lon_i >= {gx1} AND p.lon_i <= {gx2}
+    AND p.lat_i >= {gy1} AND p.lat_i <= {gy2}
+),
+ins AS (
+  SELECT c.doc_id, c.poly_idx, c.name, c.admin
+  FROM cand c JOIN edges e ON e.poly_idx = c.poly_idx
+  GROUP BY c.doc_id, c.poly_idx, c.name, c.admin
+  HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
+),
+ranked AS (
+  SELECT doc_id, name, admin,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY admin ASC, poly_idx ASC) AS rmin,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY admin DESC, poly_idx ASC) AS rmax,
+    MIN(admin) OVER (PARTITION BY doc_id) AS mn,
+    MAX(admin) OVER (PARTITION BY doc_id) AS mx
+  FROM ins
+)
+SELECT doc_id,
+  MAX(CASE WHEN rmin = 1 THEN name END) AS region,
+  MAX(CASE WHEN rmax = 1 AND mx > mn THEN name END) AS subregion
+FROM ranked GROUP BY doc_id
+"""
+
+
+def _cities_values() -> str:
+    terms, lat_i, lon_i, _ = gazetteer_arrays()
+    return ",".join(
+        f"('{t}',{la},{lo})"
+        for t, la, lo in zip(terms, lat_i.tolist(), lon_i.tolist())
+    )
+
+
+# ----------------------------------------------------------------
+# the suite
+# ----------------------------------------------------------------
+
+
+def q01_bbox_filter(spark, sf_dir):
+    """P1: -b= fixed-point bbox clip."""
+    pts = doc_points(spark, sf_dir)
+    return pts.filter(
+        (F.col("lon_i") >= 110000000)
+        & (F.col("lon_i") <= 125000000)
+        & (F.col("lat_i") >= 480000000)
+        & (F.col("lat_i") <= 495000000)
+    )
+
+
+def q02_pip_border(spark, sf_dir):
+    """P2: -B= exact ray-cast clip against Concavia (ring + hole)."""
+    from .geo.pip import EdgeSet
+
+    ps = fixture_polyset()
+    es = ps.polys[1]
+    # border (-B) bbox is edge-derived
+    border = EdgeSet(es.x1, es.y1, es.x2, es.y2, bbox=None)
+    pts = doc_points(spark, sf_dir)
+    return filter_border(pts, border).select("doc_id", "lat_i", "lon_i")
+
+
+def q03_assign_regions(spark, sf_dir):
+    """G1/J5: flagship N-polygon assignment with admin tie-break."""
+    pts = doc_points(spark, sf_dir)
+    out = assign_regions(pts, fixture_polyset())
+    return out.select("doc_id", "region", "subregion")
+
+
+def q04_cell_tiles(spark, sf_dir):
+    """G11: tile-cell encode + per-tile rollup (tile materializer)."""
+    pts = with_cell(doc_points(spark, sf_dir))
+    return pts.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def q05_knn_city(spark, sf_dir):
+    """J8: exact kNN against broadcast gazetteer (k=3)."""
+    terms, lat_i, lon_i, _ = gazetteer_arrays()
+    pts = doc_points(spark, sf_dir)
+    return knn_broadcast(pts, terms, lat_i, lon_i, k=3)
+
+
+def q06_stats(spark, sf_dir):
+    """A1: statistics aggregate over events."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.min(F.unix_timestamp("ts")).alias("min_ts_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("max_ts_epoch"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q07_key_freq(spark, sf_dir):
+    """A2/P9: --out-count key frequency."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("key"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _docs_v2(docs):
+    return docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "text", F.concat(F.lit("v2 "), F.col("text"))
+    )
+
+
+def q08_union_dedup(spark, sf_dir):
+    """J3: merge two files, last file wins per key."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merged = union_dedup([docs, _docs_v2(docs)], ["doc_id"])
+    return merged.select("doc_id", "text")
+
+
+def q09_subtract(spark, sf_dir):
+    """J4: --subtract anti-join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    minus = docs.filter(F.col("doc_id") % 7 == 0)
+    return subtract(docs, minus, ["doc_id"])
+
+
+def q10_diff(spark, sf_dir):
+    """J6: two-file diff -> create/modify/delete actions."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("mod "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 100).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return diff(docs, new, ["doc_id"], ["text"])
+
+
+def q11_token_count(spark, sf_dir):
+    return token_count(load(spark, sf_dir, "documents"))
+
+
+def q12_quality(spark, sf_dir):
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+def q13_lang_id(spark, sf_dir):
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+def q14_fingerprint(spark, sf_dir):
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+def q15_dedup_exact(spark, sf_dir):
+    return dedup_exact(
+        load(spark, sf_dir, "documents"), prefix=40
+    )
+
+
+def q16_radius_pairs(spark, sf_dir):
+    """J8: all point pairs within a fixed radius via cell join.
+    Subset (doc_id % 5 == 0) keeps the oracle cross join tractable."""
+    pts = doc_points(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return radius_pairs(pts, radius_fix=2_000_000)
+
+
+def q17_ngram_jaccard(spark, sf_dir):
+    """near-dup: exact 3-gram Jaccard pairs >= 0.5 on a doc subset
+    plus planted near-duplicates ('dup ' prefix) so the result is
+    non-trivial; mod-11 sample keeps the oracle self-join tractable."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 0
+    ).select("doc_id", "text")
+    dups = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("dup "), F.col("text")).alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        docs.unionByName(dups), threshold=0.5
+    ).select("a", "b", "inter", "jaccard")
+
+
+QUERIES = {
+    "q01_bbox_filter": q01_bbox_filter,
+    "q02_pip_border": q02_pip_border,
+    "q03_assign_regions": q03_assign_regions,
+    "q04_cell_tiles": q04_cell_tiles,
+    "q05_knn_city": q05_knn_city,
+    "q06_stats": q06_stats,
+    "q07_key_freq": q07_key_freq,
+    "q08_union_dedup": q08_union_dedup,
+    "q09_subtract": q09_subtract,
+    "q10_diff": q10_diff,
+    "q11_token_count": q11_token_count,
+    "q12_quality": q12_quality,
+    "q13_lang_id": q13_lang_id,
+    "q14_fingerprint": q14_fingerprint,
+    "q15_dedup_exact": q15_dedup_exact,
+    "q16_radius_pairs": q16_radius_pairs,
+    "q17_ngram_jaccard": q17_ngram_jaccard,
+}
+
+
+def oracle_sqls() -> dict[str, str]:
+    shift = DEFAULT_SHIFT
+    lon_bits = _lon_bits(shift)
+    cities = _cities_values()
+    return {
+        "q01_bbox_filter": f"""
+WITH {_PTS_CTE}
+SELECT doc_id, lat_i, lon_i FROM pts
+WHERE lon_i >= 110000000 AND lon_i <= 125000000
+  AND lat_i >= 480000000 AND lat_i <= 495000000
+""",
+        "q02_pip_border": pip_oracle_sql(),
+        "q03_assign_regions": assign_oracle_sql(),
+        "q04_cell_tiles": f"""
+WITH {_PTS_CTE}
+SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
+       + ((lon_i + {LON_OFFSET}) >> {shift}) AS cell,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM pts GROUP BY 1
+""",
+        "q05_knn_city": f"""
+WITH {_PTS_CTE},
+cities(neighbor, clat, clon) AS (VALUES {cities}),
+d AS (
+  SELECT p.doc_id, c.neighbor,
+    (p.lat_i - c.clat) * (p.lat_i - c.clat)
+      + (p.lon_i - c.clon) * (p.lon_i - c.clon) AS dist2,
+    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+      (p.lat_i - c.clat) * (p.lat_i - c.clat)
+        + (p.lon_i - c.clon) * (p.lon_i - c.clon) ASC,
+      c.neighbor ASC) AS rank
+  FROM pts p CROSS JOIN cities c
+)
+SELECT doc_id, neighbor, dist2, rank FROM d WHERE rank <= 3
+""",
+        "q06_stats": """
+SELECT COUNT(*) AS n_events,
+       MIN(event_id) AS min_event_id,
+       MAX(event_id) AS max_event_id,
+       MIN(CAST(epoch(ts) AS BIGINT)) AS min_ts_epoch,
+       MAX(CAST(epoch(ts) AS BIGINT)) AS max_ts_epoch,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+""",
+        "q07_key_freq": """
+SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY 1
+""",
+        "q08_union_dedup": """
+WITH f AS (
+  SELECT doc_id, text, 0 AS file_idx FROM documents
+  UNION ALL
+  SELECT doc_id, 'v2 ' || text, 1 FROM documents WHERE doc_id % 3 = 0
+),
+r AS (
+  SELECT doc_id, text,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY file_idx DESC) AS rn
+  FROM f
+)
+SELECT doc_id, text FROM r WHERE rn = 1
+""",
+        "q09_subtract": """
+SELECT doc_id, lang FROM documents WHERE doc_id % 7 <> 0
+""",
+        "q10_diff": """
+WITH new AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN 'mod ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'create'
+       WHEN n.doc_id IS NULL THEN 'delete'
+       WHEN o.text <> n.text THEN 'modify' END AS action
+FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text)
+""",
+        "q11_token_count": """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+""",
+        "q12_quality": """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS text_len,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+    AS n_spaces,
+  CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+    AS n_dots,
+  CASE WHEN length(text) >= 300 THEN 'long' ELSE 'short' END
+    AS len_bucket
+FROM documents
+""",
+        "q13_lang_id": """
+WITH s AS (
+  SELECT doc_id, ' ' || text || ' ' AS t FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    CAST(length(t) - length(replace(t, ' the ', ' ')) AS BIGINT)
+      AS score_en,
+    CAST(length(t) - length(replace(t, ' der ', ' ')) AS BIGINT)
+      AS score_de,
+    CAST(length(t) - length(replace(t, ' le ', ' ')) AS BIGINT)
+      AS score_fr
+  FROM s
+)
+SELECT doc_id, score_en, score_de, score_fr,
+  CASE WHEN score_en >= score_de AND score_en >= score_fr
+            AND score_en > 0 THEN 'en'
+       WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+       WHEN score_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM sc
+""",
+        "q14_fingerprint": """
+SELECT d.doc_id,
+  MIN(md5(substr(d.text, CAST(i.i AS INTEGER), 8))) AS fp
+FROM documents d
+CROSS JOIN LATERAL (
+  SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i
+) i
+GROUP BY d.doc_id
+""",
+        "q15_dedup_exact": """
+SELECT md5(substr(text, 1, 40)) AS fp,
+       MIN(doc_id) AS keeper,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "q16_radius_pairs": f"""
+WITH {_PTS_CTE},
+sub AS (SELECT * FROM pts WHERE doc_id % 5 = 0)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+    + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i) AS dist2
+FROM sub a JOIN sub b ON a.doc_id <> b.doc_id
+WHERE (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+    + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i)
+    <= {2_000_000 * 2_000_000}
+""",
+        "q17_ngram_jaccard": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'dup ' || text
+  FROM documents WHERE doc_id % 11 = 0
+),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(toks[CAST(i.i AS BIGINT):CAST(i.i + 2 AS BIGINT)],
+                    ' ') AS gram
+  FROM docs
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+  ) i
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS inter
+  FROM grams g1 JOIN grams g2
+    ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter,
+  i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+"""
+    }
