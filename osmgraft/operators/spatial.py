@@ -123,6 +123,12 @@ def assign_regions(
              "region_admin": adm}
         )
 
+    # deterministic in fact, but marked nondeterministic so Catalyst
+    # cannot inline/duplicate the ArrowEvalPython node when its
+    # result feeds both a filter and the output projection (observed
+    # double evaluation: 2x Arrow transfer + 2x PIP kernel)
+    _assign = _assign.asNondeterministic()
+
     out = df.withColumn("_a", _assign(F.col(lat_col), F.col(lon_col)))
     out = (
         out.withColumn("region", F.col("_a.region"))

@@ -117,32 +117,30 @@ def geocode(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """Resolve each page to fixed-point coords via the gazetteer
     (SURVEY.md G12). Adds lat_i/lon_i (null when no term found).
 
-    One combined regex over the broadcast term list; first match
+    One combined regex over the term list; first (leftmost) match
     wins (the reference geocoder also ranks and takes the top
     candidate, osmposition.c:1229-1247).
+
+    Entirely JVM-side: `regexp_extract` + map-literal lookups stay
+    inside whole-stage codegen — ~10x faster than the equivalent
+    pandas `.str.extract` UDF (row-at-a-time Python regex) and no
+    Arrow transfer at all. Java and Python regex alternation agree
+    here: leftmost match, earlier alternative preferred on ties.
     """
     terms, lat_i, lon_i, _w = gazetteer_arrays()
-    spark = pages.sparkSession
     pattern = "(" + "|".join(re.escape(t) for t in terms) + ")"
-    term_to_idx = {t: i for i, t in enumerate(terms)}
-    bc = spark.sparkContext.broadcast((term_to_idx, lat_i, lon_i))
 
-    @F.pandas_udf("struct<lat_i:long, lon_i:long>")
-    def _geo(text: pd.Series) -> pd.DataFrame:
-        t2i, la, lo = bc.value
-        found = text.str.extract(pattern, expand=False)
-        idx = found.map(t2i).astype("float64").to_numpy()
-        ok = ~np.isnan(idx)
-        ii = np.where(ok, idx, 0).astype(np.int64)
-        lat = pd.Series(la[ii], dtype="Int64")
-        lon = pd.Series(lo[ii], dtype="Int64")
-        lat[~ok] = None
-        lon[~ok] = None
-        return pd.DataFrame({"lat_i": lat, "lon_i": lon})
+    lat_pairs = []
+    lon_pairs = []
+    for t, la, lo in zip(terms, lat_i.tolist(), lon_i.tolist()):
+        lat_pairs += [F.lit(t), F.lit(int(la))]
+        lon_pairs += [F.lit(t), F.lit(int(lo))]
+    lat_map = F.create_map(*lat_pairs)
+    lon_map = F.create_map(*lon_pairs)
 
-    out = pages.withColumn("_g", _geo(F.col(text_col)))
-    return (
-        out.withColumn("lat_i", F.col("_g.lat_i"))
-        .withColumn("lon_i", F.col("_g.lon_i"))
-        .drop("_g")
-    )
+    # try_element_at: missing key (no match -> "") yields NULL even
+    # under ANSI mode, where element_at would throw
+    term = F.regexp_extract(F.col(text_col), pattern, 1)
+    return pages.withColumn(
+        "lat_i", F.try_element_at(lat_map, term).cast("long")
+    ).withColumn("lon_i", F.try_element_at(lon_map, term).cast("long"))
