@@ -33,6 +33,68 @@ from .operators.text import (
 LON_EXPR = "100000000 + (doc_id * 2654435761) % 40000000"
 LAT_EXPR = "470000000 + (doc_id * 2246822519) % 40000000"
 
+# ----------------------------------------------------------------
+# deterministic tag synthesis (for the osmfilter-language queries):
+# pure integer hash of doc_id, reproducible in Spark SQL and DuckDB.
+# Values intentionally exercise the comparator's hard cases: leading
+# zeros, decimals, absent keys.
+# ----------------------------------------------------------------
+_TAG_H = "((doc_id * 2654435761) % 4294967296)"
+TAG_KEYS = ["place", "population", "name", "highway"]
+_PLACE_SQL = (
+    f"CASE ({_TAG_H} % 7) WHEN 0 THEN 'city' WHEN 1 THEN 'town' "
+    "WHEN 2 THEN 'village' WHEN 3 THEN 'hamlet' WHEN 6 THEN 'suburb' "
+    "ELSE NULL END"
+)
+_POP_SQL = (
+    f"CASE WHEN ({_TAG_H} % 3) = 0 THEN NULL "
+    f"WHEN ({_TAG_H} % 11) = 0 THEN "
+    f"  '0' || CAST(({_TAG_H} // 7) % 1000000 AS VARCHAR) "
+    f"WHEN ({_TAG_H} % 13) = 0 THEN "
+    f"  CAST(({_TAG_H} // 7) % 1000000 AS VARCHAR) || '.5' "
+    f"ELSE CAST(({_TAG_H} // 7) % 1000000 AS VARCHAR) END"
+)
+_NAME_SQL = (
+    f"CASE WHEN ({_TAG_H} % 17) = 0 THEN NULL "
+    f"ELSE 'Name' || CAST({_TAG_H} % 50 AS VARCHAR) END"
+)
+_HIGHWAY_SQL = (
+    f"CASE WHEN ({_TAG_H} % 13) = 0 THEN 'primary' ELSE NULL END"
+)
+_TAGS_CTE = (
+    "tg AS (SELECT doc_id, "
+    f"{_PLACE_SQL} AS place, {_POP_SQL} AS population, "
+    f"{_NAME_SQL} AS name, {_HIGHWAY_SQL} AS highway FROM documents)"
+)
+# Spark SQL: integer division is `div`, not `//`
+_SPARK_TAG_EXPRS = {
+    "place": _PLACE_SQL.replace("//", "div"),
+    "population": _POP_SQL.replace("//", "div").replace(
+        "AS VARCHAR", "AS STRING"
+    ),
+    "name": _NAME_SQL.replace("//", "div").replace(
+        "AS VARCHAR", "AS STRING"
+    ),
+    "highway": _HIGHWAY_SQL,
+}
+
+
+def doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, tags map<string,string>) with
+    deterministic tags; absent keys are genuinely missing from the
+    map (osmfilter absent-key semantics apply)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = []
+    for k in TAG_KEYS:
+        pairs += [F.lit(k), F.expr(_SPARK_TAG_EXPRS[k])]
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*pairs[0::2]), F.array(*pairs[1::2])
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return docs.withColumn("tags", m)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -332,6 +394,76 @@ def q17_ngram_jaccard(spark, sf_dir):
     ).select("a", "b", "inter", "jaccard")
 
 
+_KEEP_EXPR = "place=city or ( place=town and population>=10000 )"
+_KEEP_EXPR2 = "( name=*7 or name=Name1* ) and place!=city"
+
+
+def q18_keep_filter(spark, sf_dir):
+    """P3: osmfilter --keep boolean tag predicate (numeric >=,
+    brackets, and/or precedence) compiled to pure Catalyst."""
+    from .filterlang import keep_column, parse
+
+    tg = doc_tags(spark, sf_dir)
+    return tg.filter(keep_column(F.col("tags"), parse(_KEEP_EXPR))).select(
+        "doc_id"
+    )
+
+
+def q19_keep_wildcards(spark, sf_dir):
+    """P3: wildcards + '!=' matches-absent-key rule."""
+    from .filterlang import keep_column, parse
+
+    tg = doc_tags(spark, sf_dir)
+    return tg.filter(
+        keep_column(F.col("tags"), parse(_KEEP_EXPR2))
+    ).select("doc_id")
+
+
+def q20_keep_tags(spark, sf_dir):
+    """P5: --keep-tags projection ('all place population'): unlisted
+    tags dropped; output canonicalized as sorted k=v string."""
+    from .filterlang import tags_filter_column
+
+    tg = doc_tags(spark, sf_dir)
+    kept = tags_filter_column(F.col("tags"), keep="all place= population=")
+    return tg.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(kept),
+                    lambda e: F.concat(e.key, F.lit("="), e.value),
+                )
+            ),
+            ";",
+        ).alias("tags_str"),
+    )
+
+
+def q21_tag_key_freq(spark, sf_dir):
+    """P9/A2: --out-key tag-key frequency."""
+    tg = doc_tags(spark, sf_dir)
+    return (
+        tg.select(F.explode(F.map_keys("tags")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def q22_csv_projection(spark, sf_dir):
+    """K4: CSV sink projection — pseudo-cols @id @lon @lat plus tag
+    columns pulled out of the map (csv_ osmconvert.c:3165-3351)."""
+    tg = doc_tags(spark, sf_dir)
+    pts = doc_points(spark, sf_dir)
+    return tg.join(pts, "doc_id").select(
+        F.col("doc_id").alias("id"),
+        F.col("lon_i").alias("lon"),
+        F.col("lat_i").alias("lat"),
+        F.try_element_at(F.col("tags"), F.lit("place")).alias("place"),
+        F.try_element_at(F.col("tags"), F.lit("name")).alias("name"),
+    )
+
+
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
     "q02_pip_border": q02_pip_border,
@@ -350,6 +482,11 @@ QUERIES = {
     "q15_dedup_exact": q15_dedup_exact,
     "q16_radius_pairs": q16_radius_pairs,
     "q17_ngram_jaccard": q17_ngram_jaccard,
+    "q18_keep_filter": q18_keep_filter,
+    "q19_keep_wildcards": q19_keep_wildcards,
+    "q20_keep_tags": q20_keep_tags,
+    "q21_tag_key_freq": q21_tag_key_freq,
+    "q22_csv_projection": q22_csv_projection,
 }
 
 
@@ -530,5 +667,43 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
-"""
+""",
+        "q18_keep_filter": _keep_oracle(_KEEP_EXPR),
+        "q19_keep_wildcards": _keep_oracle(_KEEP_EXPR2),
+        "q20_keep_tags": f"""
+WITH {_TAGS_CTE}
+SELECT doc_id,
+  concat_ws(';',
+    CASE WHEN place IS NOT NULL THEN 'place=' || place END,
+    CASE WHEN population IS NOT NULL
+         THEN 'population=' || population END) AS tags_str
+FROM tg
+""",
+        "q21_tag_key_freq": f"""
+WITH {_TAGS_CTE},
+k AS (
+  SELECT 'place' AS key, COUNT(place) AS cnt FROM tg
+  UNION ALL SELECT 'population', COUNT(population) FROM tg
+  UNION ALL SELECT 'name', COUNT(name) FROM tg
+  UNION ALL SELECT 'highway', COUNT(highway) FROM tg
+)
+SELECT key, cnt FROM k WHERE cnt > 0
+""",
+        "q22_csv_projection": f"""
+WITH {_TAGS_CTE}, {_PTS_CTE}
+SELECT t.doc_id AS id, p.lon_i AS lon, p.lat_i AS lat,
+       t.place AS place, t.name AS name
+FROM tg t JOIN pts p ON t.doc_id = p.doc_id
+""",
     }
+
+
+def _keep_oracle(expr: str) -> str:
+    """Compile a filter expression to its DuckDB oracle over the
+    synthesized tags CTE via the SQL backend (sql.py) — the backends
+    are independently three-way tested in
+    tests/test_filterlang_backends.py."""
+    from .filterlang import keep_sql, parse
+
+    pred = keep_sql(parse(expr), lambda k: f'"{k}"', TAG_KEYS)
+    return f"WITH {_TAGS_CTE} SELECT doc_id FROM tg WHERE {pred}"

@@ -112,6 +112,86 @@ def ref_bbox_filter(tmp: Path, nodes, box: str) -> set[int]:
     return set(parse_osm_nodes((tmp / "out.osm").read_text()))
 
 
+_CMP_HARNESS = r"""
+/* differential harness: feed (op, rhs, v) triples through the real
+   fil_cpy + fil__cmp of the reference osmfilter.  Protocol on stdin:
+   3 lines per case (op, rhs, v); prints 0/1 per case. */
+#include <stdio.h>
+#include <string.h>
+#define main osmfilter_reference_main
+#include "REFSRC"
+#undef main
+static void chomp(char *s) {
+  size_t n = strlen(s);
+  while (n && (s[n-1] == '\n' || s[n-1] == '\r')) s[--n] = 0;
+}
+int main(void) {
+  char opl[256], rhs[2048], v[2048], dest[4096];
+  while (fgets(opl, sizeof opl, stdin)) {
+    if (!fgets(rhs, sizeof rhs, stdin)) break;
+    if (!fgets(v, sizeof v, stdin)) break;
+    chomp(opl); chomp(rhs); chomp(v);
+    int op = 2;
+    if (strcmp(opl, "=") == 0) op = 2;
+    else if (strcmp(opl, "!=") == 0) op = 3;
+    else if (strcmp(opl, "<") == 0) op = 4;
+    else if (strcmp(opl, ">=") == 0) op = 5;
+    else if (strcmp(opl, ">") == 0) op = 6;
+    else if (strcmp(opl, "<=") == 0) op = 7;
+    memset(dest, 0, sizeof dest);
+    fil_cpy(dest, rhs, strlen(rhs), op);
+    printf("%d\n", fil__cmp(v, dest) ? 1 : 0);
+  }
+  return 0;
+}
+"""
+
+
+def build_cmp_harness() -> Path | None:
+    """Compile the fil__cmp harness; None if unavailable."""
+    src = Path("/root/reference/src/osmfilter.c")
+    if not src.exists():
+        return None
+    REFBIN.mkdir(exist_ok=True)
+    out = REFBIN / "filcmp_harness"
+    if out.exists():
+        return out
+    csrc = REFBIN / "filcmp_harness.c"
+    csrc.write_text(_CMP_HARNESS.replace("REFSRC", str(src)))
+    r = subprocess.run(
+        ["gcc", str(csrc), "-O2", "-lz", "-lm", "-o", str(out)],
+        capture_output=True,
+    )
+    return out if r.returncode == 0 else None
+
+
+def ref_fil_cmp_batch(cases) -> list[bool]:
+    """cases: [(op, rhs, v)] -> reference fil_cpy+fil__cmp results."""
+    h = build_cmp_harness()
+    assert h is not None
+    stdin = "".join(f"{op}\n{rhs}\n{v}\n" for op, rhs, v in cases)
+    r = subprocess.run(
+        [str(h)], input=stdin.encode(), capture_output=True
+    )
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    return [line == b"1" for line in r.stdout.split()]
+
+
+def ref_filter_keep(tmp: Path, nodes, keep: str,
+                    drop: str | None = None) -> set[int]:
+    """osmfilter --keep=... [--drop=...] -> surviving node ids."""
+    write_osm_nodes(tmp / "in.osm", nodes)
+    run([str(REFBIN / "osmconvert"), str(tmp / "in.osm"),
+         f"-o={tmp / 'in.o5m'}"])
+    cmd = [str(REFBIN / "osmfilter"), str(tmp / "in.o5m"),
+           f"--keep={keep}"]
+    if drop is not None:
+        cmd.append(f"--drop={drop}")
+    cmd.append(f"-o={tmp / 'out.osm'}")
+    run(cmd)
+    return set(parse_osm_nodes((tmp / "out.osm").read_text()))
+
+
 def ref_assignpoly(tmp: Path, nodes, poly_text: str):
     """osmassignpoly --use-admin-levels --keep-noregion
     -> dict id -> (region|None, subregion|None)."""
