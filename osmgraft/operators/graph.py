@@ -1,0 +1,293 @@
+"""OSM object-graph operators: way->node ref resolution, clipping
+decisions, complete-ways pull-back, broken-ref cleanup, all-to-nodes
+geometry aggregation, and the relation transitive closure.
+
+Reference semantics (SURVEY.md §2.3/§2.5):
+
+  J1  way->nodes ref resolution       osmconvert.c:6759-6788
+  G3  way clip decision (>=1 inside)  osmconvert.c:11537-11560
+  G4  complete-ways pull-back         osmconvert.c:11305-11365
+  P8  --drop-broken-refs              osmconvert.c:11683-11687
+  G5  all-to-nodes way center         osmconvert.c:11561-11702
+  G7  is_area (first ref == last)     osmconvert.c:11607
+  A3  bbox aggregation                osmconvert.c:11573-11604
+  R1  relation closure, <=12 passes   osmconvert.c:9083-9132
+
+Scale notes: the ways/relations side is exploded on refs and joined
+to the node table on the ref id — an equi join Catalyst plans as
+sort-merge (or broadcast when one side is small). Both the
+bbox-aggregate and the argmin re-join group on way_id, so with AQE
+the exchange introduced by the first groupBy is reused by the second
+join (same key). The iterative closure is a driver loop of
+broadcast-able semi-joins over a shrinking frontier with
+localCheckpoint to cut lineage — the Spark realization of the
+reference's <=12 tempfile rewinds.
+
+The synthetic ways/relations world is a pure integer function of
+doc_id (like suite.py's points), reproducible in DuckDB SQL —
+see suite_graph.py for the paired oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+HASH_MULT = 2_654_435_761
+HASH_MOD = 1 << 32
+
+# ---------------------------------------------------------------
+# deterministic ways/relations synthesis (both dialects)
+#
+#   way exists for doc_id % 4 == 0, way_id = doc_id
+#   k = 3 + way_id % 4 refs; ref_j (j = 1..k):
+#       ((way_id*37 + j*1009) * 2654435761 % 2^32) % n_docs
+#   way closed (area) iff way_id % 3 == 0: first ref appended again
+#
+#   relation exists for doc_id % 16 == 0, rel_id = doc_id
+#   node member:  ((rel_id*53 + 7) * 2654435761 % 2^32) % n_docs
+#   way member:   (rel_id % (n_docs // 4)) * 4
+#   rel->rel edge: parent rel_id references child rel_id - 16
+#       iff rel_id >= 16 and (rel_id // 16) % 7 != 0  (chains <= 6)
+# ---------------------------------------------------------------
+
+
+def _ref_expr(way_id: Column, j: Column, n_docs: int) -> Column:
+    h = (way_id * F.lit(37) + j * F.lit(1009)) * F.lit(HASH_MULT)
+    return (h % F.lit(HASH_MOD)) % F.lit(n_docs)
+
+
+def synth_ways(docs: DataFrame, n_docs: int) -> DataFrame:
+    """documents -> ways(way_id, refs array<long>, is_closed)."""
+    w = docs.select(F.col("doc_id").alias("way_id")).filter(
+        F.col("way_id") % 4 == 0
+    )
+    k = (F.lit(3) + F.col("way_id") % 4).cast("int")
+    refs = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda j: _ref_expr(F.col("way_id"), j.cast("long"), n_docs),
+    )
+    refs = F.when(
+        F.col("way_id") % 3 == 0,
+        F.concat(refs, F.array(F.element_at(refs, 1))),
+    ).otherwise(refs)
+    return w.select(
+        "way_id",
+        refs.alias("refs"),
+        (F.col("way_id") % 3 == 0).alias("is_closed"),
+    )
+
+
+def synth_rels(docs: DataFrame, n_docs: int) -> DataFrame:
+    """documents -> rels(rel_id, node_member, way_member, child_rel).
+
+    child_rel is NULL when there is no rel->rel edge."""
+    r = docs.select(F.col("doc_id").alias("rel_id")).filter(
+        F.col("rel_id") % 16 == 0
+    )
+    nd = (
+        (F.col("rel_id") * F.lit(53) + F.lit(7)) * F.lit(HASH_MULT)
+        % F.lit(HASH_MOD)
+    ) % F.lit(n_docs)
+    wy = (F.col("rel_id") % F.lit(max(n_docs // 4, 1))) * F.lit(4)
+    child = F.when(
+        (F.col("rel_id") >= 16)
+        & (F.expr("(rel_id div 16) % 7") != 0),
+        F.col("rel_id") - 16,
+    )
+    return r.select(
+        "rel_id",
+        nd.alias("node_member"),
+        wy.alias("way_member"),
+        child.alias("child_rel"),
+    )
+
+
+# ---------------------------------------------------------------
+# J1 + A3 + G5/G7: ref resolution, bbox agg, exact way centers
+# ---------------------------------------------------------------
+
+
+def way_geometry(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Resolve refs to coordinates and compute per-way bbox + the
+    all-to-nodes center with exact C integer semantics
+    (osmconvert.c:11561-11702):
+
+      x_middle = x_max/2 + x_min/2   (C trunc division)
+      y_middle = (y_max + y_min)/2
+      closed way (first ref == last): center = middle
+      open way: first ref (in order) minimizing the Manhattan
+                distance |x - x_middle| + |y - y_middle|
+
+    nodes must have (doc_id, lat_i, lon_i). One shuffle for the
+    ref-resolution join, one for the way_id aggregate; the argmin
+    re-join reuses the way_id partitioning (AQE exchange reuse).
+    """
+    ex = ways.select(
+        "way_id", "is_closed", F.posexplode("refs").alias("j", "ref")
+    )
+    res = ex.join(
+        nodes.select(
+            F.col("doc_id").alias("ref"), "lat_i", "lon_i"
+        ),
+        "ref",
+    )
+    agg = res.groupBy("way_id").agg(
+        F.first("is_closed").alias("is_closed"),
+        F.count("*").cast("long").alias("n_refs"),
+        F.min("lon_i").alias("x_min"),
+        F.max("lon_i").alias("x_max"),
+        F.min("lat_i").alias("y_min"),
+        F.max("lat_i").alias("y_max"),
+    )
+    # C integer division truncates toward zero; Spark `div` on longs
+    # is Java long division (also trunc) — exact replica
+    agg = agg.withColumn(
+        "x_mid",
+        F.expr("x_max div 2 + x_min div 2"),
+    ).withColumn("y_mid", F.expr("(y_max + y_min) div 2"))
+
+    # open ways: argmin (manhattan distance, ref order j)
+    dist = res.join(
+        agg.select("way_id", "x_mid", "y_mid"), "way_id"
+    ).withColumn(
+        "dist",
+        F.abs(F.col("lon_i") - F.col("x_mid"))
+        + F.abs(F.col("lat_i") - F.col("y_mid")),
+    )
+    # min of a struct orders lexicographically: (dist, j) tie-break
+    # = the reference's strictly-less scan keeping the first winner
+    nearest = dist.groupBy("way_id").agg(
+        F.min(F.struct("dist", "j", "lon_i", "lat_i")).alias("m")
+    )
+    out = agg.join(nearest, "way_id").select(
+        "way_id",
+        "n_refs",
+        "is_closed",
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+        F.when(F.col("is_closed"), F.col("x_mid"))
+        .otherwise(F.col("m.lon_i"))
+        .alias("center_lon"),
+        F.when(F.col("is_closed"), F.col("y_mid"))
+        .otherwise(F.col("m.lat_i"))
+        .alias("center_lat"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------
+# G3 / G4 / P8: clipping decisions over the ref graph
+# ---------------------------------------------------------------
+
+
+def ways_touching(ways: DataFrame, inside_nodes: DataFrame) -> DataFrame:
+    """G3: ways kept iff >=1 ref node is inside the border
+    (osmconvert.c:11546-11556). inside_nodes: (doc_id). Exact
+    semi-join — strictly more accurate than the reference's lossy
+    hash bitset (osmconvert.c:412-416)."""
+    ex = ways.select("way_id", F.explode("refs").alias("ref"))
+    hit = ex.join(
+        inside_nodes.select(F.col("doc_id").alias("ref")),
+        "ref",
+        "left_semi",
+    )
+    return hit.select("way_id").distinct()
+
+
+def complete_ways_nodes(
+    ways: DataFrame, inside_nodes: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """G4 --complete-ways: pull back ALL member nodes of any
+    partially-inside way (osmconvert.c:11305-11365). Returns the
+    full node set (doc_id, lat_i, lon_i): inside nodes plus every
+    ref of a touching way. Two chained semi-joins, no rescans
+    (the reference needs tempfile spools + input rewinds)."""
+    kept = ways_touching(ways, inside_nodes)
+    refs = (
+        ways.join(kept, "way_id", "left_semi")
+        .select(F.explode("refs").alias("doc_id"))
+        .distinct()
+    )
+    wanted = refs.unionByName(
+        inside_nodes.select("doc_id")
+    ).distinct()
+    return nodes.join(wanted, "doc_id", "left_semi")
+
+
+def drop_broken_refs(
+    ways: DataFrame, kept_nodes: DataFrame
+) -> DataFrame:
+    """P8 --drop-broken-refs: remove refs pointing at excluded
+    nodes; ways left with 0 refs vanish (osmconvert.c:11683-11687).
+
+    Implemented as explode -> semi-join -> re-collect (order
+    preserved via posexplode + sort in collect)."""
+    ex = ways.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    )
+    kept = ex.join(
+        kept_nodes.select(F.col("doc_id").alias("ref")),
+        "ref",
+        "left_semi",
+    )
+    return (
+        kept.groupBy("way_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "ref"))),
+                lambda s: s.ref,
+            ).alias("refs")
+        )
+        .withColumn("n_kept_refs", F.size("refs").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------
+# R1: relation transitive closure (upward), <=12 fixed-point passes
+# ---------------------------------------------------------------
+
+
+def rel_closure_up(
+    rels: DataFrame, seed_rels: DataFrame, max_passes: int = 12
+) -> DataFrame:
+    """R1 (oo__rrprocessing osmconvert.c:9083-9132): a relation is
+    flagged if any member relation is flagged; iterate until the
+    fixed point or 12 passes, whichever first (the reference warns
+    and stops at 12, osmconvert.c:10637-10643).
+
+    rels must have (rel_id, child_rel). Driver loop of exact
+    semi-joins over a shrinking frontier; localCheckpoint every pass
+    keeps the lineage flat (SURVEY.md hard-parts list).
+    """
+    edges = (
+        rels.select("rel_id", "child_rel")
+        .filter(F.col("child_rel").isNotNull())
+        .persist()
+    )
+    edges.count()  # materialize once; every pass probes this cache
+    flagged = seed_rels.select("rel_id").distinct().localCheckpoint()
+    frontier = flagged
+    for _ in range(max_passes):
+        # broadcast the (shrinking) frontier so the edge cache is
+        # probed map-side — no shuffle of the big side per pass.
+        # At cluster scale a too-large frontier falls back to a
+        # shuffled semi-join automatically (broadcast is a hint).
+        parents = edges.join(
+            F.broadcast(
+                frontier.select(F.col("rel_id").alias("child_rel"))
+            ),
+            "child_rel",
+            "left_semi",
+        ).select("rel_id")
+        frontier = (
+            parents.join(F.broadcast(flagged), "rel_id", "left_anti")
+            .distinct()
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        flagged = flagged.unionByName(frontier).localCheckpoint()
+    edges.unpersist()
+    return flagged

@@ -464,6 +464,8 @@ def q22_csv_projection(spark, sf_dir):
     )
 
 
+from .suite_graph import GRAPH_QUERIES, graph_oracle_sqls  # noqa: E402
+
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
     "q02_pip_border": q02_pip_border,
@@ -487,6 +489,7 @@ QUERIES = {
     "q20_keep_tags": q20_keep_tags,
     "q21_tag_key_freq": q21_tag_key_freq,
     "q22_csv_projection": q22_csv_projection,
+    **GRAPH_QUERIES,
 }
 
 
@@ -495,6 +498,7 @@ def oracle_sqls() -> dict[str, str]:
     lon_bits = _lon_bits(shift)
     cities = _cities_values()
     return {
+        **graph_oracle_sqls(_PTS_CTE),
         "q01_bbox_filter": f"""
 WITH {_PTS_CTE}
 SELECT doc_id, lat_i, lon_i FROM pts

@@ -1,0 +1,234 @@
+"""Driver-contract queries for the OSM object-graph operators
+(operators/graph.py) with paired DuckDB oracles.
+
+The ways/relations world is a pure integer function of doc_id
+(constants documented in operators/graph.py) so both dialects
+materialize the identical graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.graph import (
+    HASH_MOD,
+    HASH_MULT,
+    complete_ways_nodes,
+    drop_broken_refs,
+    rel_closure_up,
+    synth_rels,
+    synth_ways,
+    way_geometry,
+    ways_touching,
+)
+
+# the q01 bbox doubles as the clipping border for the graph queries
+BX = (110_000_000, 480_000_000, 125_000_000, 495_000_000)
+
+# ---------------------------------------------------------------
+# shared SQL CTEs (DuckDB dialect)
+# ---------------------------------------------------------------
+
+_N_DOCS = "(SELECT COUNT(*) FROM documents)"
+
+_GRAPH_CTES = f"""
+ways AS (
+  SELECT doc_id AS way_id, 3 + doc_id % 4 AS k
+  FROM documents WHERE doc_id % 4 = 0
+),
+wrefs0 AS (
+  SELECT w.way_id, CAST(i.i AS BIGINT) AS j,
+    ((w.way_id * 37 + i.i * 1009) * {HASH_MULT} % {HASH_MOD})
+      % {_N_DOCS} AS ref
+  FROM ways w CROSS JOIN LATERAL
+    (SELECT unnest(range(1, w.k + 1)) AS i) i
+),
+wrefs AS (
+  SELECT way_id, j, ref FROM wrefs0
+  UNION ALL
+  SELECT w.way_id, CAST(w.k + 1 AS BIGINT), r.ref
+  FROM ways w JOIN wrefs0 r ON r.way_id = w.way_id AND r.j = 1
+  WHERE w.way_id % 3 = 0
+),
+inside AS (
+  SELECT doc_id FROM pts
+  WHERE lon_i >= {BX[0]} AND lon_i <= {BX[2]}
+    AND lat_i >= {BX[1]} AND lat_i <= {BX[3]}
+)
+"""
+
+
+def _nodes(spark, sf_dir):
+    from .suite import doc_points
+
+    return doc_points(spark, sf_dir)
+
+
+def _inside(nodes):
+    return nodes.filter(
+        (F.col("lon_i") >= BX[0])
+        & (F.col("lon_i") <= BX[2])
+        & (F.col("lat_i") >= BX[1])
+        & (F.col("lat_i") <= BX[3])
+    ).select("doc_id")
+
+
+def _docs_and_n(spark, sf_dir):
+    from .suite import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs, docs.count()
+
+
+# ---------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------
+
+
+def q23_way_geometry(spark, sf_dir):
+    """J1/A3/G5/G7: ref-resolution join + bbox agg + exact centers."""
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    return way_geometry(ways, _nodes(spark, sf_dir))
+
+
+def q24_way_clip(spark, sf_dir):
+    """G3: ways kept iff >=1 ref node inside the border."""
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    return ways_touching(ways, _inside(_nodes(spark, sf_dir)))
+
+
+def q25_complete_ways(spark, sf_dir):
+    """G4 --complete-ways: full node pull-back of touching ways."""
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    nodes = _nodes(spark, sf_dir)
+    return complete_ways_nodes(ways, _inside(nodes), nodes)
+
+
+def q26_broken_refs(spark, sf_dir):
+    """P8 --drop-broken-refs: refs filtered to inside nodes, order
+    preserved; 0-ref ways vanish."""
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    out = drop_broken_refs(ways, _inside(_nodes(spark, sf_dir)))
+    return out.select(
+        "way_id",
+        "n_kept_refs",
+        F.array_join(
+            F.transform("refs", lambda r: r.cast("string")), ","
+        ).alias("refs_str"),
+    )
+
+
+def q27_rel_closure(spark, sf_dir):
+    """R1: upward relation closure from border-seeded relations,
+    <=12 fixed-point passes (chains of rel->rel edges)."""
+    docs, n = _docs_and_n(spark, sf_dir)
+    rels = synth_rels(docs, n)
+    seeds = rels.join(
+        _inside(_nodes(spark, sf_dir)).select(
+            F.col("doc_id").alias("node_member")
+        ),
+        "node_member",
+        "left_semi",
+    ).select("rel_id")
+    return rel_closure_up(rels, seeds)
+
+
+GRAPH_QUERIES = {
+    "q23_way_geometry": q23_way_geometry,
+    "q24_way_clip": q24_way_clip,
+    "q25_complete_ways": q25_complete_ways,
+    "q26_broken_refs": q26_broken_refs,
+    "q27_rel_closure": q27_rel_closure,
+}
+
+
+def graph_oracle_sqls(pts_cte: str) -> dict[str, str]:
+    g = f"WITH {pts_cte},\n{_GRAPH_CTES}"
+    return {
+        "q23_way_geometry": f"""
+{g},
+res AS (
+  SELECT r.way_id, r.j, p.lat_i, p.lon_i
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+agg AS (
+  SELECT way_id, COUNT(*) AS n_refs,
+         MIN(lon_i) AS x_min, MAX(lon_i) AS x_max,
+         MIN(lat_i) AS y_min, MAX(lat_i) AS y_max
+  FROM res GROUP BY 1
+),
+mid AS (
+  SELECT *, x_max // 2 + x_min // 2 AS x_mid,
+         (y_max + y_min) // 2 AS y_mid,
+         (way_id % 3 = 0) AS is_closed
+  FROM agg
+),
+near AS (
+  SELECT r.way_id, r.lon_i, r.lat_i,
+    ROW_NUMBER() OVER (PARTITION BY r.way_id
+      ORDER BY abs(r.lon_i - m.x_mid) + abs(r.lat_i - m.y_mid),
+               r.j) AS rn
+  FROM res r JOIN mid m USING (way_id)
+)
+SELECT m.way_id, m.n_refs, m.is_closed,
+       m.x_min, m.x_max, m.y_min, m.y_max,
+  CASE WHEN m.is_closed THEN m.x_mid ELSE n.lon_i END AS center_lon,
+  CASE WHEN m.is_closed THEN m.y_mid ELSE n.lat_i END AS center_lat
+FROM mid m JOIN near n ON n.way_id = m.way_id AND n.rn = 1
+""",
+        "q24_way_clip": f"""
+{g}
+SELECT DISTINCT r.way_id
+FROM wrefs r JOIN inside i ON i.doc_id = r.ref
+""",
+        "q25_complete_ways": f"""
+{g},
+kept AS (
+  SELECT DISTINCT r.way_id
+  FROM wrefs r JOIN inside i ON i.doc_id = r.ref
+),
+pulled AS (
+  SELECT DISTINCT ref AS doc_id FROM wrefs
+  WHERE way_id IN (SELECT way_id FROM kept)
+  UNION
+  SELECT doc_id FROM inside
+)
+SELECT p.doc_id, p.lat_i, p.lon_i
+FROM pts p JOIN pulled u USING (doc_id)
+""",
+        "q26_broken_refs": f"""
+{g}
+SELECT r.way_id, COUNT(*) AS n_kept_refs,
+  string_agg(CAST(r.ref AS VARCHAR), ',' ORDER BY r.j) AS refs_str
+FROM wrefs r JOIN inside i ON i.doc_id = r.ref
+GROUP BY r.way_id
+""",
+        "q27_rel_closure": f"""
+WITH RECURSIVE {pts_cte},
+{_GRAPH_CTES},
+rels AS (
+  SELECT doc_id AS rel_id,
+    ((doc_id * 53 + 7) * {HASH_MULT} % {HASH_MOD})
+      % {_N_DOCS} AS node_member,
+    CASE WHEN doc_id >= 16 AND (doc_id // 16) % 7 <> 0
+         THEN doc_id - 16 END AS child_rel
+  FROM documents WHERE doc_id % 16 = 0
+),
+seeds AS (
+  SELECT r.rel_id FROM rels r
+  JOIN inside i ON i.doc_id = r.node_member
+),
+flagged(rel_id, depth) AS (
+  SELECT rel_id, 0 FROM seeds
+  UNION
+  SELECT r.rel_id, f.depth + 1
+  FROM rels r JOIN flagged f ON r.child_rel = f.rel_id
+  WHERE f.depth < 12
+)
+SELECT DISTINCT rel_id FROM flagged
+""",
+    }
