@@ -464,7 +464,12 @@ def q22_csv_projection(spark, sf_dir):
     )
 
 
-from .suite_graph import GRAPH_QUERIES, graph_oracle_sqls  # noqa: E402
+from .suite_bbox import bbox_oracle_sql, q28_bbox_tags  # noqa: E402
+from .suite_graph import (  # noqa: E402
+    _GRAPH_CTES,
+    GRAPH_QUERIES,
+    graph_oracle_sqls,
+)
 
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
@@ -490,6 +495,7 @@ QUERIES = {
     "q21_tag_key_freq": q21_tag_key_freq,
     "q22_csv_projection": q22_csv_projection,
     **GRAPH_QUERIES,
+    "q28_bbox_tags": q28_bbox_tags,
 }
 
 
@@ -499,6 +505,7 @@ def oracle_sqls() -> dict[str, str]:
     cities = _cities_values()
     return {
         **graph_oracle_sqls(_PTS_CTE),
+        "q28_bbox_tags": bbox_oracle_sql(_PTS_CTE, _GRAPH_CTES),
         "q01_bbox_filter": f"""
 WITH {_PTS_CTE}
 SELECT doc_id, lat_i, lon_i FROM pts
