@@ -1,0 +1,287 @@
+"""Near-duplicate detection + similarity search for training-data
+pipelines: MinHash+LSH, SimHash, and embedding ANN (brute-force
+cosine + random-hyperplane LSH buckets).
+
+Design for 100 TB:
+
+- MinHash signatures are computed IN-ROW (split -> shingle ->
+  transform/array_min over md5 strings), entirely inside whole-stage
+  codegen — zero shuffle until the band join. The band join shuffles
+  only (band_idx, band_val, doc_id) — a tiny projection of the
+  corpus — then pairs emerge from bucket-local self-joins. This is
+  the standard shingle->minhash->band->bucket-join plan; band
+  buckets are the unit of parallelism, hot buckets are bounded by
+  banding (r rows per band) rather than corpus size.
+- A lexicographic MIN over salted md5 hex strings is a valid
+  minhash permutation family (any order-preserving injection of a
+  uniform hash works); using strings keeps the whole kernel
+  JVM-side and bit-identical across engines.
+- SimHash is also in-row: per-shingle 16-bit hash -> signed bit
+  sums -> sign assembly. Near-dups collide on the exact 16-bit key,
+  so dedup is a plain groupBy on simhash.
+- Embedding ANN: the exact path broadcasts the (small) query set
+  against the corpus and computes cosine with zip_with/aggregate —
+  JVM vectorized, no Python. The scale path buckets vectors by a
+  random-hyperplane LSH signature (plane matrix is a deterministic
+  md5-derived constant, inlined as an array literal) and searches
+  only within buckets: the crossJoin disappears, the shuffle keys
+  are bucket ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------
+
+
+def gram_array(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column, in-row (no shuffle).
+    Documents shorter than n tokens contribute their full text as
+    one (short) gram."""
+    toks = F.split(text, " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    )
+    grams = F.transform(
+        idx, lambda j: F.concat_ws(" ", F.slice(toks, j, n))
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------
+
+
+def minhash_signature(
+    grams: Column, n_hashes: int = 12
+) -> list[Column]:
+    """n_hashes lexicographic-min salted-md5 minhashes, in-row.
+
+    NB: the per-salt lambda must take exactly ONE parameter —
+    pyspark's transform() passes the array index to a second
+    parameter, which would silently clobber a default-arg salt."""
+
+    def salted(i: int):
+        prefix = f"{i}:"
+        return lambda g: F.md5(F.concat(F.lit(prefix), g))
+
+    return [
+        F.array_min(F.transform(grams, salted(i)))
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 12,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) that share >= 1 LSH
+    band, with the number of shared bands. n_hashes/band_rows bands
+    of band_rows hashes each."""
+    n_bands = n_hashes // band_rows
+    sig = minhash_signature(gram_array(F.col(text_col)), n_hashes)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", *sig[b * band_rows : (b + 1) * band_rows]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("a"), F.col("b.doc").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_bands"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------
+
+
+def _hex4(g: Column) -> Column:
+    """First 16 bits of md5 as a long (conv is JVM-side)."""
+    return F.conv(F.substring(F.md5(g), 1, 4), 16, 10).cast("long")
+
+
+def simhash16_col(grams: Column) -> Column:
+    """16-bit SimHash, fully in-row: per-gram 16-bit hash, signed
+    per-bit sums over the grams, then sign assembly. Ties
+    (sum <= 0) clear the bit."""
+    hs = F.transform(grams, _hex4)
+    def bitsum(j: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("long"),
+        )
+    out = F.lit(0).cast("long")
+    for j in range(16):
+        out = out + F.when(bitsum(j) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return out
+
+
+# ---------------------------------------------------------------
+# embedding ANN
+# ---------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (matches the oracle's
+    accumulation order bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm2(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_n2", _dot(F.col(vec_col), F.col(vec_col)))
+
+
+def cosine(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
+    """cos = dot / sqrt(na2) / sqrt(nb2) — the exact op sequence the
+    oracle uses, so doubles agree bit-for-bit."""
+    return _dot(a, b) / F.sqrt(na2) / F.sqrt(nb2)
+
+
+def embed_knn_exact(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set
+    against the corpus; rank with a per-query window. The corpus
+    side never shuffles until the (tiny) top-k window."""
+    from pyspark.sql import Window
+
+    base = with_norm2(emb, vec_col)
+    q = base.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_n2").alias("_qn2"),
+    )
+    joined = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(
+            F.col("_qv"), F.col(vec_col), F.col("_qn2"), F.col("_n2")
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_cos", 6).alias("cos_r"),
+        )
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic +/-1 plane matrix from md5 bytes — a public
+    constant both engines inline literally."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).digest()[0]
+            row.append(1 if h & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane LSH bucket id (in-row, JVM-side)."""
+    out = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.lit(row),
+                lambda x, c: x.cast("double") * c.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return out
+
+
+def embed_ann_lsh(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN: bucket vectors by hyperplane signature and
+    emit bucket-local candidate pairs with exact cosine. At corpus
+    scale the self-join shuffles on bucket id only; bucket
+    population is ~N/2^n_planes, so the quadratic term is bounded
+    per bucket."""
+    planes = hyperplanes(n_planes, dim)
+    b = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col("_n2").alias("n2"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vid") < F.col("c.vid")),
+    )
+    return pairs.select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vid").alias("a"),
+        F.col("c.vid").alias("b"),
+        F.round(
+            cosine(
+                F.col("a.v"), F.col("c.v"), F.col("a.n2"), F.col("c.n2")
+            ),
+            6,
+        ).alias("cos_r"),
+    )

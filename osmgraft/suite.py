@@ -465,6 +465,7 @@ def q22_csv_projection(spark, sf_dir):
 
 
 from .suite_bbox import bbox_oracle_sql, q28_bbox_tags  # noqa: E402
+from .suite_ml import ML_QUERIES, ml_oracle_sqls  # noqa: E402
 from .suite_graph import (  # noqa: E402
     _GRAPH_CTES,
     GRAPH_QUERIES,
@@ -496,6 +497,7 @@ QUERIES = {
     "q22_csv_projection": q22_csv_projection,
     **GRAPH_QUERIES,
     "q28_bbox_tags": q28_bbox_tags,
+    **ML_QUERIES,
 }
 
 
@@ -506,6 +508,7 @@ def oracle_sqls() -> dict[str, str]:
     return {
         **graph_oracle_sqls(_PTS_CTE),
         "q28_bbox_tags": bbox_oracle_sql(_PTS_CTE, _GRAPH_CTES),
+        **ml_oracle_sqls(),
         "q01_bbox_filter": f"""
 WITH {_PTS_CTE}
 SELECT doc_id, lat_i, lon_i FROM pts

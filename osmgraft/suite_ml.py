@@ -1,0 +1,283 @@
+"""Driver-contract queries for the training-data pipeline operators
+(operators/dedup.py): MinHash+LSH, SimHash, embedding ANN — each
+paired with a DuckDB oracle that replays the identical hash/float
+arithmetic.
+
+Corpus for the text queries: documents (mod-7 sample) plus planted
+near-duplicates ('dup ' prefix, offset ids) so collisions exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    embed_ann_lsh,
+    embed_knn_exact,
+    gram_array,
+    hyperplanes,
+    minhash_lsh_pairs,
+    simhash16_col,
+)
+
+N_HASHES = 12
+BAND_ROWS = 2
+N_PLANES = 8
+DIM = 64
+
+# ---------------------------------------------------------------
+# shared corpus (Spark + SQL)
+# ---------------------------------------------------------------
+
+
+def _corpus(spark, sf_dir):
+    from .suite import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "text")
+    )
+    dups = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("dup "), F.col("text")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'dup ' || text
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_GRAMS_CTE = """
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(t[CAST(i.i AS BIGINT):CAST(i.i + 2 AS BIGINT)],
+                    ' ') AS gram
+  FROM toks
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+  ) i
+)
+"""
+
+
+# ---------------------------------------------------------------
+# q29: MinHash + LSH candidate pairs
+# ---------------------------------------------------------------
+
+
+def q29_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _corpus(spark, sf_dir), n_hashes=N_HASHES, band_rows=BAND_ROWS
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_aggs = ",\n    ".join(
+        f"MIN(md5('{i}:' || gram)) AS s{i}" for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    band_rows = ",\n    ".join(
+        "({b}, s{h0} || '|' || s{h1})".format(
+            b=b, h0=2 * b, h1=2 * b + 1
+        )
+        for b in range(n_bands)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"s{2 * b} || '|' || s{2 * b + 1} AS band_val FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+{_GRAMS_CTE},
+sigs AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       COUNT(*) AS shared_bands
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+ AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------
+# q30: SimHash
+# ---------------------------------------------------------------
+
+
+def q30_simhash(spark, sf_dir):
+    c = _corpus(spark, sf_dir)
+    return c.select(
+        "doc_id",
+        simhash16_col(gram_array(F.col("text"))).alias("simhash"),
+    )
+
+
+_HEXVAL = (
+    "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+)
+
+
+def _hex4_sql(expr: str) -> str:
+    """First 4 hex chars of md5 -> 0..65535 (portable SQL)."""
+    h = f"md5({expr})"
+    return (
+        f"({_HEXVAL.format(h=h, p=1)} * 4096 + "
+        f"{_HEXVAL.format(h=h, p=2)} * 256 + "
+        f"{_HEXVAL.format(h=h, p=3)} * 16 + "
+        f"{_HEXVAL.format(h=h, p=4)})"
+    )
+
+
+def _simhash_oracle() -> str:
+    bitsums = ",\n    ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(16)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(16)
+    )
+    return f"""
+WITH {_CORPUS_CTE},
+{_GRAMS_CTE},
+hs AS (
+  SELECT doc_id, {_hex4_sql("gram")} AS h FROM grams
+),
+bits AS (
+  SELECT doc_id,
+    {bitsums}
+  FROM hs GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# ---------------------------------------------------------------
+# q31: exact embedding kNN (brute-force cosine top-k)
+# ---------------------------------------------------------------
+
+
+def q31_embed_knn(spark, sf_dir):
+    from .suite import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embed_knn_exact(
+        emb, F.col("vec_id") % 50 == 0, k=3
+    )
+
+
+_EMB_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e
+),
+q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    list_dot_product(q.v, n.v) / sqrt(q.n2) / sqrt(n.n2) AS c
+  FROM q JOIN n ON n.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(c, 6) AS cos_r
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------
+# q32: LSH-bucketed ANN candidate pairs
+# ---------------------------------------------------------------
+
+
+def q32_embed_ann_lsh(spark, sf_dir):
+    from .suite import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embed_ann_lsh(emb, n_planes=N_PLANES, dim=DIM)
+
+
+def _ann_lsh_oracle() -> str:
+    planes = hyperplanes(N_PLANES, DIM)
+    vals = ",".join(
+        f"({p},{d + 1},{c})"
+        for p, row in enumerate(planes)
+        for d, c in enumerate(row)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES)
+    )
+    projs = ",\n    ".join(
+        f"SUM(CASE WHEN pl.p = {p} THEN el.val * pl.coef ELSE 0 END)"
+        f" AS s{p}"
+        for p in range(N_PLANES)
+    )
+    return f"""
+WITH planes(p, d, coef) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+el AS (
+  SELECT vec_id, unnest(v) AS val,
+         generate_subscripts(v, 1) AS d
+  FROM e
+),
+proj AS (
+  SELECT el.vec_id,
+    {projs}
+  FROM el JOIN planes pl ON pl.d = el.d
+  GROUP BY el.vec_id
+),
+buckets AS (
+  SELECT vec_id, CAST({assemble} AS BIGINT) AS bucket FROM proj
+),
+n AS (
+  SELECT e.vec_id, e.v, list_dot_product(e.v, e.v) AS n2, b.bucket
+  FROM e JOIN buckets b USING (vec_id)
+)
+SELECT a.bucket, a.vec_id AS a, c.vec_id AS b,
+  round(list_dot_product(a.v, c.v) / sqrt(a.n2) / sqrt(c.n2), 6)
+    AS cos_r
+FROM n a JOIN n c
+  ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+"""
+
+
+ML_QUERIES = {
+    "q29_minhash_lsh": q29_minhash_lsh,
+    "q30_simhash": q30_simhash,
+    "q31_embed_knn": q31_embed_knn,
+    "q32_embed_ann_lsh": q32_embed_ann_lsh,
+}
+
+
+def ml_oracle_sqls() -> dict[str, str]:
+    return {
+        "q29_minhash_lsh": _minhash_oracle(),
+        "q30_simhash": _simhash_oracle(),
+        "q31_embed_knn": _EMB_ORACLE,
+        "q32_embed_ann_lsh": _ann_lsh_oracle(),
+    }
