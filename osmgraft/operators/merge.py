@@ -54,6 +54,28 @@ def subtract(base: DataFrame, minus: DataFrame,
                      how="left_anti")
 
 
+def change_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    delete_col: str = "deleted",
+) -> DataFrame:
+    """C1/J7: apply a change file to a base snapshot (osmchange.c:
+    1485-1659): change objects override base objects by key, and a
+    change marked deleted removes the object (tombstone: id-only
+    object, osmconvert.c:10990-10992). This is the batch equivalent
+    of an Iceberg MERGE INTO (matched+delete / matched+update /
+    not-matched+insert).
+
+    One shuffle on the key (anti-join + union); the base side's
+    untouched partitions stream through unchanged."""
+    surviving = changes.filter(~F.col(delete_col)).drop(delete_col)
+    untouched = base.join(
+        changes.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    return untouched.unionByName(surviving)
+
+
 def diff(
     old: DataFrame,
     new: DataFrame,

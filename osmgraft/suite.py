@@ -466,11 +466,57 @@ def q22_csv_projection(spark, sf_dir):
 
 from .suite_bbox import bbox_oracle_sql, q28_bbox_tags  # noqa: E402
 from .suite_ml import ML_QUERIES, ml_oracle_sqls  # noqa: E402
+from .filterlang.modify import (  # noqa: E402
+    modify_sql_tags_str,
+    modify_tags_str,
+    parse_modify,
+)
+from .operators.merge import change_apply  # noqa: E402
 from .suite_graph import (  # noqa: E402
     _GRAPH_CTES,
     GRAPH_QUERIES,
     graph_oracle_sqls,
 )
+
+_MODIFY_ARG = (
+    "place=city to =metropolis population>100000 add big=yes "
+    "name=Name1* to label="
+)
+
+
+def q33_modify_tags(spark, sf_dir):
+    """P6 --modify-tags: value rewrite, numeric-matched add, and
+    wildcard-matched key rename — first matching rule wins per tag;
+    output canonicalized as a sorted k=v string."""
+    tg = doc_tags(spark, sf_dir)
+    rules = parse_modify(_MODIFY_ARG)
+    return tg.select(
+        "doc_id", modify_tags_str(F.col("tags"), rules).alias("tags_str")
+    )
+
+
+def q34_change_apply(spark, sf_dir):
+    """C1/J7: change-file apply (upsert + tombstone delete), the
+    MERGE INTO pattern. Changes: mod-9 docs rewritten, mod-13 docs
+    deleted, 50 new ids appended."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    changes = (
+        docs.filter((F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 13 == 0))
+        .select(
+            "doc_id",
+            F.concat(F.lit("upd "), F.col("text")).alias("text"),
+            (F.col("doc_id") % 13 == 0).alias("deleted"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+                F.lit(False).alias("deleted"),
+            )
+        )
+    )
+    return change_apply(docs, changes, ["doc_id"])
+
 
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
@@ -498,6 +544,8 @@ QUERIES = {
     **GRAPH_QUERIES,
     "q28_bbox_tags": q28_bbox_tags,
     **ML_QUERIES,
+    "q33_modify_tags": q33_modify_tags,
+    "q34_change_apply": q34_change_apply,
 }
 
 
@@ -509,6 +557,28 @@ def oracle_sqls() -> dict[str, str]:
         **graph_oracle_sqls(_PTS_CTE),
         "q28_bbox_tags": bbox_oracle_sql(_PTS_CTE, _GRAPH_CTES),
         **ml_oracle_sqls(),
+        "q33_modify_tags": f"""
+WITH {_TAGS_CTE}
+SELECT doc_id, {modify_sql_tags_str(
+    parse_modify(_MODIFY_ARG),
+    lambda k: f'"{k}"',
+    TAG_KEYS,
+)} AS tags_str
+FROM tg
+""",
+        "q34_change_apply": """
+WITH changes AS (
+  SELECT doc_id, 'upd ' || text AS text, (doc_id % 13 = 0) AS deleted
+  FROM documents WHERE doc_id % 9 = 0 OR doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'new ' || text, FALSE
+  FROM documents WHERE doc_id < 50
+)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
+UNION ALL
+SELECT doc_id, text FROM changes WHERE NOT deleted
+""",
         "q01_bbox_filter": f"""
 WITH {_PTS_CTE}
 SELECT doc_id, lat_i, lon_i FROM pts
