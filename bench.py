@@ -75,23 +75,62 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    out = {
+        "metric": (
+            "wall seconds: flagship spatial-join+tile-assignment "
+            f"on {n_pages} pages + operator suite at sf{sf}"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_pages": n_pages,
+        "cpus": CPUS,
+        "flagship_docs_per_sec": round(n_pages / flagship_s, 1),
+    }
+
+    # scaling evidence (north_rule): same flagship job at N and 4N
+    # parallelism on identical input; efficiency =
+    # (T_N / T_4N) / 4. Sandbox stand-in for N vs 4N executors.
+    small = max(CPUS // 4, 2)
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1" and small < CPUS:
+        spark.stop()
+        spark_s = get_spark(
+            app_name="osmgraft-bench-small", cores=small,
+        )
+        spark_s.sparkContext.setLogLevel("ERROR")
+        pages_s = spark_s.read.parquet(path)
+        _force(flagship_assign(pages_s))  # warm (JIT + broadcast)
+        t0 = time.monotonic()
+        _force(flagship_assign(pages_s))
+        t_small = time.monotonic() - t0
+        spark_s.stop()
+        # re-time the big config warm for a fair ratio
+        spark_b = get_spark(app_name="osmgraft-bench-big", cores=CPUS)
+        spark_b.sparkContext.setLogLevel("ERROR")
+        pages_b = spark_b.read.parquet(path)
+        _force(flagship_assign(pages_b))
+        t0 = time.monotonic()
+        _force(flagship_assign(pages_b))
+        t_big = time.monotonic() - t0
+        ratio = CPUS / small
+        out.update(
             {
-                "metric": (
-                    "wall seconds: flagship spatial-join+tile-assignment "
-                    f"on {n_pages} pages + operator suite at sf{sf}"
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "n_pages": n_pages,
-                "cpus": CPUS,
-                "flagship_docs_per_sec": round(n_pages / flagship_s, 1),
+                "scaling": {
+                    "cpus_small": small,
+                    "cpus_big": CPUS,
+                    "flagship_small_s": round(t_small, 3),
+                    "flagship_big_s": round(t_big, 3),
+                    "docs_per_sec_small": round(n_pages / t_small, 1),
+                    "docs_per_sec_big": round(n_pages / t_big, 1),
+                    "scaling_efficiency": round(
+                        (t_small / t_big) / ratio, 3
+                    ),
+                }
             }
         )
-    )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -33,3 +33,30 @@ def flagship_assign(pages: DataFrame, polyset=None,
     return assigned.select(
         "url", "lat_i", "lon_i", "cell", "region", "subregion"
     )
+
+
+def flagship_resumable(
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    buckets_per_commit: int = 16,
+    input_lineage: str = "",
+    max_commits: int | None = None,
+) -> int:
+    """Production shape of the flagship pipeline: bucket the
+    assignment output by tile cell and write it through the
+    checkpoint manifest (manifest.py) so a killed job resumes from
+    the last committed bucket group (north_rule). Returns commit
+    groups executed."""
+    from ..manifest import run_resumable, with_bucket
+
+    out = flagship_assign(pages)
+    bucketed = with_bucket(out, "cell", n_buckets)
+    return run_resumable(
+        bucketed,
+        out_dir,
+        n_buckets=n_buckets,
+        buckets_per_commit=buckets_per_commit,
+        input_lineage=input_lineage,
+        max_commits=max_commits,
+    )

@@ -1,0 +1,187 @@
+"""Multimodal columns: images/audio as opaque `binary` payloads with
+typed metadata, decoded/feature-extracted through mapInPandas.
+
+The container has no image/audio libraries, so the DECODE step is a
+deterministic fake format ("FIMG"/"FAUD" headers, documented below);
+the Spark-side plumbing — binary schema, Arrow batch shape,
+mapInPandas signatures, partition behavior — is real and tested.
+The real-decoder entry points (`decode_image_real`,
+`resample_audio_real`) are stubbed behind import-guards and raise
+NotImplementedError when Pillow/soundfile are absent.
+
+Fake payload format (pure function of doc_id, reproducible in SQL):
+
+    image (doc_id even):
+        b"FIMG" + width:uint32be + height:uint32be + filler
+        width  = 16 + (doc_id * 7)  % 240
+        height = 16 + (doc_id * 13) % 240
+    audio (doc_id odd):
+        b"FAUD" + rate:uint32be + samples:uint32be + filler
+        rate    = 8000 + (doc_id % 5) * 8000
+        samples = 1000 + (doc_id * 31) % 50000
+    filler = (doc_id % 32) bytes of (doc_id % 256)
+
+Scale note: payloads ride through the pipeline as opaque binary —
+Parquet stores them untouched, Arrow transfers them zero-copy into
+the pandas batches, and only the decode stage touches the bytes.
+Partitioning/pruning keys (doc_id, kind) stay in ordinary columns
+so Catalyst never materializes payloads for metadata-only queries.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def _payload(doc_id: int) -> tuple[str, bytes]:
+    filler = bytes([doc_id % 256]) * (doc_id % 32)
+    if doc_id % 2 == 0:
+        w = 16 + (doc_id * 7) % 240
+        h = 16 + (doc_id * 13) % 240
+        return "image", b"FIMG" + struct.pack(">II", w, h) + filler
+    rate = 8000 + (doc_id % 5) * 8000
+    samples = 1000 + (doc_id * 31) % 50000
+    return "audio", b"FAUD" + struct.pack(">II", rate, samples) + filler
+
+
+def synth_media(spark: SparkSession, n: int,
+                partitions: int | None = None) -> DataFrame:
+    """Deterministic media table via mapInPandas over spark.range —
+    distributed synthesis, no driver materialization."""
+    rng = spark.range(
+        0, n, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].tolist()
+            kinds, payloads = [], []
+            for i in ids:
+                k, p = _payload(int(i))
+                kinds.append(k)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"doc_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched header decode: binary payload -> typed metadata.
+    This is the plumbing a real decoder (PIL.Image.open /
+    soundfile.info) would plug into — swap the header parse for the
+    library call; batch shape and schema stay identical."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {
+                "doc_id": b["doc_id"],
+                "kind": b["kind"],
+                "width": pd.array([None] * len(b), dtype="Int32"),
+                "height": pd.array([None] * len(b), dtype="Int32"),
+                "sample_rate": pd.array([None] * len(b), dtype="Int32"),
+                "n_samples": pd.array([None] * len(b), dtype="Int32"),
+                "n_bytes": b["payload"].map(len).astype("int64"),
+            }
+            df = pd.DataFrame(out)
+            payloads = b["payload"]
+            magic = payloads.map(lambda p: p[:4])
+            img = magic == b"FIMG"
+            aud = magic == b"FAUD"
+            df.loc[img, "width"] = [
+                struct.unpack(">I", p[4:8])[0] for p in payloads[img]
+            ]
+            df.loc[img, "height"] = [
+                struct.unpack(">I", p[8:12])[0] for p in payloads[img]
+            ]
+            df.loc[aud, "sample_rate"] = [
+                struct.unpack(">I", p[4:8])[0] for p in payloads[aud]
+            ]
+            df.loc[aud, "n_samples"] = [
+                struct.unpack(">I", p[8:12])[0] for p in payloads[aud]
+            ]
+            yield df
+
+    return media.mapInPandas(dec, META_SCHEMA)
+
+
+def media_features(meta: DataFrame) -> DataFrame:
+    """Post-decode feature projection — pure Catalyst over the typed
+    metadata (aspect bucket, duration), never touching payloads."""
+    return meta.select(
+        "doc_id",
+        "kind",
+        F.when(
+            F.col("kind") == "image",
+            (F.col("width") * 10000).cast("long")
+            / F.col("height").cast("long"),
+        ).alias("aspect_e4"),
+        F.when(
+            F.col("kind") == "audio",
+            F.col("n_samples").cast("double") / F.col("sample_rate"),
+        ).alias("duration_s"),
+        "n_bytes",
+    )
+
+
+# ----------------------------------------------------------------
+# real-decoder stubs (library-gated)
+# ----------------------------------------------------------------
+
+
+def decode_image_real(payload: bytes):
+    """Real image decode — requires Pillow (absent in this
+    container). The mapInPandas harness above is the production
+    shape; this is the per-payload hook."""
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "Pillow not available in this environment; decode uses "
+            "the deterministic FIMG fake (see module docstring)"
+        ) from e
+    import io
+
+    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def resample_audio_real(payload: bytes, rate: int):
+    """Real audio resample — requires soundfile/librosa (absent)."""
+    raise NotImplementedError(
+        "audio libraries not available; metadata decode uses the "
+        "deterministic FAUD fake (see module docstring)"
+    )

@@ -113,6 +113,23 @@ _PTS_CTE = (
     f"CAST({LON_EXPR} AS BIGINT) AS lon_i FROM documents)"
 )
 
+# planted doc->city mapping (fixtures.place_for_doc) as SQL: the
+# geobase/geocode oracles (q36/q37)
+_PLACED_CTE = """
+WITH hashed AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+placed AS (
+  SELECT doc_id,
+    CASE WHEN h % 10 = 0 THEN NULL
+         WHEN h % 10 <= 3 THEN 0
+         ELSE (h // 10) % 80 END AS city_idx
+  FROM hashed
+  WHERE h % 10 <> 0
+)
+"""
+
 
 # ----------------------------------------------------------------
 # SQL fragments generated from the parsed fixture polygons, so the
@@ -518,6 +535,71 @@ def q34_change_apply(spark, sf_dir):
     return change_apply(docs, changes, ["doc_id"])
 
 
+def q35_media_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary payload synthesis (mapInPandas)
+    -> Arrow-batched header decode -> typed metadata. The oracle
+    recomputes the metadata from doc_id directly, validating the
+    whole binary round-trip."""
+    from .operators.multimodal import decode_metadata, synth_media
+
+    n = load(spark, sf_dir, "documents").count()
+    media = synth_media(spark, n)
+    return decode_metadata(media).select(
+        "doc_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "n_bytes",
+    )
+
+
+def q36_geobase_build(spark, sf_dir):
+    """G13 geobase build: per-term used-by posting aggregates over
+    the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
+    Catalyst replay of the planting hash, grouped by term."""
+    from .fixtures import HASH_MOD, HASH_MULT, N_CITIES
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+    d = h % 10
+    city = F.expr(
+        f"((doc_id * {HASH_MULT}) % {HASH_MOD} div 10) % {N_CITIES}"
+    )
+    idx = F.when(d == 0, F.lit(None)).when(d <= 3, F.lit(0)).otherwise(
+        city
+    )
+    placed = docs.withColumn("city_idx", idx).filter(
+        F.col("city_idx").isNotNull()
+    )
+    return placed.groupBy("city_idx").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    ).select(
+        F.concat(
+            F.lit("City"), F.lpad(F.col("city_idx").cast("string"), 2, "0")
+        ).alias("term"),
+        "n_docs",
+        "min_doc",
+        "max_doc",
+    )
+
+
+def q37_geocode_text(spark, sf_dir):
+    """G12 geocode: synthesize the pages table (mapInPandas), run
+    the JVM-side regex geocoder over the EXTRACTED TEXT, and emit
+    resolved coordinates — checked against the planting rule, i.e.
+    an end-to-end test of make_html -> extract_text -> geocode."""
+    from .pages import geocode, synth_pages
+
+    n = load(spark, sf_dir, "documents").count()
+    pages = synth_pages(spark, int(n))
+    out = geocode(pages).filter(F.col("lat_i").isNotNull())
+    return out.select("doc_id", "lat_i", "lon_i")
+
+
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
     "q02_pip_border": q02_pip_border,
@@ -546,6 +628,9 @@ QUERIES = {
     **ML_QUERIES,
     "q33_modify_tags": q33_modify_tags,
     "q34_change_apply": q34_change_apply,
+    "q35_media_metadata": q35_media_metadata,
+    "q36_geobase_build": q36_geobase_build,
+    "q37_geocode_text": q37_geocode_text,
 }
 
 
@@ -578,6 +663,32 @@ SELECT d.doc_id, d.text FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM changes)
 UNION ALL
 SELECT doc_id, text FROM changes WHERE NOT deleted
+""",
+        "q35_media_metadata": """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+  CASE WHEN doc_id % 2 = 0
+       THEN 16 + (doc_id * 7) % 240 END AS width,
+  CASE WHEN doc_id % 2 = 0
+       THEN 16 + (doc_id * 13) % 240 END AS height,
+  CASE WHEN doc_id % 2 = 1
+       THEN 8000 + (doc_id % 5) * 8000 END AS sample_rate,
+  CASE WHEN doc_id % 2 = 1
+       THEN 1000 + (doc_id * 31) % 50000 END AS n_samples,
+  12 + doc_id % 32 AS n_bytes
+FROM documents
+""",
+        "q36_geobase_build": _PLACED_CTE + """
+SELECT 'City' || lpad(CAST(city_idx AS VARCHAR), 2, '0') AS term,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM placed GROUP BY city_idx
+""",
+        "q37_geocode_text": _PLACED_CTE + """
+SELECT doc_id,
+  CAST(472500000 + 4700000 * (city_idx // 10) AS BIGINT) AS lat_i,
+  CAST(102500000 + 3800000 * (city_idx % 10) AS BIGINT) AS lon_i
+FROM placed
 """,
         "q01_bbox_filter": f"""
 WITH {_PTS_CTE}
