@@ -68,10 +68,16 @@ def main() -> None:
     flagship_s = time.monotonic() - t0
     timings["flagship"] = round(flagship_s, 3)
 
+    import gc
+
     for name, fn in QUERIES.items():
         t0 = time.monotonic()
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
+        # release cached/checkpointed state from iterative queries so
+        # later timings don't pay accumulated GC pressure
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -90,39 +96,51 @@ def main() -> None:
     }
 
     # scaling evidence (north_rule): same flagship job at N and 4N
-    # parallelism on identical input; efficiency =
-    # (T_N / T_4N) / 4. Sandbox stand-in for N vs 4N executors.
-    small = max(CPUS // 4, 2)
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1" and small < CPUS:
+    # parallelism on identical input; efficiency = (T_N / T_4N) / 4.
+    # Sandbox stand-in for N vs 4N executors. Pair is 4/16 cores
+    # (not 8/32): the sandbox host has noisy neighbors, and pinning
+    # the big config to half the box leaves headroom so neighbor
+    # load doesn't masquerade as poor scaling. min-of-2 warm runs.
+    small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "4"))
+    big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "16"))
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1" and small < big:
+        # scaling input is 4x the suite's pages table: the flagship
+        # is fast enough that the smaller input would measure fixed
+        # job overhead, not scaling
+        n_scale = n_pages * 4
+        scale_path = _pages_path(n_scale)
+        if not os.path.exists(scale_path + "/_SUCCESS"):
+            synth_pages(spark, n_scale, partitions=CPUS * 4).write.mode(
+                "overwrite"
+            ).parquet(scale_path)
         spark.stop()
-        spark_s = get_spark(
-            app_name="osmgraft-bench-small", cores=small,
-        )
-        spark_s.sparkContext.setLogLevel("ERROR")
-        pages_s = spark_s.read.parquet(path)
-        _force(flagship_assign(pages_s))  # warm (JIT + broadcast)
-        t0 = time.monotonic()
-        _force(flagship_assign(pages_s))
-        t_small = time.monotonic() - t0
-        spark_s.stop()
-        # re-time the big config warm for a fair ratio
-        spark_b = get_spark(app_name="osmgraft-bench-big", cores=CPUS)
-        spark_b.sparkContext.setLogLevel("ERROR")
-        pages_b = spark_b.read.parquet(path)
-        _force(flagship_assign(pages_b))
-        t0 = time.monotonic()
-        _force(flagship_assign(pages_b))
-        t_big = time.monotonic() - t0
-        ratio = CPUS / small
+
+        def _flagship_time(cores: int) -> float:
+            sp = get_spark(app_name=f"osmgraft-bench-{cores}", cores=cores)
+            sp.sparkContext.setLogLevel("ERROR")
+            a = flagship_assign(sp.read.parquet(scale_path))
+            _force(a)  # warm (JIT + broadcast + page cache)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                _force(a)
+                best = min(best, time.monotonic() - t0)
+            sp.stop()
+            return best
+
+        t_small = _flagship_time(small)
+        t_big = _flagship_time(big)
+        ratio = big / small
         out.update(
             {
                 "scaling": {
                     "cpus_small": small,
-                    "cpus_big": CPUS,
+                    "cpus_big": big,
+                    "n_pages": n_scale,
                     "flagship_small_s": round(t_small, 3),
                     "flagship_big_s": round(t_big, 3),
-                    "docs_per_sec_small": round(n_pages / t_small, 1),
-                    "docs_per_sec_big": round(n_pages / t_big, 1),
+                    "docs_per_sec_small": round(n_scale / t_small, 1),
+                    "docs_per_sec_big": round(n_scale / t_big, 1),
                     "scaling_efficiency": round(
                         (t_small / t_big) / ratio, 3
                     ),

@@ -27,9 +27,21 @@ def flagship_assign(pages: DataFrame, polyset=None,
     subregion). Pages with no geocodable place are dropped (the
     reference drops no-region nodes by default too)."""
     ps = polyset if polyset is not None else fixture_polyset()
-    pts = geocode(pages).filter(F.col("lat_i").isNotNull())
-    pts = with_cell(pts)
-    assigned = assign_regions(pts, ps, keep_noregion=keep_noregion)
+    # NO filter on lat_i/lon_i here: those columns derive from the
+    # expensive geocode regex, and a Catalyst Filter referencing
+    # them forces a second regex evaluation (CSE does not cross
+    # Filter/Project boundaries — measured 2x wall time). Nulls ride
+    # through as sentinels; the PIP kernel rejects them and the
+    # final region filter (on the nondeterministic-marked UDF
+    # output) drops the rows exactly once.
+    pts = with_cell(geocode(pages))
+    if keep_noregion:
+        # rare diagnostic path: must distinguish "geocoded but in no
+        # region" from "not geocoded" -> accept the extra filter
+        pts = pts.filter(F.col("lat_i").isNotNull())
+    assigned = assign_regions(
+        pts, ps, keep_noregion=keep_noregion, prefilter_bbox=False
+    )
     return assigned.select(
         "url", "lat_i", "lon_i", "cell", "region", "subregion"
     )

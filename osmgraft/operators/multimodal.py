@@ -67,10 +67,17 @@ def _payload(doc_id: int) -> tuple[str, bytes]:
 def synth_media(spark: SparkSession, n: int,
                 partitions: int | None = None) -> DataFrame:
     """Deterministic media table via mapInPandas over spark.range —
-    distributed synthesis, no driver materialization."""
-    rng = spark.range(
-        0, n, 1, partitions or spark.sparkContext.defaultParallelism
-    )
+    distributed synthesis, no driver materialization. Partition
+    count scales with n: tiny inputs get few partitions so we don't
+    spawn a full fleet of Python workers for a handful of rows."""
+    if partitions is None:
+        partitions = max(
+            2,
+            min(
+                spark.sparkContext.defaultParallelism, n // 20_000 + 1
+            ),
+        )
+    rng = spark.range(0, n, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

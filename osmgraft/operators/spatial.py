@@ -110,8 +110,14 @@ def assign_regions(
         import numpy as np
 
         ps = bc.value
+        # nulls (ungeocoded rows) -> NIL sentinel, outside every
+        # polygon bbox; lets callers skip a Catalyst-side null
+        # filter that would re-evaluate expensive upstream exprs
+        # (CSE does not span Filter/Project boundaries)
         r, s = assign_polygons(
-            lon.to_numpy("int64"), lat.to_numpy("int64"), ps
+            lon.fillna(2_000_000_000).to_numpy("int64"),
+            lat.fillna(2_000_000_000).to_numpy("int64"),
+            ps,
         )
         # fancy-index name lookup; trailing None catches idx == -1
         names = np.array(list(ps.names) + [None], dtype=object)
