@@ -245,6 +245,96 @@ def drop_broken_refs(
 
 
 # ---------------------------------------------------------------
+# G6/R3: relation geometry aggregation, <=12 fixed-point passes
+# ---------------------------------------------------------------
+
+
+def rel_geometry(
+    members: DataFrame,
+    positions: DataFrame,
+    max_passes: int = 12,
+) -> DataFrame:
+    """G6 (posr_processing osmconvert.c:6917-7070): resolve each
+    relation's position from its members' positions, iterating
+    because rel->rel members resolve in later passes (<=12, R3).
+
+    members: (rel_id long, j int, ref_id long, is_rel boolean,
+              is_area boolean) — ref_id indexes `positions` for
+    node/way members and other rel_ids for rel members.
+    positions: (ref_id long, x long, y long) for non-rel members.
+
+    Exact reference semantics:
+      - a relation resolves in a pass only when every REL member is
+        already resolved (unresolved rel member -> retry next pass,
+        osmconvert.c:7019-7024); non-rel members with no position
+        are simply skipped;
+      - bbox over member positions; x_middle = x_max/2 + x_min/2
+        (C trunc), y_middle = (y_max+y_min)/2;
+      - is_area -> center = middle. NOT area -> the LAST member
+        position in member order: the reference's nearest-to-middle
+        scan never refreshes its probe pointer (posi_xy stays on the
+        last member, osmconvert.c:6977-6989), so `new_distance`
+        always equals the current distance and no update fires —
+        we reproduce the de-facto behavior, not the dead code.
+    """
+    resolved = positions.select(
+        F.col("ref_id").alias("rel_id"), "x", "y"
+    ).limit(0)
+    pending = members
+    for _ in range(max_passes):
+        if pending.isEmpty():
+            break
+        rel_pos = resolved.select(
+            F.col("rel_id").alias("ref_id"),
+            F.col("x").alias("rx"),
+            F.col("y").alias("ry"),
+        )
+        m = (
+            pending.join(positions, "ref_id", "left")
+            .join(rel_pos, "ref_id", "left")
+            .withColumn("px", F.coalesce("x", "rx"))
+            .withColumn("py", F.coalesce("y", "ry"))
+        )
+        agg = m.groupBy("rel_id").agg(
+            F.first("is_area").alias("is_area"),
+            F.max(F.col("is_rel") & F.col("px").isNull()).alias(
+                "blocked"
+            ),
+            F.count(F.col("px")).alias("n"),
+            F.min("px").alias("x_min"),
+            F.max("px").alias("x_max"),
+            F.min("py").alias("y_min"),
+            F.max("py").alias("y_max"),
+            # last member (by order j) with a valid position
+            F.max_by(
+                F.struct("px", "py"), F.when(F.col("px").isNotNull(), F.col("j"))
+            ).alias("last"),
+        )
+        ready = agg.filter(~F.col("blocked") & (F.col("n") > 0))
+        if ready.isEmpty():
+            break
+        new_pos = ready.select(
+            "rel_id",
+            F.when(
+                F.col("is_area"),
+                F.expr("x_max div 2 + x_min div 2"),
+            )
+            .otherwise(F.col("last.px"))
+            .alias("x"),
+            F.when(
+                F.col("is_area"), F.expr("(y_max + y_min) div 2")
+            )
+            .otherwise(F.col("last.py"))
+            .alias("y"),
+        ).localCheckpoint()
+        resolved = resolved.unionByName(new_pos).localCheckpoint()
+        pending = pending.join(
+            new_pos.select("rel_id"), "rel_id", "left_anti"
+        ).localCheckpoint()
+    return resolved
+
+
+# ---------------------------------------------------------------
 # R1: relation transitive closure (upward), <=12 fixed-point passes
 # ---------------------------------------------------------------
 
@@ -266,6 +356,30 @@ def rel_closure_up(
         .filter(F.col("child_rel").isNotNull())
         .persist()
     )
+    return _closure(edges, seed_rels, max_passes)
+
+
+def rel_closure_down(
+    rels: DataFrame, seed_rels: DataFrame, max_passes: int = 12
+) -> DataFrame:
+    """R2 (oo__inverserrprocessing osmfilter.c:5130-5179): kept
+    relations pull the relations they REFERENCE (downward), then
+    members and way-nodes are marked in later stages. Same loop as
+    R1 with the edge direction flipped."""
+    edges = (
+        rels.select(
+            F.col("child_rel").alias("rel_id"),
+            F.col("rel_id").alias("child_rel"),
+        )
+        .filter(F.col("rel_id").isNotNull())
+        .persist()
+    )
+    return _closure(edges, seed_rels, max_passes)
+
+
+def _closure(
+    edges: DataFrame, seed_rels: DataFrame, max_passes: int
+) -> DataFrame:
     edges.count()  # materialize once; every pass probes this cache
     flagged = seed_rels.select("rel_id").distinct().localCheckpoint()
     frontier = flagged

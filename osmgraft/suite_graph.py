@@ -137,13 +137,140 @@ def q27_rel_closure(spark, sf_dir):
     return rel_closure_up(rels, seeds)
 
 
+def q38_rel_closure_down(spark, sf_dir):
+    """R2: osmfilter downward dependency closure — kept relations
+    pull referenced relations (<=12 passes), then their node/way
+    members, then the member ways' nodes. Output: the final kept
+    node set."""
+    from .operators.graph import rel_closure_down
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    rels = synth_rels(docs, n)
+    seeds = rels.filter(
+        F.expr("(rel_id div 16) % 5") == 0
+    ).select("rel_id")
+    flagged = rel_closure_down(rels, seeds)
+    kept_rels = rels.join(flagged, "rel_id", "left_semi")
+    node_members = kept_rels.select(
+        F.col("node_member").alias("doc_id")
+    )
+    ways = synth_ways(docs, n)
+    member_ways = kept_rels.select(
+        F.col("way_member").alias("way_id")
+    ).distinct()
+    way_nodes = (
+        ways.join(member_ways, "way_id", "left_semi")
+        .select(F.explode("refs").alias("doc_id"))
+    )
+    return (
+        node_members.unionByName(way_nodes)
+        .distinct()
+        .join(_nodes(spark, sf_dir), "doc_id")
+        .select("doc_id", "lat_i", "lon_i")
+    )
+
+
+def q39_rel_geometry(spark, sf_dir):
+    """G6: relation position from member positions — bbox middle for
+    area relations (C trunc division), LAST valid member position
+    for non-areas (the reference's de-facto behavior; its
+    nearest-member scan is dead code, osmconvert.c:6977-6989).
+    Members here are node + way (way positions = q23 centers), so
+    the general <=12-pass loop converges in one pass and the oracle
+    is single-pass SQL; multi-level rel->rel chains are covered by
+    unit tests."""
+    from .operators.graph import rel_geometry, synth_ways, way_geometry
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    rels = synth_rels(docs, n)
+    nodes = _nodes(spark, sf_dir)
+    centers = way_geometry(synth_ways(docs, n), nodes)
+    positions = nodes.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("lon_i").alias("x"),
+        F.col("lat_i").alias("y"),
+    ).unionByName(
+        centers.select(
+            (F.col("way_id") + F.lit(1_000_000_000)).alias("ref_id"),
+            F.col("center_lon").alias("x"),
+            F.col("center_lat").alias("y"),
+        )
+    )
+    members = rels.select(
+        "rel_id",
+        F.lit(1).alias("j"),
+        F.col("node_member").alias("ref_id"),
+        F.lit(False).alias("is_rel"),
+        (F.col("rel_id") % 2 == 0).alias("is_area"),
+    ).unionByName(
+        rels.select(
+            "rel_id",
+            F.lit(2).alias("j"),
+            (F.col("way_member") + F.lit(1_000_000_000)).alias(
+                "ref_id"
+            ),
+            F.lit(False).alias("is_rel"),
+            (F.col("rel_id") % 2 == 0).alias("is_area"),
+        )
+    )
+    return rel_geometry(members, positions).select(
+        F.col("rel_id"), F.col("x"), F.col("y")
+    )
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
     "q25_complete_ways": q25_complete_ways,
     "q26_broken_refs": q26_broken_refs,
     "q27_rel_closure": q27_rel_closure,
+    "q38_rel_closure_down": q38_rel_closure_down,
+    "q39_rel_geometry": q39_rel_geometry,
 }
+
+_RELS_CTE = f"""
+rels2 AS (
+  SELECT doc_id AS rel_id,
+    ((doc_id * 53 + 7) * {HASH_MULT} % {HASH_MOD})
+      % {_N_DOCS} AS node_member,
+    (doc_id % (({_N_DOCS}) // 4)) * 4 AS way_member,
+    CASE WHEN doc_id >= 16 AND (doc_id // 16) % 7 <> 0
+         THEN doc_id - 16 END AS child_rel
+  FROM documents WHERE doc_id % 16 = 0
+)
+"""
+
+_WAY_CENTERS_CTE = """
+res AS (
+  SELECT r.way_id, r.j, p.lat_i, p.lon_i
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+wagg AS (
+  SELECT way_id,
+         MIN(lon_i) AS x_min, MAX(lon_i) AS x_max,
+         MIN(lat_i) AS y_min, MAX(lat_i) AS y_max
+  FROM res GROUP BY 1
+),
+wmid AS (
+  SELECT *, x_max // 2 + x_min // 2 AS x_mid,
+         (y_max + y_min) // 2 AS y_mid,
+         (way_id % 3 = 0) AS is_closed
+  FROM wagg
+),
+wnear AS (
+  SELECT r.way_id, r.lon_i, r.lat_i,
+    ROW_NUMBER() OVER (PARTITION BY r.way_id
+      ORDER BY abs(r.lon_i - m.x_mid) + abs(r.lat_i - m.y_mid),
+               r.j) AS rn
+  FROM res r JOIN wmid m USING (way_id)
+),
+centers AS (
+  SELECT m.way_id,
+    CASE WHEN m.is_closed THEN m.x_mid ELSE n.lon_i END AS cx,
+    CASE WHEN m.is_closed THEN m.y_mid ELSE n.lat_i END AS cy
+  FROM wmid m JOIN wnear n ON n.way_id = m.way_id AND n.rn = 1
+)
+"""
 
 
 def graph_oracle_sqls(pts_cte: str) -> dict[str, str]:
@@ -230,5 +357,58 @@ flagged(rel_id, depth) AS (
   WHERE f.depth < 12
 )
 SELECT DISTINCT rel_id FROM flagged
+""",
+        "q38_rel_closure_down": f"""
+WITH RECURSIVE {pts_cte},
+{_GRAPH_CTES},
+{_RELS_CTE.strip().lstrip()},
+seeds AS (
+  SELECT rel_id FROM rels2 WHERE (rel_id // 16) % 5 = 0
+),
+flagged(rel_id, depth) AS (
+  SELECT rel_id, 0 FROM seeds
+  UNION
+  SELECT r.child_rel, f.depth + 1
+  FROM rels2 r JOIN flagged f ON r.rel_id = f.rel_id
+  WHERE r.child_rel IS NOT NULL AND f.depth < 12
+),
+kept AS (SELECT DISTINCT rel_id FROM flagged),
+picked AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT node_member AS doc_id FROM rels2
+    WHERE rel_id IN (SELECT rel_id FROM kept)
+    UNION ALL
+    SELECT w.ref FROM wrefs w
+    WHERE w.way_id IN (
+      SELECT DISTINCT way_member FROM rels2
+      WHERE rel_id IN (SELECT rel_id FROM kept)
+    )
+  )
+)
+SELECT p.doc_id, p.lat_i, p.lon_i
+FROM pts p JOIN picked k USING (doc_id)
+""",
+        "q39_rel_geometry": f"""
+WITH {pts_cte},
+{_GRAPH_CTES},
+{_RELS_CTE.strip().lstrip()},
+{_WAY_CENTERS_CTE.strip().lstrip()},
+relpos AS (
+  SELECT r.rel_id,
+    p.lon_i AS nx, p.lat_i AS ny,
+    c.cx AS wx, c.cy AS wy,
+    (r.rel_id % 2 = 0) AS is_area
+  FROM rels2 r
+  JOIN pts p ON p.doc_id = r.node_member
+  JOIN centers c ON c.way_id = r.way_member
+)
+SELECT rel_id,
+  CASE WHEN is_area
+       THEN greatest(nx, wx) // 2 + least(nx, wx) // 2
+       ELSE wx END AS x,
+  CASE WHEN is_area
+       THEN (greatest(ny, wy) + least(ny, wy)) // 2
+       ELSE wy END AS y
+FROM relpos
 """,
     }

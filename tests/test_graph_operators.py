@@ -104,6 +104,37 @@ def test_drop_broken_refs_preserves_order(spark, nodes):
     assert out.n_kept_refs == 3
 
 
+def test_rel_geometry_iterative_chain(spark):
+    """G6/R3: rel 2's only member is rel 1 (area), rel 1's members
+    are two nodes; rel 1 resolves pass 1, rel 2 pass 2. Rel 3
+    (non-area) takes its LAST member's position (the reference's
+    de-facto rule — its nearest scan is dead code)."""
+    from osmgraft.operators.graph import rel_geometry
+
+    positions = spark.createDataFrame(
+        [(10, 100, 1000), (11, 110, 1100), (12, 130, 1300)],
+        "ref_id long, x long, y long",
+    )
+    members = spark.createDataFrame(
+        [
+            (1, 1, 10, False, True),
+            (1, 2, 11, False, True),
+            (2, 1, 1, True, True),
+            (3, 1, 10, False, False),
+            (3, 2, 12, False, False),
+        ],
+        "rel_id long, j int, ref_id long, is_rel boolean, "
+        "is_area boolean",
+    )
+    out = {r.rel_id: (r.x, r.y) for r in
+           rel_geometry(members, positions).collect()}
+    assert out[1] == (105, 1050)  # bbox middle of two nodes
+    # single member at x=105: C's x_max/2 + x_min/2 = 52+52 = 104
+    # (loses 1 on odd extremes — the reference quirk, reproduced)
+    assert out[2] == (104, 1050)
+    assert out[3] == (130, 1300)  # LAST member position, not middle
+
+
 def test_rel_closure_chain_and_cap(spark):
     # chain 0 <- 1 <- 2 <- ... <- 15 (parent i references child i-1)
     rels = spark.createDataFrame(
