@@ -74,6 +74,32 @@ def simplify_coords(
     return out
 
 
+def poly_text(
+    name: str, rings: list[tuple[int, list[tuple[int, int]]]]
+) -> str:
+    """K5 .poly sink: serialize one polygon exactly as the reference
+    does (posr__writepolygon osmrelpoly.c:2352-2420 +
+    posr__writepolygonheader 2335-2350): name line (only when at
+    least one section exists), per section a number line ('!' for
+    inner), ' x y' vertex lines with full 7 decimals
+    (write_sfix7o keeps trailing zeros), 'END' per section, then
+    'END' + blank line as the polygon footer."""
+    from .fixedpoint import format_fix7
+
+    out: list[str] = []
+    if rings:
+        out.append(name + "\n")
+        for subn, verts in rings:
+            out.append(
+                (f"!{-subn}" if subn < 0 else str(subn)) + "\n"
+            )
+            for x, y in verts:
+                out.append(f" {format_fix7(x)} {format_fix7(y)}\n")
+            out.append("END\n")
+    out.append("END\n\n")
+    return "".join(out)
+
+
 @dataclass
 class MemberWay:
     first: int  # first node id (0 = removed)

@@ -600,6 +600,63 @@ def q37_geocode_text(spark, sf_dir):
     return out.select("doc_id", "lat_i", "lon_i")
 
 
+def q40_tile_doc_lists(spark, sf_dir):
+    """Salted holistic tile aggregate: per-cell sorted document-id
+    list via two-stage (cell, salt) -> cell aggregation (megacity
+    skew handling, tiles.py). Output canonicalized as a joined
+    string."""
+    from .operators.spatial import with_cell
+    from .operators.tiles import tile_doc_lists
+
+    pts = with_cell(doc_points(spark, sf_dir))
+    out = tile_doc_lists(pts)
+    return out.select(
+        "cell",
+        "n_docs",
+        F.array_join(
+            F.transform("doc_ids", lambda d: d.cast("string")), ","
+        ).alias("ids_str"),
+    )
+
+
+def q41_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting: word + single-punctuation tokens via
+    a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
+    the sub-word-ish tokenizer companion to q11's whitespace count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit("([A-Za-z0-9]+|[^A-Za-z0-9 ])"), 1
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias(
+            "n_unique_tokens"
+        ),
+    )
+
+
+def q42_stats_argmax(spark, sf_dir):
+    """A1 full statistics: min/max plus the reference's argmax
+    fields (object id achieving the maximum — max refs with its
+    way id, osmconvert.c:11422-11491)."""
+    from .operators.graph import synth_ways
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ways = synth_ways(docs, n).withColumn(
+        "n_refs", F.size("refs").cast("long")
+    )
+    return ways.agg(
+        F.count("*").cast("long").alias("n_ways"),
+        F.min("way_id").alias("min_way"),
+        F.max("way_id").alias("max_way"),
+        F.max("n_refs").alias("max_refs"),
+        F.min_by("way_id", F.struct(-F.col("n_refs"), F.col("way_id")))
+        .alias("argmax_refs_way"),
+    )
+
+
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
     "q02_pip_border": q02_pip_border,
@@ -631,6 +688,9 @@ QUERIES = {
     "q35_media_metadata": q35_media_metadata,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
+    "q40_tile_doc_lists": q40_tile_doc_lists,
+    "q41_bpe_tokens": q41_bpe_tokens,
+    "q42_stats_argmax": q42_stats_argmax,
 }
 
 
@@ -677,6 +737,34 @@ SELECT doc_id,
        THEN 1000 + (doc_id * 31) % 50000 END AS n_samples,
   12 + doc_id % 32 AS n_bytes
 FROM documents
+""",
+        "q40_tile_doc_lists": f"""
+WITH {_PTS_CTE}
+SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
+       + ((lon_i + {LON_OFFSET}) >> {shift}) AS cell,
+       COUNT(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS ids_str
+FROM pts GROUP BY 1
+""",
+        "q41_bpe_tokens": """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '([A-Za-z0-9]+|[^A-Za-z0-9 ])', 1)) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(len(list_distinct(regexp_extract_all(text,
+       '([A-Za-z0-9]+|[^A-Za-z0-9 ])', 1))) AS BIGINT)
+    AS n_unique_tokens
+FROM documents
+""",
+        "q42_stats_argmax": f"""
+WITH {_PTS_CTE},
+{_GRAPH_CTES},
+wc AS (SELECT way_id, COUNT(*) AS n_refs FROM wrefs GROUP BY 1)
+SELECT COUNT(*) AS n_ways, MIN(way_id) AS min_way,
+       MAX(way_id) AS max_way, MAX(n_refs) AS max_refs,
+       (SELECT way_id FROM wc
+        ORDER BY n_refs DESC, way_id LIMIT 1) AS argmax_refs_way
+FROM wc
 """,
         "q36_geobase_build": _PLACED_CTE + """
 SELECT 'City' || lpad(CAST(city_idx AS VARCHAR), 2, '0') AS term,

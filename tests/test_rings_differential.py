@@ -147,6 +147,33 @@ def _pf(s: str) -> int:
     return sign * (int(whole) * 10**7 + int(frac.ljust(7, "0")))
 
 
+def test_poly_sink_byte_exact(tmp_path):
+    """K5: our .poly serialization is byte-identical to osmrelpoly's
+    stdout for the whole fixture world."""
+    from osmgraft.geo.rings import assemble_rings, poly_text
+
+    osm = tmp_path / "in.osm"
+    _write_osm(osm)
+    o5m = tmp_path / "in.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(osm), f"-o={o5m}"], check=True
+    )
+    ref_out = subprocess.run(
+        [f"{REFBIN}/osmrelpoly", str(o5m), "--out-poly"],
+        check=True,
+        capture_output=True,
+    ).stdout.decode()
+    ours = []
+    for name, members in RELS:
+        mem = [
+            (WAYS[w][0], WAYS[w][-1], [NODES[r] for r in WAYS[w]],
+             role == "inner")
+            for w, role in members
+        ]
+        ours.append(poly_text(name, assemble_rings(mem)))
+    assert "".join(ours) == ref_out
+
+
 def test_ring_assembly_matches_osmrelpoly(tmp_path):
     osm = tmp_path / "in.osm"
     _write_osm(osm)
