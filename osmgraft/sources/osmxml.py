@@ -1,0 +1,116 @@
+"""S1: OSM XML (.osm/.osc) ingestion into nodes/ways/relations
+DataFrames.
+
+The reference streams XML byte-wise (oo__xmltag osmconvert.c:9428+).
+Our ingest path parallelizes PER FILE: `spark.read.text(wholetext)`
+distributes whole files to executors, and an Arrow-batched
+mapInPandas parses each with ElementTree into typed rows. This is
+the fixture/extract ingest path — planet-scale OSM arrives as PBF
+and is converted to parquet offline once; per-file parallelism is
+exactly how multi-extract ingestion (one file per region) scales.
+
+Output schemas (SURVEY.md §1.1):
+  nodes(id long, lat_i long, lon_i long, tags map<string,string>)
+  ways(id long, refs array<long>, tags map<string,string>)
+  rels(id long, members array<struct<ref long, mtype string,
+       role string>>, tags map<string,string>)
+Coordinates become 1e-7 fixed-point exactly as the reference's XML
+parser does (oo__strtodeg osmconvert.c:9264+: exact digit
+accumulation, digits beyond the 7th ignored — i.e. truncation
+toward zero, NOT rounding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+NODES_SCHEMA = (
+    "id long, lat_i long, lon_i long, tags map<string,string>"
+)
+WAYS_SCHEMA = "id long, refs array<long>, tags map<string,string>"
+RELS_SCHEMA = (
+    "id long, members array<struct<ref:long,mtype:string,"
+    "role:string>>, tags map<string,string>"
+)
+
+
+def _fix(s: str) -> int:
+    """oo__strtodeg semantics: exact decimal scaling, extra digits
+    truncated toward zero (no float in the path)."""
+    from decimal import ROUND_DOWN, Decimal
+
+    return int(
+        (Decimal(s) * 10_000_000).to_integral_value(rounding=ROUND_DOWN)
+    )
+
+
+def _parse(xml_text: str):
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    nodes, ways, rels = [], [], []
+    for el in root:
+        tags = {
+            t.get("k"): t.get("v") for t in el if t.tag == "tag"
+        }
+        if el.tag == "node":
+            nodes.append(
+                {
+                    "id": int(el.get("id")),
+                    "lat_i": _fix(el.get("lat")),
+                    "lon_i": _fix(el.get("lon")),
+                    "tags": tags,
+                }
+            )
+        elif el.tag == "way":
+            refs = [
+                int(nd.get("ref")) for nd in el if nd.tag == "nd"
+            ]
+            ways.append(
+                {"id": int(el.get("id")), "refs": refs, "tags": tags}
+            )
+        elif el.tag == "relation":
+            members = [
+                {
+                    "ref": int(m.get("ref")),
+                    "mtype": m.get("type"),
+                    "role": m.get("role") or "",
+                }
+                for m in el
+                if m.tag == "member"
+            ]
+            rels.append(
+                {
+                    "id": int(el.get("id")),
+                    "members": members,
+                    "tags": tags,
+                }
+            )
+    return nodes, ways, rels
+
+
+def _reader(kind: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for text in b["value"]:
+                rows = _parse(text)[kind]
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return gen
+
+
+def read_osm_xml(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """path: file, directory, or glob of .osm files. Returns
+    (nodes, ways, rels) DataFrames; parallelism = one task per
+    file."""
+    raw = spark.read.text(path, wholetext=True)
+    nodes = raw.mapInPandas(_reader(0), NODES_SCHEMA)
+    ways = raw.mapInPandas(_reader(1), WAYS_SCHEMA)
+    rels = raw.mapInPandas(_reader(2), RELS_SCHEMA)
+    return nodes, ways, rels
