@@ -657,6 +657,64 @@ def q42_stats_argmax(spark, sf_dir):
     )
 
 
+def q43_geocode_rank(spark, sf_dir):
+    """W4/G12: geocode candidate RANKING — all gazetteer terms found
+    in a text, ranked by weight desc then term index asc (the
+    reference's (255-weight)<<32|idx sort, osmposition.c:1229-1247),
+    capped at 25. Texts are doc pairs (i, i+1) so multi-candidate
+    rows exist."""
+    from pyspark.sql import Window
+
+    from .fixtures import gazetteer_arrays
+    from .pages import synth_pages
+
+    n = load(spark, sf_dir, "documents").count()
+    pages = synth_pages(spark, int(n)).select("doc_id", "text")
+    nxt = pages.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("text").alias("text2"),
+    )
+    paired = pages.join(nxt, "doc_id").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), F.col("text2")).alias(
+            "text"
+        ),
+    )
+    terms, _la, _lo, weight = gazetteer_arrays()
+    pairs = []
+    for i, (t, w) in enumerate(zip(terms, weight.tolist())):
+        pairs += [F.lit(t), F.lit((int(w) << 16) | i)]
+    wmap = F.create_map(*pairs)
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    hits = F.filter(
+        F.transform(toks, lambda t: F.try_element_at(wmap, t)),
+        lambda x: x.isNotNull(),
+    )
+    ex = paired.select(
+        "doc_id", F.explode(hits).alias("packed")
+    ).select(
+        "doc_id",
+        F.shiftright("packed", 16).alias("weight"),
+        (F.col("packed") % F.lit(1 << 16)).alias("term_idx"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("term_idx")
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 25)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("City"),
+                F.lpad(F.col("term_idx").cast("string"), 2, "0"),
+            ).alias("term"),
+            F.col("weight").cast("long").alias("weight"),
+            "rank",
+        )
+    )
+
+
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
     "q02_pip_border": q02_pip_border,
@@ -691,6 +749,7 @@ QUERIES = {
     "q40_tile_doc_lists": q40_tile_doc_lists,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
+    "q43_geocode_rank": q43_geocode_rank,
 }
 
 
@@ -765,6 +824,29 @@ SELECT COUNT(*) AS n_ways, MIN(way_id) AS min_way,
        (SELECT way_id FROM wc
         ORDER BY n_refs DESC, way_id LIMIT 1) AS argmax_refs_way
 FROM wc
+""",
+        "q43_geocode_rank": _PLACED_CTE + """,
+pairs AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id < (SELECT MAX(doc_id) FROM documents)
+),
+cand AS (
+  SELECT d.doc_id, p.city_idx AS term_idx
+  FROM pairs d JOIN placed p ON p.doc_id = d.doc_id
+  UNION
+  SELECT d.doc_id, p.city_idx
+  FROM pairs d JOIN placed p ON p.doc_id = d.doc_id + 1
+),
+ranked AS (
+  SELECT doc_id, term_idx, (term_idx % 17) + 1 AS weight,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY (term_idx % 17) + 1 DESC, term_idx ASC) AS rank
+  FROM cand
+)
+SELECT doc_id,
+  'City' || lpad(CAST(term_idx AS VARCHAR), 2, '0') AS term,
+  CAST(weight AS BIGINT) AS weight, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 25
 """,
         "q36_geobase_build": _PLACED_CTE + """
 SELECT 'City' || lpad(CAST(city_idx AS VARCHAR), 2, '0') AS term,
