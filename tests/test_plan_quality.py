@@ -1,0 +1,102 @@
+"""Plan-shape regression guards: the physical plans that make the
+engine scale must not silently regress.
+
+These assert the properties argued in README 'Plan-shape
+principles': column pruning to the scan, filter pushdown, exactly
+one Python stage in the flagship, no shuffles where none are
+needed, and broadcast (not shuffled) joins for small sides."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def pages(spark, tmp_path_factory):
+    from osmgraft.pages import synth_pages
+
+    p = str(tmp_path_factory.mktemp("pages") / "pages")
+    synth_pages(spark, 2000, partitions=4).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_flagship_plan_shape(pages):
+    from osmgraft.operators.flagship import flagship_assign
+
+    plan = _formatted(flagship_assign(pages))
+    # column pruning: the binary html column must never be read
+    assert "html" not in plan
+    assert "ReadSchema: struct<url:string,text:string>" in plan
+    # the cheap prefilter reaches the parquet scan
+    assert "StringContains(text,City)" in plan
+    # exactly ONE Python stage (the PIP kernel); geocode is JVM-side
+    assert plan.count("ArrowEvalPython (") == 1
+    # zero shuffles: broadcast polygons, partition-local points
+    assert "Exchange" not in plan
+
+
+def test_flagship_single_extraction(pages):
+    """The geocode term extraction appears in exactly one Project
+    operator — no Filter on derived columns re-runs it."""
+    from osmgraft.operators.flagship import flagship_assign
+
+    plan = _formatted(flagship_assign(pages))
+    # the packed-map lookup string appears once per derived column
+    # within ONE Project node and nowhere else (notably: not inside
+    # any Filter condition)
+    for line in plan.splitlines():
+        if line.startswith("Condition") and "split(" in line:
+            raise AssertionError(
+                f"geocode extraction leaked into a Filter: {line[:120]}"
+            )
+
+
+def test_bbox_filter_pushdown(spark):
+    from osmgraft.suite import q01_bbox_filter
+
+    plan = _formatted(q01_bbox_filter(spark, "/root/testdata/sf0.001"))
+    # derived-column filter can't push to parquet, but the scan must
+    # prune to the one needed column
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_knn_zero_shuffle(spark):
+    """The broadcast kNN never shuffles: the gazetteer lives inside
+    the Arrow kernel (per-point top-k is row-local), so the plan is
+    scan -> project -> MapInPandas with no Exchange at all."""
+    from osmgraft.suite import q05_knn_city
+
+    plan = _plan(q05_knn_city(spark, "/root/testdata/sf0.001"))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_assign_regions_no_shuffle(spark):
+    from osmgraft.fixtures import fixture_polyset
+    from osmgraft.operators.spatial import assign_regions
+    from osmgraft.suite import doc_points
+
+    pts = doc_points(spark, "/root/testdata/sf0.001")
+    plan = _plan(assign_regions(pts, fixture_polyset()))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_union_dedup_single_shuffle(spark):
+    from osmgraft.suite import q08_union_dedup
+
+    plan = _plan(q08_union_dedup(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
