@@ -79,6 +79,107 @@ _ASSIGN_SCHEMA = StructType(
     ]
 )
 
+# OPT-IN ONLY (default 0 = disabled): polygon sets up to this many
+# total edges can be evaluated JVM-side as pure Catalyst expressions
+# (assign_regions fast path). MEASURED NEGATIVE RESULT on 4M pages:
+# the inlined edge-CASE chains blow up generated code (codegen
+# fallback) and, being deterministic, the region filter pushes down
+# and DUPLICATES the whole geocode+PIP chain into a scan Filter —
+# >10x slower than the Arrow kernel. The numpy kernel wins because
+# it is vectorized once per batch and its nondeterministic marking
+# blocks the duplicating pushdown. Kept for small-data uses and as
+# the equivalence reference (tests/test_assign_paths_equiv.py).
+JVM_EDGE_LIMIT = 0
+
+
+def _inside_expr(
+    lon: Column, lat: Column, es, bbox: tuple[int, int, int, int]
+) -> Column:
+    """Exact border_queryinside crossing parity as a Catalyst
+    expression over edge literals (same int64 arithmetic as the
+    numpy kernel and the C original; identical formula to the
+    DuckDB oracle's crossing predicate)."""
+    bx1, by1, bx2, by2 = bbox
+    ok = (
+        (lon >= F.lit(int(bx1)))
+        & (lon <= F.lit(int(bx2)))
+        & (lat >= F.lit(int(by1)))
+        & (lat <= F.lit(int(by2)))
+    )
+    terms = []
+    for x1, y1, x2, y2 in zip(
+        es.x1.tolist(), es.y1.tolist(), es.x2.tolist(), es.y2.tolist()
+    ):
+        n1 = F.lit(y1) > lat
+        n2 = F.lit(y2) > lat
+        south = (lat - F.lit(y1)) * F.lit(x2 - x1) < (
+            lon - F.lit(x1)
+        ) * F.lit(y2 - y1)
+        hit = (
+            (F.lit(x1) <= lon)
+            & (lon < F.lit(x2))
+            & ((n1 & n2) | ((n1 != n2) & south))
+        )
+        terms.append(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return ok & (total % 2 == 1)
+
+
+def _assign_columns_catalyst(
+    polyset: PolygonSet, lat_col: str, lon_col: str
+) -> tuple[Column, Column, Column]:
+    """JVM-side N-polygon assignment via the closed form of the
+    reference's order-dependent selection (property-verified
+    equivalent to the state machine at osmassignpoly.c:1758-1783;
+    same form as the DuckDB oracle):
+        region    = inside poly minimizing (admin, idx)
+        subregion = inside poly maximizing (admin, -idx),
+                    iff max(admin) > min(admin)
+    Returns (region, subregion, region_admin) columns."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    cands = []
+    for i, es in enumerate(polyset.polys):
+        bbox = (
+            int(polyset.bbx1[i]),
+            int(polyset.bby1[i]),
+            int(polyset.bbx2[i]),
+            int(polyset.bby2[i]),
+        )
+        admin = int(polyset.admin_levels[i])
+        cands.append(
+            F.when(
+                _inside_expr(lon, lat, es, bbox),
+                F.struct(
+                    F.lit(admin).alias("a"), F.lit(i).alias("i")
+                ),
+            )
+        )
+    arr = F.array_compact(F.array(*cands))
+    names = F.lit(list(polyset.names))
+    rmin = F.array_min(arr)  # lexicographic (admin, idx) minimum
+    # (admin desc, idx asc) first == max over (admin, -idx)
+    rmax = F.array_max(
+        F.transform(
+            arr,
+            lambda s: F.struct(
+                s.a.alias("a"), (-s.i).alias("ni")
+            ),
+        )
+    )
+    # guard explicitly on a non-empty candidate set: element_at
+    # treats negative indexes as from-the-end, so feeding it the
+    # null-propagated index of an empty array's min can silently
+    # wrap to the LAST polygon (observed) instead of returning null
+    has = F.size(arr) > 0
+    region = F.when(has, F.element_at(names, rmin.i + F.lit(1)))
+    subregion = F.when(
+        has & (rmax.a > rmin.a),
+        F.element_at(names, -rmax.ni + F.lit(1)),
+    )
+    return region, subregion, F.when(has, rmin.a).cast("int")
+
 
 def assign_regions(
     df: DataFrame,
@@ -94,16 +195,35 @@ def assign_regions(
     (differentially tested). The polygon index is broadcast; the
     point side never shuffles.
     """
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(polyset)
-    admin_by_idx = polyset.admin_levels
-
     if prefilter_bbox and len(polyset) and not keep_noregion:
         gx1, gy1, gx2, gy2 = polyset.global_bbox
         df = df.filter(
             bbox_contains(F.col(lon_col), F.col(lat_col),
                           gx1, gy1, gx2, gy2)
         )
+
+    total_edges = sum(p.n_edges for p in polyset.polys)
+    if 0 < total_edges <= JVM_EDGE_LIMIT:
+        # small polygon set: evaluate entirely JVM-side — the whole
+        # assignment stays in whole-stage codegen, no Python stage,
+        # no broadcast variable, no Arrow transfer
+        region, subregion, radmin = _assign_columns_catalyst(
+            polyset, lat_col, lon_col
+        )
+        out = df.withColumns(
+            {
+                "region": region,
+                "subregion": subregion,
+                "region_admin": radmin,
+            }
+        )
+        if not keep_noregion:
+            out = out.filter(F.col("region").isNotNull())
+        return out
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(polyset)
+    admin_by_idx = polyset.admin_levels
 
     @F.pandas_udf(_ASSIGN_SCHEMA)
     def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
