@@ -90,6 +90,23 @@ def test_node_coords_match_osmconvert_csv(spark, tmp_path):
         assert ref[r.id] == (r.lon_i, r.lat_i), f"node {r.id}"
 
 
+def test_gzip_xml_input(spark, tmp_path):
+    """S4: gzip-compressed .osm.gz reads transparently (codec by
+    extension), matching the reference's transparent gz read
+    (osmconvert.c:2185-2291)."""
+    import gzip
+
+    (tmp_path / "a.osm.gz").write_bytes(
+        gzip.compress(XML1.encode())
+    )
+    nodes, ways, rels = read_osm_xml(
+        spark, str(tmp_path / "a.osm.gz")
+    )
+    assert nodes.count() == 3
+    assert ways.count() == 1
+    assert rels.count() == 1
+
+
 def _pf(s: str) -> int:
     sign = -1 if s.startswith("-") else 1
     s = s.lstrip("-")
