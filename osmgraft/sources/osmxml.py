@@ -114,3 +114,57 @@ def read_osm_xml(
     ways = raw.mapInPandas(_reader(1), WAYS_SCHEMA)
     rels = raw.mapInPandas(_reader(2), RELS_SCHEMA)
     return nodes, ways, rels
+
+
+# ----------------------------------------------------------------
+# .osc change files (osmChange XML): create/modify/delete sections
+# ----------------------------------------------------------------
+
+OSC_NODES_SCHEMA = (
+    "id long, lat_i long, lon_i long, tags map<string,string>, "
+    "deleted boolean"
+)
+
+
+def _parse_osc_nodes(xml_text: str):
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    rows = []
+    for section in root:
+        if section.tag not in ("create", "modify", "delete"):
+            continue
+        deleted = section.tag == "delete"
+        for el in section:
+            if el.tag != "node":
+                continue
+            tags = {
+                t.get("k"): t.get("v") for t in el if t.tag == "tag"
+            }
+            rows.append(
+                {
+                    "id": int(el.get("id")),
+                    "lat_i": _fix(el.get("lat")) if el.get("lat") else None,
+                    "lon_i": _fix(el.get("lon")) if el.get("lon") else None,
+                    "tags": tags,
+                    "deleted": deleted,
+                }
+            )
+    return rows
+
+
+def read_osc_nodes(spark: SparkSession, path: str) -> DataFrame:
+    """C1 ingest: .osc change files -> node change rows with a
+    tombstone flag (osmchange.c:1485-1659 semantics: create/modify
+    are upserts, delete removes by id). Feed the result straight to
+    operators/merge.change_apply or streaming/changes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for text in b["value"]:
+                rows = _parse_osc_nodes(text)
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    raw = spark.read.text(path, wholetext=True)
+    return raw.mapInPandas(gen, OSC_NODES_SCHEMA)
