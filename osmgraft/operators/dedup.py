@@ -118,6 +118,81 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_passes: int = 12,
+) -> DataFrame:
+    """Resolve candidate near-dup pairs into clusters: connected
+    components by iterative min-label propagation (the standard
+    dedup-resolution step after LSH). Returns (doc_id, cluster)
+    where cluster = min doc id of the component — the KEEPER;
+    every other member is a duplicate to drop.
+
+    Scale: each pass is one shuffle of (node, label) joined against
+    the symmetrized edge list; near-dup components are tiny (dup
+    groups), so convergence is fast (diameter passes, <= 12 like
+    the engine's other fixed points) and localCheckpoint keeps
+    lineage flat."""
+    edges = (
+        pairs.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        )
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("u"), F.col(a_col).alias("v")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_passes):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"),
+                    F.col("cluster").alias("vc"),
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vc").alias("nc"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min.select(
+                    F.col("u").alias("node"), "nc"
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("nc", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+        )
+        labels = updated
+        if changed.isEmpty():
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "cluster")
+
+
 # ---------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------

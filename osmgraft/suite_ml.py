@@ -266,11 +266,78 @@ FROM n a JOIN n c
 """
 
 
+def q44_dedup_clusters(spark, sf_dir):
+    """Dedup resolution: LSH candidate pairs -> connected components
+    -> keeper (min doc id) per cluster. Corpus plants TWO dup
+    generations ('dup ' and 'dup dup ' prefixes) so clusters chain
+    across pairs that LSH alone only connects transitively."""
+    from .operators.dedup import dedup_clusters
+
+    base = _corpus(spark, sf_dir)  # originals + gen-1 dups
+    gen2 = base.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("dup "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(gen2)
+    pairs = minhash_lsh_pairs(
+        corpus, n_hashes=N_HASHES, band_rows=BAND_ROWS
+    )
+    return dedup_clusters(pairs)
+
+
+_CORPUS3_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'dup ' || text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'dup dup ' || text
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _cluster_oracle() -> str:
+    sig_aggs = ",\n    ".join(
+        f"MIN(md5('{i}:' || gram)) AS s{i}" for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"s{2 * b} || '|' || s{2 * b + 1} AS band_val FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE {_CORPUS3_SQL},
+{_GRAMS_CTE},
+sigs AS (
+  SELECT doc_id, {sig_aggs} FROM grams GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+edges AS (
+  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id <> y.doc_id
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
+"""
+
+
 ML_QUERIES = {
     "q29_minhash_lsh": q29_minhash_lsh,
     "q30_simhash": q30_simhash,
     "q31_embed_knn": q31_embed_knn,
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
+    "q44_dedup_clusters": q44_dedup_clusters,
 }
 
 
@@ -280,4 +347,5 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q30_simhash": _simhash_oracle(),
         "q31_embed_knn": _EMB_ORACLE,
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
+        "q44_dedup_clusters": _cluster_oracle(),
     }
