@@ -131,6 +131,11 @@ def way_geometry(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         ),
         "ref",
     )
+    # SINGLE shuffle on way_id: collect the (small, <= --max-refs)
+    # resolved coordinate list per way, then derive bbox, middle,
+    # and the argmin entirely in-row with higher-order functions.
+    # (The alternative — agg for the bbox, re-join the exploded
+    # side, agg again for the argmin — costs three way_id shuffles.)
     agg = res.groupBy("way_id").agg(
         F.first("is_closed").alias("is_closed"),
         F.count("*").cast("long").alias("n_refs"),
@@ -138,6 +143,7 @@ def way_geometry(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         F.max("lon_i").alias("x_max"),
         F.min("lat_i").alias("y_min"),
         F.max("lat_i").alias("y_max"),
+        F.collect_list(F.struct("j", "lon_i", "lat_i")).alias("pts"),
     )
     # C integer division truncates toward zero; Spark `div` on longs
     # is Java long division (also trunc) — exact replica
@@ -146,20 +152,24 @@ def way_geometry(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         F.expr("x_max div 2 + x_min div 2"),
     ).withColumn("y_mid", F.expr("(y_max + y_min) div 2"))
 
-    # open ways: argmin (manhattan distance, ref order j)
-    dist = res.join(
-        agg.select("way_id", "x_mid", "y_mid"), "way_id"
-    ).withColumn(
-        "dist",
-        F.abs(F.col("lon_i") - F.col("x_mid"))
-        + F.abs(F.col("lat_i") - F.col("y_mid")),
+    # open ways: argmin (manhattan distance, ref order j) — min of
+    # a struct orders lexicographically, reproducing the
+    # reference's strictly-less scan keeping the FIRST minimizer
+    nearest = F.array_min(
+        F.transform(
+            F.col("pts"),
+            lambda p: F.struct(
+                (
+                    F.abs(p.lon_i - F.col("x_mid"))
+                    + F.abs(p.lat_i - F.col("y_mid"))
+                ).alias("dist"),
+                p.j.alias("j"),
+                p.lon_i.alias("lon_i"),
+                p.lat_i.alias("lat_i"),
+            ),
+        )
     )
-    # min of a struct orders lexicographically: (dist, j) tie-break
-    # = the reference's strictly-less scan keeping the first winner
-    nearest = dist.groupBy("way_id").agg(
-        F.min(F.struct("dist", "j", "lon_i", "lat_i")).alias("m")
-    )
-    out = agg.join(nearest, "way_id").select(
+    out = agg.withColumn("m", nearest).select(
         "way_id",
         "n_refs",
         "is_closed",
