@@ -41,9 +41,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def with_bucket(
     df: DataFrame, key_col: str, n_buckets: int, out: str = "bucket"
 ) -> DataFrame:
-    """Stable bounded bucket id from any integer key column."""
+    """Stable bounded bucket id from any integer key column.
+
+    HASHED, not modulo: structured keys alias badly under `% n` —
+    the tile-cell grid's longitude stride is divisible by 8, so
+    `cell % 64` collapsed every real cell into two buckets
+    (discovered by the spark-submit ship test). xxhash64 spreads
+    any key structure uniformly and stays deterministic."""
     return df.withColumn(
-        out, F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
+        out,
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast(
+            "int"
+        ),
     )
 
 
@@ -108,14 +117,24 @@ def run_resumable(
             .partitionBy("bucket")
             .parquet(data_dir)
         )
-        # 2) commit — append manifest rows (the commit point)
-        stats = _bucket_stats(part, data_cols).select(
-            "bucket",
-            "n_rows",
-            "value_hash",
-            F.lit(input_lineage).alias("input_lineage"),
-            F.lit(commits).alias("commit_group"),
-            F.lit(float(time.time())).alias("committed_at"),
+        # 2) commit — append manifest rows (the commit point).
+        # EVERY bucket of the group gets a row, including empty
+        # ones (n_rows=0): a bucket with no data must still be
+        # marked done or resume would rescan it forever.
+        members = spark.createDataFrame(
+            [(int(b),) for b in group], "bucket int"
+        )
+        stats = (
+            members.join(_bucket_stats(part, data_cols), "bucket",
+                         "left")
+            .select(
+                "bucket",
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                F.coalesce("value_hash", F.lit(0)).alias("value_hash"),
+                F.lit(input_lineage).alias("input_lineage"),
+                F.lit(commits).alias("commit_group"),
+                F.lit(float(time.time())).alias("committed_at"),
+            )
         )
         stats.write.mode("append").parquet(mdir)
         commits += 1

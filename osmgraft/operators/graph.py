@@ -391,13 +391,19 @@ def _closure(
     edges: DataFrame, seed_rels: DataFrame, max_passes: int
 ) -> DataFrame:
     edges.count()  # materialize once; every pass probes this cache
-    flagged = seed_rels.select("rel_id").distinct().localCheckpoint()
-    frontier = flagged
+    seed = seed_rels.select("rel_id").distinct().localCheckpoint()
+    frontiers = [seed]  # each entry is individually checkpointed
+    flagged = seed
+    frontier = seed
     for _ in range(max_passes):
         # broadcast the (shrinking) frontier so the edge cache is
         # probed map-side — no shuffle of the big side per pass.
         # At cluster scale a too-large frontier falls back to a
         # shuffled semi-join automatically (broadcast is a hint).
+        # One job per pass: the frontier's eager localCheckpoint
+        # materializes it, isEmpty then reads the checkpoint.
+        # `flagged` stays a lazy union of checkpointed frontiers —
+        # bounded depth (<= max_passes), no per-pass union job.
         parents = edges.join(
             F.broadcast(
                 frontier.select(F.col("rel_id").alias("child_rel"))
@@ -412,6 +418,10 @@ def _closure(
         )
         if frontier.isEmpty():
             break
-        flagged = flagged.unionByName(frontier).localCheckpoint()
+        frontiers.append(frontier)
+        flagged = flagged.unionByName(frontier)
     edges.unpersist()
-    return flagged
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out
