@@ -1,0 +1,69 @@
+"""Event-time windowed aggregation with watermarked late-data
+handling over a streaming events feed.
+
+The reference has no sliding windows (SURVEY §2.7) — this is
+engine-side surface for the streaming half of the north_star: tile
+activity rollups over an event stream. Late events inside the
+watermark still update their window; events later than the
+watermark are dropped and the window state is reclaimed — bounded
+state at any stream length.
+
+Plan shape: file source -> withWatermark(event time) ->
+groupBy(window, key) agg -> append-mode sink emits each window once
+it is final (watermark passed). State per (window x key) only while
+a window is open.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, cell long, value double"
+
+
+def windowed_cell_activity(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Streaming per-cell activity: tumbling event-time windows with
+    a late-data watermark. Returns the streaming DataFrame; attach
+    a writeStream (append mode — windows emit once final)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "cell")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_sink(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Materialize the windowed aggregate with availableNow (drain
+    everything currently in the source, then stop) — append mode:
+    only watermark-finalized windows are written."""
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
