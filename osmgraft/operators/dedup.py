@@ -31,8 +31,11 @@ Design for 100 TB:
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+_LOG = logging.getLogger("osmgraft")
 
 # ---------------------------------------------------------------
 # shingles
@@ -118,6 +121,64 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def jaccard_on_candidates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on candidate pairs (the
+    scale path: compose with minhash_lsh_pairs, never a gram
+    self-join over the corpus — common grams like "of the" make the
+    gram join quadratic per hot key at corpus scale).
+
+    Grams are computed in-row (gram_array, whole-stage codegen);
+    |A ∩ B| via array_intersect after joining the pair list back to
+    the per-doc gram arrays. The only shuffles are the two joins of
+    the (small) candidate list against the corpus projection —
+    linear in corpus + candidates, no quadratic term anywhere.
+
+    Output (a, b, inter, jaccard) matches text.ngram_jaccard_pairs
+    (the all-pairs oracle twin used at small scale).
+    """
+    g = docs.select(
+        F.col(id_col).alias("_id"),
+        gram_array(F.col(text_col), n).alias("_g"),
+    )
+    withg = (
+        pairs.select("a", "b")
+        .join(
+            g.select(
+                F.col("_id").alias("a"), F.col("_g").alias("_ga")
+            ),
+            "a",
+        )
+        .join(
+            g.select(
+                F.col("_id").alias("b"), F.col("_g").alias("_gb")
+            ),
+            "b",
+        )
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("long")
+    return (
+        withg.select(
+            "a",
+            "b",
+            inter.alias("inter"),
+            (
+                inter
+                / (
+                    F.size("_ga") + F.size("_gb") - inter
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     a_col: str = "a",
@@ -151,8 +212,9 @@ def dedup_clusters(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    n_changed = 0
     for _ in range(max_passes):
         neighbor_min = (
             edges.join(
@@ -165,6 +227,13 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("vc").alias("nc"))
         )
+        # ONE job per pass (round-2; was checkpoint + isEmpty join):
+        # carry a changed flag through a lazy checkpoint, then the
+        # filtered count both materializes the checkpoint and drives
+        # convergence.
+        new_cluster = F.least(
+            F.col("cluster"), F.coalesce("nc", F.col("cluster"))
+        )
         updated = (
             labels.join(
                 neighbor_min.select(
@@ -175,20 +244,28 @@ def dedup_clusters(
             )
             .select(
                 "node",
-                F.least(
-                    F.col("cluster"), F.coalesce("nc", F.col("cluster"))
-                ).alias("cluster"),
+                new_cluster.alias("_new"),
+                (new_cluster < F.col("cluster")).alias("_chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
+        n_changed = updated.filter(F.col("_chg")).count()
+        labels = updated.select(
+            "node", F.col("_new").alias("cluster")
         )
-        labels = updated
-        if changed.isEmpty():
+        if n_changed == 0:
             break
+    if n_changed:
+        # mirrors the reference's recursion-cap warning
+        # (osmconvert.c:10637-10643): a component with diameter >
+        # max_passes is split into multiple clusters here.
+        _LOG.warning(
+            "dedup_clusters stopped at %d passes with %d labels "
+            "still changing; clusters of diameter > %d are split",
+            max_passes,
+            n_changed,
+            max_passes,
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "cluster")
 

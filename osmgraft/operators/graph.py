@@ -30,7 +30,11 @@ see suite_graph.py for the paired oracles.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+_LOG = logging.getLogger("osmgraft")
 
 HASH_MULT = 2_654_435_761
 HASH_MOD = 1 << 32
@@ -292,8 +296,6 @@ def rel_geometry(
     ).limit(0)
     pending = members
     for _ in range(max_passes):
-        if pending.isEmpty():
-            break
         rel_pos = resolved.select(
             F.col("rel_id").alias("ref_id"),
             F.col("x").alias("rx"),
@@ -321,8 +323,8 @@ def rel_geometry(
             ).alias("last"),
         )
         ready = agg.filter(~F.col("blocked") & (F.col("n") > 0))
-        if ready.isEmpty():
-            break
+        # 2 jobs/pass (round-2; was ~5): lazy checkpoints are
+        # materialized by the counts that also drive the loop exits.
         new_pos = ready.select(
             "rel_id",
             F.when(
@@ -336,11 +338,17 @@ def rel_geometry(
             )
             .otherwise(F.col("last.py"))
             .alias("y"),
-        ).localCheckpoint()
-        resolved = resolved.unionByName(new_pos).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        if new_pos.count() == 0:
+            break
+        resolved = resolved.unionByName(new_pos).localCheckpoint(
+            eager=False
+        )
         pending = pending.join(
             new_pos.select("rel_id"), "rel_id", "left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        if pending.count() == 0:
+            break
     return resolved
 
 
@@ -395,13 +403,16 @@ def _closure(
     frontiers = [seed]  # each entry is individually checkpointed
     flagged = seed
     frontier = seed
+    converged = False
     for _ in range(max_passes):
         # broadcast the (shrinking) frontier so the edge cache is
         # probed map-side — no shuffle of the big side per pass.
         # At cluster scale a too-large frontier falls back to a
         # shuffled semi-join automatically (broadcast is a hint).
-        # One job per pass: the frontier's eager localCheckpoint
-        # materializes it, isEmpty then reads the checkpoint.
+        # ONE job per pass: the frontier is a LAZY localCheckpoint,
+        # so the count() both materializes the checkpoint and
+        # returns the emptiness test (round-2: was eager checkpoint
+        # + isEmpty = 2 jobs/pass).
         # `flagged` stays a lazy union of checkpointed frontiers —
         # bounded depth (<= max_passes), no per-pass union job.
         parents = edges.join(
@@ -414,12 +425,24 @@ def _closure(
         frontier = (
             parents.join(F.broadcast(flagged), "rel_id", "left_anti")
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
+            converged = True
             break
         frontiers.append(frontier)
         flagged = flagged.unionByName(frontier)
+    if not converged:
+        # the reference warns and stops at its recursion cap
+        # (osmconvert.c:10637-10643); mirror that with the size of
+        # the still-growing frontier so truncation is visible.
+        _LOG.warning(
+            "relation closure stopped at %d passes with %d "
+            "relations still on the frontier; result is truncated "
+            "at that depth",
+            max_passes,
+            frontiers[-1].count(),
+        )
     edges.unpersist()
     out = frontiers[0]
     for f in frontiers[1:]:

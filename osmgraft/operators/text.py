@@ -8,9 +8,7 @@ bit-twiddling.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # ----------------------------------------------------------------
 # pure-expression operators (oracle-checkable in ANSI SQL)
@@ -110,144 +108,11 @@ def dedup_exact(
     )
 
 
-# ----------------------------------------------------------------
-# MinHash / SimHash near-dup (vectorized kernels; rows-only oracle)
-# ----------------------------------------------------------------
-
-_MERSENNE = (1 << 61) - 1
-
-
-def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """per-doc array of k-shingle 64-bit polynomial hashes"""
-    out = []
-    for s in texts:
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-        if len(b) < k:
-            out.append(np.zeros(1, dtype=np.uint64))
-            continue
-        # polynomial hash per window, base 257 mod 2^61-1
-        # (vectorized Horner across the k window positions)
-        base = np.uint64(257)
-        mod = np.uint64(_MERSENNE)
-        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(
-            np.uint64
-        )
-        acc = np.zeros(len(win), dtype=np.uint64)
-        for j in range(k):
-            acc = (acc * base + win[:, j]) % mod
-        out.append(np.unique(acc))
-    return out
-
-
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    n_hashes: int = 64,
-    shingle_k: int = 5,
-) -> DataFrame:
-    """MinHash signature per doc: n_hashes universal-hash minima over
-    k-shingles. Arrow-batched; parameters are fixed constants so the
-    signature is deterministic."""
-    rng = np.random.default_rng(1234)
-    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64).astype(
-        np.uint64
-    )
-    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64).astype(
-        np.uint64
-    )
-
-    @F.pandas_udf("array<long>")
-    def sig(texts: pd.Series) -> pd.Series:
-        mod = np.uint64(_MERSENNE)
-        res = []
-        for sh in _shingle_hashes(texts, shingle_k):
-            # (n_shingles, n_hashes) universal hashing, min per hash
-            v = (sh[:, None] * a[None, :] + b[None, :]) % mod
-            res.append(v.min(axis=0).astype(np.int64))
-        return pd.Series(res)
-
-    return df.select("doc_id", sig(F.col(text_col)).alias("minhash"))
-
-
-def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate
-    pairs. explode(bands) -> groupBy bucket -> self-join within
-    bucket. One shuffle on the band digest."""
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("minhash")[
-                                        i * rows_per_band + j
-                                    ]
-                                    for j in range(rows_per_band)
-                                ],
-                            ).cast("binary")
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    other = banded.select(
-        F.col("doc_id").alias("doc_id_b"), "band", "bucket"
-    )
-    return (
-        banded.join(other, on=["band", "bucket"])
-        .filter(F.col("doc_id") < F.col("doc_id_b"))
-        .select(
-            F.col("doc_id").alias("a"), F.col("doc_id_b").alias("b")
-        )
-        .distinct()
-    )
-
-
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (weight 1 each)."""
-
-    @F.pandas_udf("long")
-    def sh(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, s in enumerate(texts):
-            toks = s.split()
-            if not toks:
-                out[i] = 0
-                continue
-            hs = np.array(
-                [hash_token(t) for t in toks], dtype=np.uint64
-            )
-            bits = (
-                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int64)
-            v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0)
-            out[i] = int(
-                np.bitwise_or.reduce(
-                    (v.astype(np.uint64) << np.arange(64, dtype=np.uint64))
-                ).astype(np.int64)
-            )
-        return pd.Series(out)
-
-    return df.select("doc_id", sh(F.col(text_col)).alias("simhash"))
-
-
-def hash_token(t: str) -> int:
-    """deterministic 64-bit FNV-1a (process-seed-independent)."""
-    h = 0xCBF29CE484222325
-    for ch in t.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+# NOTE: the per-row-Python MinHash/SimHash prototypes that used to
+# live here were removed (round-2): the live, JVM-side versions are
+# in operators/dedup.py (minhash_signature / simhash16_col), and the
+# Python-loop variants were the exact anti-pattern this engine
+# forbids in hot paths. See VERDICT.md round 1, "What's wrong" #1.
 
 
 def ngram_jaccard_pairs(

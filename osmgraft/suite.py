@@ -396,9 +396,19 @@ def q16_radius_pairs(spark, sf_dir):
 
 
 def q17_ngram_jaccard(spark, sf_dir):
-    """near-dup: exact 3-gram Jaccard pairs >= 0.5 on a doc subset
-    plus planted near-duplicates ('dup ' prefix) so the result is
-    non-trivial; mod-11 sample keeps the oracle self-join tractable."""
+    """near-dup: exact 3-gram Jaccard >= 0.5 computed ONLY on
+    MinHash-LSH candidate pairs — the 100-TB plan (round-2 fix):
+    the corpus never gram-self-joins; candidates come from the
+    banded signature join and exact Jaccard runs in-row on the
+    joined gram arrays. text.ngram_jaccard_pairs remains the
+    all-pairs small-scale twin (tests/test_dedup_ann.py proves the
+    composed result ⊆ all-pairs and recalls every planted dup).
+    Corpus: mod-11 sample plus planted near-duplicates."""
+    from .operators.dedup import (
+        jaccard_on_candidates,
+        minhash_lsh_pairs,
+    )
+
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 11 == 0
     ).select("doc_id", "text")
@@ -406,9 +416,75 @@ def q17_ngram_jaccard(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.lit("dup "), F.col("text")).alias("text"),
     )
-    return ngram_jaccard_pairs(
-        docs.unionByName(dups), threshold=0.5
+    corpus = docs.unionByName(dups)
+    cand = minhash_lsh_pairs(corpus, n_hashes=12, band_rows=2)
+    return jaccard_on_candidates(
+        corpus, cand, threshold=0.5
     ).select("a", "b", "inter", "jaccard")
+
+
+def _q17_oracle() -> str:
+    """Oracle for the composed q17 plan: MinHash-LSH candidates
+    (identical salted-md5 signature arithmetic to q29) followed by
+    exact Jaccard restricted to those candidates."""
+    n_hashes, band_rows = 12, 2
+    sig_aggs = ",\n    ".join(
+        f"MIN(md5('{i}:' || gram)) AS s{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"s{band_rows * b} || '|' || s{band_rows * b + 1} "
+        "AS band_val FROM sigs"
+        for b in range(n_hashes // band_rows)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'dup ' || text
+  FROM documents WHERE doc_id % 11 = 0
+),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(toks[CAST(i.i AS BIGINT):CAST(i.i + 2 AS BIGINT)],
+                    ' ') AS gram
+  FROM docs
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+  ) i
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS inter
+  FROM cand c
+  JOIN grams g1 ON g1.doc_id = c.a
+  JOIN grams g2 ON g2.doc_id = c.b AND g2.gram = g1.gram
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter,
+  i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+"""
 
 
 _KEEP_EXPR = "place=city or ( place=town and population>=10000 )"
@@ -1000,39 +1076,7 @@ WHERE (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
     + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i)
     <= {2_000_000 * 2_000_000}
 """,
-        "q17_ngram_jaccard": """
-WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
-  UNION ALL
-  SELECT doc_id + 1000000, 'dup ' || text
-  FROM documents WHERE doc_id % 11 = 0
-),
-docs AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
-),
-grams AS (
-  SELECT DISTINCT doc_id,
-    array_to_string(toks[CAST(i.i AS BIGINT):CAST(i.i + 2 AS BIGINT)],
-                    ' ') AS gram
-  FROM docs
-  CROSS JOIN LATERAL (
-    SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
-  ) i
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
-inter AS (
-  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS inter
-  FROM grams g1 JOIN grams g2
-    ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
-  GROUP BY 1, 2
-)
-SELECT i.a, i.b, i.inter,
-  i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.a
-JOIN sizes sb ON sb.doc_id = i.b
-WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
-""",
+        "q17_ngram_jaccard": _q17_oracle(),
         "q18_keep_filter": _keep_oracle(_KEEP_EXPR),
         "q19_keep_wildcards": _keep_oracle(_KEEP_EXPR2),
         "q20_keep_tags": f"""

@@ -88,3 +88,60 @@ def test_embed_ann_lsh_pairs_in_same_bucket(spark):
         key=lambda r: r.cos_r,
     )
     assert top.cos_r > 0.99
+
+
+def test_jaccard_on_candidates_composes_with_lsh(corpus):
+    """round-2 scale fix: exact Jaccard restricted to LSH candidate
+    pairs must (a) be a subset of the all-pairs result and (b) still
+    recall the planted near-dups. No gram self-join over the corpus
+    may appear in the composed plan."""
+    from osmgraft.operators.dedup import jaccard_on_candidates
+    from osmgraft.operators.text import ngram_jaccard_pairs
+
+    cand = minhash_lsh_pairs(corpus)
+    composed = jaccard_on_candidates(corpus, cand, threshold=0.3)
+    allpairs = ngram_jaccard_pairs(corpus, threshold=0.3)
+
+    got = {
+        (r.a, r.b): (r.inter, round(r.jaccard, 9))
+        for r in composed.collect()
+    }
+    want = {
+        (r.a, r.b): (r.inter, round(r.jaccard, 9))
+        for r in allpairs.collect()
+    }
+    assert set(got) <= set(want)
+    for k in got:
+        assert got[k] == want[k]
+    # planted near-dups recalled through the LSH gate
+    assert (1, 2) in got and (1, 4) in got
+
+
+def test_dedup_clusters_warns_when_unconverged(spark, caplog):
+    """a chain with diameter > max_passes triggers the truncation
+    warning (mirrors osmconvert's recursion-cap warning) instead of
+    silently splitting the component."""
+    import logging
+
+    from osmgraft.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "a long, b long"
+    )
+    with caplog.at_level(logging.WARNING, logger="osmgraft"):
+        out = dedup_clusters(chain, max_passes=3)
+        n = out.count()
+    assert n == 21
+    assert any(
+        "dedup_clusters stopped" in r.message for r in caplog.records
+    )
+
+    # and a converged run stays silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="osmgraft"):
+        out2 = dedup_clusters(chain, max_passes=25)
+        labels = {r.doc_id: r.cluster for r in out2.collect()}
+    assert set(labels.values()) == {0}
+    assert not any(
+        "dedup_clusters stopped" in r.message for r in caplog.records
+    )

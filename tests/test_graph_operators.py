@@ -145,3 +145,29 @@ def test_rel_closure_chain_and_cap(spark):
     out = rel_closure_up(rels, seeds, max_passes=12)
     # 12 passes reach depth 12 (rel 12), matching the reference cap
     assert sorted(r.rel_id for r in out.collect()) == list(range(13))
+
+
+def test_rel_closure_warns_at_cap(spark, caplog):
+    """hitting the pass cap with a non-empty frontier logs the
+    reference's recursion-depth warning (osmconvert.c:10637-10643);
+    a converged closure stays silent."""
+    import logging
+
+    rels = spark.createDataFrame(
+        [(i, i - 1 if i > 0 else None) for i in range(16)],
+        "rel_id long, child_rel long",
+    )
+    seeds = spark.createDataFrame([(0,)], "rel_id long")
+    with caplog.at_level(logging.WARNING, logger="osmgraft"):
+        rel_closure_up(rels, seeds, max_passes=12).count()
+    assert any(
+        "relation closure stopped" in r.message
+        for r in caplog.records
+    )
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="osmgraft"):
+        out = rel_closure_up(rels, seeds, max_passes=16)
+        n = out.count()
+    assert n == 16
+    assert not caplog.records

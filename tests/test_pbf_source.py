@@ -108,3 +108,92 @@ def test_pbf_o5m_xml_sources_agree(spark, tmp_path):
     b = canon(read_o5m(spark, str(o5m)))
     c = canon(read_pbf(spark, str(pbf)))
     assert a == b == c
+
+
+def _concat_blobs(paths, out):
+    """Multi-blob .pbf: header blob from the first file + every
+    OSMData blob from all files, concatenated on blob boundaries
+    (blobs are independent by design — osmconvert.c:3356-3409)."""
+    from osmgraft.sources.pbf import index_blobs
+
+    with open(out, "wb") as w:
+        first = True
+        for p in paths:
+            data = open(p, "rb").read()
+            for off, end, btype in index_blobs(p):
+                if btype == "OSMHeader":
+                    if first:
+                        w.write(data[off:end])
+                        first = False
+                elif btype == "OSMData":
+                    w.write(data[off:end])
+
+
+def test_pbf_intrafile_parallel_split(spark, tmp_path):
+    """round-2: one .pbf file decodes across MULTIPLE tasks (blob-
+    boundary splits), and the rows differentially match what the
+    reference binary reads from the very same file."""
+    from osmgraft.sources.pbf import plan_splits, read_pbf
+
+    chunks = []
+    for c in range(3):
+        lines = ['<?xml version="1.0"?>', '<osm version="0.6">']
+        for i in range(c * 1000 + 1, c * 1000 + 1001):
+            lat = (-300000 + i * 777) / 1e7
+            lon = (500000 + i * 333) / 1e7
+            lines.append(
+                f'<node id="{i}" lat="{lat:.7f}" lon="{lon:.7f}"'
+                f' version="1"><tag k="chunk" v="c{c}"/></node>'
+            )
+        lines.append("</osm>")
+        osm = tmp_path / f"c{c}.osm"
+        osm.write_text("\n".join(lines))
+        pbf = tmp_path / f"c{c}.pbf"
+        subprocess.run(
+            [f"{REFBIN}/osmconvert", str(osm), f"-o={pbf}"],
+            check=True,
+        )
+        chunks.append(str(pbf))
+
+    multi = tmp_path / "multi.pbf"
+    _concat_blobs(chunks, str(multi))
+
+    # the split planner must fan one file out to >1 task
+    splits = plan_splits([str(multi)], target_split_bytes=1)
+    assert len(splits) == 3, splits
+
+    nodes, _w, _r = read_pbf(
+        spark, str(multi), target_split_bytes=1
+    )
+    assert nodes.rdd.getNumPartitions() >= 3
+    got = sorted(
+        (r.id, r.lat_i, r.lon_i, r.tags["chunk"])
+        for r in nodes.collect()
+    )
+
+    # differential: the reference binary reads the same file
+    csv = subprocess.run(
+        [
+            f"{REFBIN}/osmconvert",
+            str(multi),
+            "--out-csv",
+            "--csv=@id @lat @lon chunk",
+            "--csv-separator=|",
+        ],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout
+    want = sorted(
+        (
+            int(a),
+            round(float(b) * 1e7),
+            round(float(c_) * 1e7),
+            d,
+        )
+        for a, b, c_, d in (
+            ln.split("|") for ln in csv.strip().splitlines()
+        )
+    )
+    assert got == want
+    assert len(got) == 3000
