@@ -1,0 +1,199 @@
+"""K3: OSM PBF writer (inverse of sources/pbf.py's hand-rolled
+protobuf reader; reference writer is the pw_/pstw_ module
+osmconvert.c:4600-5910).
+
+Emits the standard wire layout: OSMHeader blob (required_features
+OsmSchema-V0.6 + DenseNodes), then one OSMData blob per
+`block_objects` objects — each with its own string table and ONE
+primitive group (dense nodes, ways, or relations), zlib-compressed.
+Default granularity (100 nanodeg) means raw coordinate = our 1e-7
+fixed-point integer directly.
+
+Multi-blob output is deliberate: blobs are the parallelism unit of
+sources/pbf.read_pbf, so files written here fan back out to
+ceil(objects/block_objects) tasks on re-ingest.
+
+tags=None tombstones are skipped (plain PBF carries no delete
+semantics; that is .osc's job).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+
+def _uv(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _zig(v: int) -> int:
+    return 2 * v if v >= 0 else -2 * v - 1
+
+
+def _field_varint(out: bytearray, fno: int, v: int) -> None:
+    _uv(out, (fno << 3) | 0)
+    _uv(out, v)
+
+
+def _field_bytes(out: bytearray, fno: int, b: bytes) -> None:
+    _uv(out, (fno << 3) | 2)
+    _uv(out, len(b))
+    out += b
+
+
+def _packed(values) -> bytes:
+    out = bytearray()
+    for v in values:
+        _uv(out, v)
+    return bytes(out)
+
+
+def _packed_delta_zig(values) -> bytes:
+    out = bytearray()
+    prev = 0
+    for v in values:
+        _uv(out, _zig(v - prev))
+        prev = v
+    return bytes(out)
+
+
+class _StrTab:
+    """Per-block string table; index 0 is the empty string."""
+
+    def __init__(self):
+        self.idx = {"": 0}
+        self.strings = [""]
+
+    def get(self, s: str) -> int:
+        i = self.idx.get(s)
+        if i is None:
+            i = len(self.strings)
+            self.idx[s] = i
+            self.strings.append(s)
+        return i
+
+    def encode(self) -> bytes:
+        msg = bytearray()
+        for s in self.strings:
+            _field_bytes(msg, 1, s.encode("utf-8"))
+        return bytes(msg)
+
+
+def _blob(out: bytearray, btype: str, payload: bytes) -> None:
+    blob = bytearray()
+    _field_varint(blob, 2, len(payload))  # raw_size
+    _field_bytes(blob, 3, zlib.compress(payload))
+    header = bytearray()
+    _field_bytes(header, 1, btype.encode())
+    _field_varint(header, 3, len(blob))
+    out += struct.pack(">I", len(header))
+    out += header
+    out += blob
+
+
+def _block(group: bytes, tab: _StrTab) -> bytes:
+    blk = bytearray()
+    _field_bytes(blk, 1, tab.encode())
+    _field_bytes(blk, 2, group)
+    return bytes(blk)
+
+
+def _chunks(rows: list, n: int):
+    for i in range(0, len(rows), n):
+        yield rows[i : i + n]
+
+
+def encode_pbf(
+    nodes, ways, rels, block_objects: int = 8000
+) -> bytes:
+    """Row-dict lists (the readers' shape) -> one complete .pbf."""
+    out = bytearray()
+    hdr = bytearray()
+    _field_bytes(hdr, 4, b"OsmSchema-V0.6")
+    _field_bytes(hdr, 4, b"DenseNodes")
+    _blob(out, "OSMHeader", bytes(hdr))
+
+    live_nodes = [n for n in nodes if n.get("tags") is not None]
+    for chunk in _chunks(live_nodes, block_objects):
+        tab = _StrTab()
+        kv = []
+        for nd in chunk:
+            for k, v in nd["tags"].items():
+                kv.append(tab.get(k))
+                kv.append(tab.get(v))
+            kv.append(0)
+        dense = bytearray()
+        _field_bytes(
+            dense, 1, _packed_delta_zig([n["id"] for n in chunk])
+        )
+        _field_bytes(
+            dense, 8, _packed_delta_zig([n["lat_i"] for n in chunk])
+        )
+        _field_bytes(
+            dense, 9, _packed_delta_zig([n["lon_i"] for n in chunk])
+        )
+        _field_bytes(dense, 10, _packed(kv))
+        group = bytearray()
+        _field_bytes(group, 2, bytes(dense))
+        _blob(out, "OSMData", _block(bytes(group), tab))
+
+    live_ways = [w for w in ways if w.get("tags") is not None]
+    for chunk in _chunks(live_ways, block_objects):
+        tab = _StrTab()
+        group = bytearray()
+        for wy in chunk:
+            msg = bytearray()
+            _field_varint(msg, 1, wy["id"])
+            _field_bytes(
+                msg, 2,
+                _packed([tab.get(k) for k in wy["tags"]]),
+            )
+            _field_bytes(
+                msg, 3,
+                _packed([tab.get(v) for v in wy["tags"].values()]),
+            )
+            _field_bytes(msg, 8, _packed_delta_zig(wy["refs"]))
+            _field_bytes(group, 3, bytes(msg))
+        _blob(out, "OSMData", _block(bytes(group), tab))
+
+    _TYPE = {"node": 0, "way": 1, "relation": 2}
+    live_rels = [r for r in rels if r.get("tags") is not None]
+    for chunk in _chunks(live_rels, block_objects):
+        tab = _StrTab()
+        group = bytearray()
+        for rl in chunk:
+            msg = bytearray()
+            _field_varint(msg, 1, rl["id"])
+            _field_bytes(
+                msg, 2,
+                _packed([tab.get(k) for k in rl["tags"]]),
+            )
+            _field_bytes(
+                msg, 3,
+                _packed([tab.get(v) for v in rl["tags"].values()]),
+            )
+            mem = rl["members"]
+            _field_bytes(
+                msg, 8,
+                _packed([tab.get(m["role"]) for m in mem]),
+            )
+            _field_bytes(
+                msg, 9,
+                _packed_delta_zig([m["ref"] for m in mem]),
+            )
+            _field_bytes(
+                msg, 10,
+                _packed([_TYPE[m["mtype"]] for m in mem]),
+            )
+            _field_bytes(group, 4, bytes(msg))
+        _blob(out, "OSMData", _block(bytes(group), tab))
+
+    return bytes(out)
