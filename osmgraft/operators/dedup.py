@@ -400,6 +400,73 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return out
 
 
+def embed_ann_banded(
+    emb: DataFrame,
+    band_bits: int = 6,
+    n_bands: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded hyperplane ANN (round-2, mirrors the MinHash banding):
+    n_bands INDEPENDENT band_bits-plane signatures; a pair is a
+    candidate when it collides in >= 1 band; exact cosine on the
+    candidates, deduped across bands.
+
+    Bucket-population bound: each band hashes the corpus into
+    2^band_bits buckets, so the expected bucket population is
+    N / 2^band_bits and the per-bucket quadratic term is
+    (N / 2^band_bits)^2 — band_bits is the knob that keeps buckets
+    bounded as N grows (pick band_bits ≈ log2(N / target_bucket)),
+    while RECALL is tuned independently by adding bands
+    (P[candidate] = 1 - (1 - p^band_bits)^n_bands for per-plane
+    agreement p). The single fixed-2^8-bucket signature this
+    replaces had no such knob (round-1 VERDICT "What's wrong" #3).
+
+    Shuffle profile: one shuffle of (band, bucket, id, vec) —
+    the self-join key is (band, bucket), never the corpus cross
+    product; duplicate-band collisions recompute the (cheap) dot
+    product and collapse in the final groupBy.
+    """
+    planes = hyperplanes(n_bands * band_bits, dim)
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col("_n2").alias("n2"),
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket(
+                        F.col(vec_col),
+                        planes[
+                            band * band_bits : (band + 1) * band_bits
+                        ],
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = base.alias("a")
+    c = base.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.band") == F.col("c.band"))
+        & (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vid") < F.col("c.vid")),
+    ).select(
+        F.col("a.vid").alias("a"),
+        F.col("c.vid").alias("b"),
+        cosine(
+            F.col("a.v"), F.col("c.v"), F.col("a.n2"), F.col("c.n2")
+        ).alias("_cos"),
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("shared_bands"),
+        F.round(F.first("_cos"), 6).alias("cos_r"),
+    )
+
+
 def embed_ann_lsh(
     emb: DataFrame,
     n_planes: int = 8,

@@ -266,6 +266,84 @@ FROM n a JOIN n c
 """
 
 
+BAND_BITS = 6
+N_ANN_BANDS = 3
+
+
+def q45_embed_ann_banded(spark, sf_dir):
+    from .suite import load
+
+    from .operators.dedup import embed_ann_banded
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embed_ann_banded(
+        emb, band_bits=BAND_BITS, n_bands=N_ANN_BANDS, dim=DIM
+    )
+
+
+def _ann_banded_oracle() -> str:
+    planes = hyperplanes(N_ANN_BANDS * BAND_BITS, DIM)
+    vals = ",".join(
+        f"({p},{d + 1},{c})"
+        for p, row in enumerate(planes)
+        for d, c in enumerate(row)
+    )
+    projs = ",\n    ".join(
+        f"SUM(CASE WHEN pl.p = {p} THEN el.val * pl.coef ELSE 0 END)"
+        f" AS s{p}"
+        for p in range(N_ANN_BANDS * BAND_BITS)
+    )
+    band_selects = []
+    for band in range(N_ANN_BANDS):
+        assemble = " + ".join(
+            f"CASE WHEN s{band * BAND_BITS + j} > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j in range(BAND_BITS)
+        )
+        band_selects.append(
+            f"  SELECT vec_id, {band} AS band, "
+            f"CAST({assemble} AS BIGINT) AS bucket FROM proj"
+        )
+    bands_sql = "\n  UNION ALL\n".join(band_selects)
+    return f"""
+WITH planes(p, d, coef) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+el AS (
+  SELECT vec_id, unnest(v) AS val,
+         generate_subscripts(v, 1) AS d
+  FROM e
+),
+proj AS (
+  SELECT el.vec_id,
+    {projs}
+  FROM el JOIN planes pl ON pl.d = el.d
+  GROUP BY el.vec_id
+),
+buckets AS (
+{bands_sql}
+),
+n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e
+),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(COUNT(*) AS BIGINT) AS shared_bands
+  FROM buckets x JOIN buckets y
+    ON x.band = y.band AND x.bucket = y.bucket
+   AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.shared_bands,
+  round(list_dot_product(na.v, nb.v) / sqrt(na.n2) / sqrt(nb.n2), 6)
+    AS cos_r
+FROM cand c
+JOIN n na ON na.vec_id = c.a
+JOIN n nb ON nb.vec_id = c.b
+"""
+
+
 def q44_dedup_clusters(spark, sf_dir):
     """Dedup resolution: LSH candidate pairs -> connected components
     -> keeper (min doc id) per cluster. Corpus plants TWO dup
@@ -338,6 +416,7 @@ ML_QUERIES = {
     "q31_embed_knn": q31_embed_knn,
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
     "q44_dedup_clusters": q44_dedup_clusters,
+    "q45_embed_ann_banded": q45_embed_ann_banded,
 }
 
 
@@ -348,4 +427,5 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q31_embed_knn": _EMB_ORACLE,
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
         "q44_dedup_clusters": _cluster_oracle(),
+        "q45_embed_ann_banded": _ann_banded_oracle(),
     }

@@ -145,3 +145,64 @@ def test_dedup_clusters_warns_when_unconverged(spark, caplog):
     assert not any(
         "dedup_clusters stopped" in r.message for r in caplog.records
     )
+
+
+def test_banded_ann_recall_at_least_single_signature(spark):
+    """round-2: the banded ANN (3 bands x 6 bits) must recall at
+    least as many true similar pairs as the fixed single 2^8-bucket
+    signature it supersedes, on fixture embeddings plus planted
+    exact duplicates (which any sane ANN must recall at 100%)."""
+    import os
+
+    from osmgraft.operators.dedup import (
+        cosine,
+        embed_ann_banded,
+        embed_ann_lsh,
+        with_norm2,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("testdata not present")
+    base_emb = spark.read.parquet(path).select("vec_id", "embedding")
+    dups = base_emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    emb = base_emb.unionByName(dups)
+
+    # ground truth: planted duplicate pairs (cos 1.0) + the
+    # strongest natural pairs (brute force on ~550 vectors)
+    base = with_norm2(emb).select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v"),
+        F.col("_n2").alias("n2"),
+    )
+    a, c = base.alias("a"), base.alias("c")
+    truth = {
+        (r.a, r.b)
+        for r in a.join(c, F.col("a.vid") < F.col("c.vid"))
+        .select(
+            F.col("a.vid").alias("a"), F.col("c.vid").alias("b"),
+            cosine(
+                F.col("a.v"), F.col("c.v"),
+                F.col("a.n2"), F.col("c.n2"),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .collect()
+    }
+    planted = {(i, i + 1000) for i in range(0, 500, 10)}
+    assert planted <= truth
+
+    banded = {
+        (r.a, r.b) for r in embed_ann_banded(emb).collect()
+    }
+    single = {
+        (r.a, r.b) for r in embed_ann_lsh(emb).collect()
+    }
+    # identical vectors share every band signature: recall 1.0
+    assert planted <= banded
+    recall_banded = len(truth & banded) / len(truth)
+    recall_single = len(truth & single) / len(truth)
+    assert recall_banded >= recall_single

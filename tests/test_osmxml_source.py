@@ -112,3 +112,48 @@ def _pf(s: str) -> int:
     s = s.lstrip("-")
     whole, _, frac = s.partition(".")
     return sign * (int(whole) * 10**7 + int(frac.ljust(7, "0")))
+
+
+def test_read_osm_auto_sniffs_all_formats(spark, tmp_path):
+    """S5: one entry dispatches .osm/.osm.gz/.o5m/.pbf by magic
+    bytes (oo__getformat osmconvert.c:9882-9950)."""
+    import gzip
+    import subprocess
+
+    from osmgraft.sources.auto import read_osm_auto, sniff_format
+    from tests.test_o5m_source import _world_xml
+
+    osm = tmp_path / "w.osm"
+    osm.write_text(_world_xml())
+    gz = tmp_path / "w.osm.gz"
+    gz.write_bytes(gzip.compress(osm.read_bytes()))
+    o5m = tmp_path / "w.o5m"
+    pbf = tmp_path / "w.pbf"
+    refbin = "/root/repo/.refbin/osmconvert"
+    import os
+
+    if os.path.exists(refbin):
+        subprocess.run([refbin, str(osm), f"-o={o5m}"], check=True)
+        subprocess.run([refbin, str(osm), f"-o={pbf}"], check=True)
+    else:
+        from osmgraft.sources.osmxml import _parse
+        from osmgraft.wire import encode_o5m, encode_pbf
+
+        n, w, r = _parse(_world_xml())
+        o5m.write_bytes(encode_o5m(n, w, r))
+        pbf.write_bytes(encode_pbf(n, w, r))
+
+    assert sniff_format(str(osm)) == "xml"
+    assert sniff_format(str(gz)) == "xml-gz"
+    assert sniff_format(str(o5m)) == "o5m"
+    assert sniff_format(str(pbf)) == "pbf"
+
+    def n_ids(path):
+        nodes, _w, _r = read_osm_auto(spark, path)
+        return sorted(r.id for r in nodes.select("id").collect())
+
+    want = list(range(1, 301))
+    assert n_ids(str(osm)) == want
+    assert n_ids(str(gz)) == want
+    assert n_ids(str(o5m)) == want
+    assert n_ids(str(pbf)) == want
