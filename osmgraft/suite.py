@@ -557,6 +557,7 @@ def q22_csv_projection(spark, sf_dir):
     )
 
 
+from .suite_addr import ADDR_QUERIES, addr_oracle_sqls  # noqa: E402
 from .suite_bbox import bbox_oracle_sql, q28_bbox_tags  # noqa: E402
 from .suite_ml import ML_QUERIES, ml_oracle_sqls  # noqa: E402
 from .filterlang.modify import (  # noqa: E402
@@ -826,6 +827,7 @@ QUERIES = {
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
+    **ADDR_QUERIES,
 }
 
 
@@ -837,6 +839,7 @@ def oracle_sqls() -> dict[str, str]:
         **graph_oracle_sqls(_PTS_CTE),
         "q28_bbox_tags": bbox_oracle_sql(_PTS_CTE, _GRAPH_CTES),
         **ml_oracle_sqls(),
+        **addr_oracle_sqls(),
         "q33_modify_tags": f"""
 WITH {_TAGS_CTE}
 SELECT doc_id, {modify_sql_tags_str(
