@@ -110,7 +110,7 @@ def dedup_exact(
 
 # NOTE: the per-row-Python MinHash/SimHash prototypes that used to
 # live here were removed (round-2): the live, JVM-side versions are
-# in operators/dedup.py (minhash_signature / simhash16_col), and the
+# in operators/dedup.py (minhash_lsh_pairs / simhash16_col), and the
 # Python-loop variants were the exact anti-pattern this engine
 # forbids in hot paths. See VERDICT.md round 1, "What's wrong" #1.
 

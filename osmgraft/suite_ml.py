@@ -122,11 +122,9 @@ GROUP BY 1, 2
 
 
 def q30_simhash(spark, sf_dir):
-    c = _corpus(spark, sf_dir)
-    return c.select(
-        "doc_id",
-        simhash16_col(gram_array(F.col("text"))).alias("simhash"),
-    )
+    from .operators.dedup import simhash16
+
+    return simhash16(_corpus(spark, sf_dir))
 
 
 _HEXVAL = (

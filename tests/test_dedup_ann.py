@@ -206,3 +206,19 @@ def test_banded_ann_recall_at_least_single_signature(spark):
     recall_banded = len(truth & banded) / len(truth)
     recall_single = len(truth & single) / len(truth)
     assert recall_banded >= recall_single
+
+
+def test_simhash_df_matches_column_form(corpus):
+    """the agg-based simhash16 must produce exactly the in-row
+    column form's values (same hash family, same tie rule)."""
+    from osmgraft.operators.dedup import simhash16
+
+    want = {
+        r.doc_id: r.simhash
+        for r in corpus.select(
+            "doc_id",
+            simhash16_col(gram_array(F.col("text"))).alias("simhash"),
+        ).collect()
+    }
+    got = {r.doc_id: r.simhash for r in simhash16(corpus).collect()}
+    assert got == want
