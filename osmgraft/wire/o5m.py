@@ -107,12 +107,15 @@ def _emit_single(tab: _StrTabW, out: bytearray, s: str) -> None:
     tab.emit(out, rs + b"\x00", len(rs) <= _TAB_STR_M)
 
 
-def encode_o5m(nodes, ways, rels) -> bytes:
+def encode_o5m(nodes, ways, rels, change: bool = False) -> bytes:
     """Row-dict lists (the readers' shape) -> one complete .o5m
-    byte string. Rows must be ordered the way OSM files are
-    (ids ascending within each type); tags=None rows become delete
-    requests (tombstones)."""
-    out = bytearray(b"\xff\xe0\x04o5m2\xff")
+    byte string (or .o5c when change=True — same framing, "o5c2"
+    header, osmconvert.c:221-223). Rows must be ordered the way OSM
+    files are (ids ascending within each type); tags=None rows
+    become delete requests (tombstones), which in a changefile mean
+    "remove this object" when applied to a base snapshot."""
+    hdr = b"o5c2" if change else b"o5m2"
+    out = bytearray(b"\xff\xe0\x04" + hdr + b"\xff")
     tab = _StrTabW()
     o5id = o5lat = o5lon = 0
     o5rid = [0, 0, 0]

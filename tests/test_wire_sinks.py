@@ -164,3 +164,75 @@ def test_wire_dir_distributed_roundtrip(spark, tmp_path):
     write_wire_dir(nodes, ways, rels, str(out2), fmt="osm", parts=3)
     got2 = canon(read_osm_xml(spark, str(out2)))
     assert got2 == want
+
+
+def test_changefile_sinks_apply_identically(spark, tmp_path):
+    """Change-file writers (.o5c and .osc): osmconvert applying OUR
+    base .o5m + OUR changefile must produce exactly what the
+    engine's change_apply computes on the same DataFrames."""
+    from osmgraft.operators.merge import change_apply
+    from osmgraft.wire.osmxml import encode_osc
+
+    base_nodes = [
+        {"id": i, "lat_i": i * 1000, "lon_i": -i * 500,
+         "tags": {"name": f"n{i}"}}
+        for i in range(1, 21)
+    ]
+    # modify 5 and 7, add 100, delete 3 and 12
+    chg_nodes = [
+        {"id": 3, "lat_i": None, "lon_i": None, "tags": None},
+        {"id": 5, "lat_i": 555555, "lon_i": -55, "tags":
+            {"name": "five", "fixme": "yes"}},
+        {"id": 7, "lat_i": 777, "lon_i": 77, "tags": {}},
+        {"id": 12, "lat_i": None, "lon_i": None, "tags": None},
+        {"id": 100, "lat_i": 1, "lon_i": 2, "tags": {"name": "new"}},
+    ]
+
+    base_p = tmp_path / "base.o5m"
+    base_p.write_bytes(encode_o5m(base_nodes, [], []))
+
+    # engine-side apply
+    bdf = spark.createDataFrame(
+        [(n["id"], n["lat_i"], n["lon_i"], n["tags"])
+         for n in base_nodes],
+        "id long, lat_i long, lon_i long, tags map<string,string>",
+    )
+    cdf = spark.createDataFrame(
+        [(n["id"], n["lat_i"], n["lon_i"], n["tags"],
+          n["tags"] is None) for n in chg_nodes],
+        "id long, lat_i long, lon_i long, "
+        "tags map<string,string>, deleted boolean",
+    )
+    want = sorted(
+        (r.id, r.lat_i, r.lon_i, tuple(sorted(r.tags.items())))
+        for r in change_apply(bdf, cdf, ["id"]).collect()
+    )
+
+    def ref_apply(chg_path) -> list:
+        out = subprocess.run(
+            [
+                f"{REFBIN}/osmconvert", str(base_p), str(chg_path),
+                "--out-csv", "--csv=@id @lat @lon name fixme",
+                "--csv-separator=;",
+            ],
+            check=True, capture_output=True, text=True,
+        ).stdout
+        rows = []
+        for ln in out.strip().splitlines():
+            i, la, lo, nm, fx = (ln.split(";") + [""] * 5)[:5]
+            tags = tuple(
+                kv for kv in (("fixme", fx), ("name", nm)) if kv[1]
+            )
+            rows.append(
+                (int(i), round(float(la) * 1e7),
+                 round(float(lo) * 1e7), tags)
+            )
+        return sorted(rows)
+
+    o5c = tmp_path / "chg.o5c"
+    o5c.write_bytes(encode_o5m(chg_nodes, [], [], change=True))
+    assert ref_apply(o5c) == want
+
+    osc = tmp_path / "chg.osc"
+    osc.write_text(encode_osc(chg_nodes, [], []))
+    assert ref_apply(osc) == want
