@@ -100,13 +100,42 @@ def _hnumeric(hn: Column) -> Column:
     return F.least(v, F.lit(65535))
 
 
-def _city_match(addr_city: Column, q_city: Column) -> Column:
-    """Exact match, or prefix when the query carries the '*'
-    wildcard the subdivided-city hack appends."""
-    is_wild = q_city.endswith("*")
-    prefix = F.substring(q_city, 1, F.length(q_city) - 1)
-    return F.when(is_wild, addr_city.startswith(prefix)).otherwise(
-        addr_city == q_city
+def _match_names(
+    q: DataFrame, names: DataFrame, name_col: str, q_col: str,
+    cap: int,
+) -> DataFrame:
+    """dat_indexrange semantics (osmposition.c:2199-2242): a '*'
+    wildcard truncates the query and matches by prefix; otherwise
+    an EXACT string match wins, and only if none exists does the
+    query fall back to the prefix range (the sorted-string-table
+    [s, s+0xff) interval). More than `cap` matching strings fails
+    the whole query (cresultM/sresultM = 500,
+    osmposition.c:983-984).
+
+    De-facto quirk reproduced exactly: dat_indexafter clamps its
+    binary search to the LAST table entry (osmposition.c:2160-2162),
+    so a search string sorting after every stored name "matches"
+    the alphabetically last name. Verified against the real binary
+    in tests/test_ogb_position.py."""
+    is_wild = F.col(q_col).contains("*")
+    prefix = F.when(
+        is_wild, F.substring_index(F.col(q_col), "*", 1)
+    ).otherwise(F.col(q_col))
+    mx = names.agg(F.max(name_col).alias("_mx"))
+    joined = F.broadcast(q.crossJoin(F.broadcast(mx))).join(
+        names,
+        F.col(name_col).startswith(prefix)
+        | ((prefix > F.col("_mx")) & (F.col(name_col) == F.col("_mx"))),
+    ).drop("_mx")
+    w = Window.partitionBy("query_id")
+    exact = (~is_wild) & (F.col(name_col) == F.col(q_col))
+    return (
+        joined.withColumn("_ex", exact)
+        .withColumn("_hasex", F.max("_ex").over(w))
+        .filter(F.col("_ex") | ~F.col("_hasex"))
+        .withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= cap)
+        .drop("_ex", "_hasex", "_n")
     )
 
 
@@ -136,14 +165,13 @@ def address_geocode(
     city_first = addresses.groupBy("city").agg(
         F.min("addr_idx").alias("addr_idx")
     )
-    r1 = (
-        F.broadcast(q.filter(F.col("q_street").isNull()))
-        .join(
-            city_first,
-            _city_match(F.col("city"), F.col("q_city")),
-        )
-        .select("query_id", "addr_idx")
-    )
+    r1 = _match_names(
+        q.filter(F.col("q_street").isNull()),
+        city_first,
+        "city",
+        "q_city",
+        500,
+    ).select("query_id", "addr_idx")
 
     # ---- street syntaxes: one dataset per (city, street) run
     qs = q.filter(F.col("q_street").isNotNull()).withColumn(
@@ -152,10 +180,23 @@ def address_geocode(
             F.col("q_hn").isNotNull(), _hnumeric(F.col("q_hn"))
         ),
     )
-    j = F.broadcast(qs).join(
+    city_m = _match_names(
+        qs, city_first.select("city"), "city", "q_city", 500
+    ).select("query_id", F.col("city").alias("_mc"))
+    street_m = _match_names(
+        qs.select("query_id", "q_street"),
+        addresses.select("street").distinct(),
+        "street",
+        "q_street",
+        500,
+    ).select("query_id", F.col("street").alias("_ms"))
+    matches = city_m.join(street_m, "query_id")
+    j = F.broadcast(
+        qs.join(matches, "query_id")
+    ).join(
         a,
-        _city_match(F.col("a.city"), F.col("q_city"))
-        & (F.col("a.street") == F.col("q_street")),
+        (F.col("a.city") == F.col("_mc"))
+        & (F.col("a.street") == F.col("_ms")),
     )
     hnum = F.col("q_hnum")
     h = F.col("a.housenumeric")
@@ -220,9 +261,13 @@ def address_geocode(
     withw = results.join(
         addresses.select("addr_idx", "x", "y", "weight"), "addr_idx"
     )
+    # dat_weight masks to 6 bits (osmposition.c:2093-2097)
     order = Window.partitionBy("query_id").orderBy(
         (
-            (F.lit(255) - F.col("weight")).cast("long") * F.lit(_U32)
+            (
+                F.lit(255) - F.col("weight").bitwiseAND(F.lit(63))
+            ).cast("long")
+            * F.lit(_U32)
             + F.col("addr_idx")
         ).asc()
     )

@@ -210,7 +210,7 @@ ranked AS (
   SELECT r.query_id, r.addr_idx, a.x, a.y,
     ROW_NUMBER() OVER (
       PARTITION BY r.query_id
-      ORDER BY (255 - a.weight) * {_U32} + r.addr_idx
+      ORDER BY (255 - (a.weight & 63)) * {_U32} + r.addr_idx
     ) AS rank
   FROM results r
   JOIN ok USING (query_id)

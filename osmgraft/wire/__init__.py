@@ -8,12 +8,14 @@ own sinks. See tests/test_wire_sinks.py.
 """
 
 from .o5m import encode_o5m
+from .ogb import encode_ogb
 from .osmxml import encode_osc, encode_osm_xml
 from .pbf import encode_pbf
 from .spark import write_wire_dir, write_wire_single
 
 __all__ = [
     "encode_o5m",
+    "encode_ogb",
     "encode_osc",
     "encode_osm_xml",
     "encode_pbf",

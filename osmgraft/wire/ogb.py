@@ -1,0 +1,125 @@
+"""K6: .ogb binary geobase writer — the file osmposition loads.
+
+Format per the reader's own spec (dat_ini osmposition.c:1809-1943,
+dat__addr_t osmposition.c:1552-1566), all little-endian:
+
+  0xfb
+  0xe0 len=15 "osmgeobase0000\\0"
+  0x40 len     packed 32-byte address datasets
+               (x:i32, y:i32, region/subregion/city/street/
+                housenumber string indexes:u32, housenumeric:u16,
+                weight:i8, work:u8); dataset 0 is a dummy
+  then per instance (region 1, subregion 2, city 3, street 4,
+  housenumber 5):
+    0x50+i len=40  strn, strlensum, strlenmax, usednsum, usednmax
+    0x60+i len     zero-terminated strings, index 0 = ""
+    0x70+i len     per string: u32 count, refs..., u32 0
+
+Constraints the reader enforces (and the search relies on):
+  - strings SORTED ascending (binary search via strncmp) with ""
+    first;
+  - used-by references ascending per string;
+  - address datasets ordered city-major then street then
+    housenumeric so (city, street) runs are contiguous — the
+    contract dat_addrhousenumber's run walk assumes.
+
+This writer exists to close the loop on the address stack: build
+the geobase with Spark, write .ogb, and the REAL osmposition
+binary answers queries over it — differentially tested against
+address.address_geocode in tests/test_ogb_position.py."""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"\xfb\xe0\x0f\x00\x00\x00\x00\x00\x00\x00osmgeobase0000\x00"
+
+_INSTANCES = (
+    ("region", 1),
+    ("subregion", 2),
+    ("city", 3),
+    ("street", 4),
+    ("housenumber", 5),
+)
+
+
+def _section(tag: int, payload: bytes) -> bytes:
+    return struct.pack("<Bq", tag, len(payload)) + payload
+
+
+def encode_ogb(rows: list[dict]) -> bytes:
+    """rows: address datasets IN FINAL ORDER (city-major, street,
+    housenumeric ascending) with keys x, y, region, subregion,
+    city, street, housenumber, housenumeric, weight. Dataset
+    indexes are 1-based (0 is the dummy the writer prepends)."""
+    # per-instance string tables: "" at 0, remainder byte-sorted
+    tables: dict[str, list[str]] = {}
+    index_of: dict[str, dict[str, int]] = {}
+    for col, _tid in _INSTANCES:
+        vals = sorted(
+            {r.get(col) or "" for r in rows} - {""},
+            key=lambda s: s.encode("utf-8"),
+        )
+        strings = [""] + vals
+        tables[col] = strings
+        index_of[col] = {s: i for i, s in enumerate(strings)}
+
+    # address section (dummy record first)
+    addr = bytearray(struct.pack("<iiIIIIIHbB", *([0] * 10)))
+    used: dict[str, dict[int, list[int]]] = {
+        col: {} for col, _tid in _INSTANCES
+    }
+    for n, r in enumerate(rows, start=1):
+        idxs = {
+            col: index_of[col][r.get(col) or ""]
+            for col, _tid in _INSTANCES
+        }
+        w = int(r["weight"]) & 0xFF  # stored int8; two's complement
+        addr += struct.pack(
+            "<iiIIIIIHbB",
+            int(r["x"]),
+            int(r["y"]),
+            idxs["region"],
+            idxs["subregion"],
+            idxs["city"],
+            idxs["street"],
+            idxs["housenumber"],
+            int(r["housenumeric"]) & 0xFFFF,
+            w - 256 if w > 127 else w,
+            0,
+        )
+        for col, _tid in _INSTANCES:
+            used[col].setdefault(idxs[col], []).append(n)
+
+    out = bytearray(_MAGIC)
+    out += _section(0x40, bytes(addr))
+
+    for col, tid in _INSTANCES:
+        strings = tables[col]
+        raws = [s.encode("utf-8") for s in strings]
+        strlensum = sum(len(b) for b in raws)
+        strlenmax = max((len(b) for b in raws), default=0)
+        counts = [len(used[col].get(i, [])) for i in range(len(strings))]
+        usednsum = sum(counts)
+        usednmax = max(counts, default=0)
+        stats = struct.pack(
+            "<qqqqq",
+            len(strings),
+            strlensum,
+            max(strlenmax, 1),
+            usednsum,
+            usednmax,
+        )
+        out += _section(0x50 + tid, stats)
+        out += _section(
+            0x60 + tid, b"".join(b + b"\x00" for b in raws)
+        )
+        refs = bytearray()
+        for i in range(len(strings)):
+            rl = used[col].get(i, [])
+            refs += struct.pack("<I", len(rl))
+            for ai in rl:
+                refs += struct.pack("<I", ai)
+            refs += struct.pack("<I", 0)
+        out += _section(0x70 + tid, bytes(refs))
+    return bytes(out)
