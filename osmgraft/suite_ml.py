@@ -14,10 +14,8 @@ from pyspark.sql import functions as F
 from .operators.dedup import (
     embed_ann_lsh,
     embed_knn_exact,
-    gram_array,
     hyperplanes,
     minhash_lsh_pairs,
-    simhash16_col,
 )
 
 N_HASHES = 12
