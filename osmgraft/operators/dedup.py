@@ -511,6 +511,106 @@ def embed_ann_banded(
     )
 
 
+def embed_ann_ivf(
+    emb: DataFrame,
+    centroid_filter: Column,
+    query_filter: Column,
+    n_probe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (highest cosine; ties -> lowest centroid id), then answer each
+    query by probing only its n_probe nearest centroids' inverted
+    lists with exact cosine and taking top-k.
+
+    Scale shape: centroids are a broadcast constant (K rows), the
+    assignment is a broadcast nested-loop + map-side max_by partial
+    agg (one row per vector reaches the shuffle), and the probe
+    join shuffles on cluster id — the classic IVF plan. Cluster
+    skew (hot centroids) is AQE skew-join territory; n_probe and K
+    tune recall vs per-list cost independently of corpus size.
+
+    Returns (query_id, neighbor_id, rank, cos_r) — the same shape
+    as embed_knn_exact so recall is directly comparable."""
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col("_n2").alias("n2"),
+    )
+    cents = base.filter(
+        centroid_filter
+    ).select(
+        F.col("vid").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "cid",
+        cosine(
+            F.col("v"), F.col("cv"), F.col("n2"), F.col("cn2")
+        ).alias("_c"),
+    )
+    assign = scored.groupBy("vid").agg(
+        F.max_by(
+            "cid", F.struct(F.col("_c"), -F.col("cid"))
+        ).alias("cluster")
+    )
+
+    from pyspark.sql import Window
+
+    q = base.filter(query_filter).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "qn2",
+        "cid",
+        cosine(
+            F.col("qv"), F.col("cv"), F.col("qn2"), F.col("cn2")
+        ).alias("_c"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("_c"), F.asc("cid")
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "qn2", F.col("cid").alias("cluster"))
+    )
+    lists = base.join(assign, "vid").select(
+        "vid", "v", "n2", "cluster"
+    )
+    cand = probes.join(lists, "cluster").filter(
+        F.col("vid") != F.col("query_id")
+    )
+    scored2 = cand.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        cosine(
+            F.col("qv"), F.col("v"), F.col("qn2"), F.col("n2")
+        ).alias("_cos"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored2.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("_cos", 6).alias("cos_r"),
+        )
+    )
+
+
 def embed_ann_lsh(
     emb: DataFrame,
     n_planes: int = 8,

@@ -262,6 +262,89 @@ FROM n a JOIN n c
 """
 
 
+def q47_embed_ann_ivf(spark, sf_dir):
+    """IVF ANN: nearest-centroid inverted lists, n_probe=2, k=3.
+    Centroids are the vec_id % 64 == 3 vectors; queries are the
+    q31 query set so recall is comparable against exact kNN."""
+    from .suite import load
+
+    from .operators.dedup import embed_ann_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embed_ann_ivf(
+        emb,
+        centroid_filter=F.col("vec_id") % 64 == 3,
+        query_filter=F.col("vec_id") % 50 == 0,
+        n_probe=2,
+        k=3,
+    )
+
+
+_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n
+  WHERE vec_id % 64 = 3
+),
+scored AS (
+  SELECT n.vec_id, c.cid,
+    list_dot_product(n.v, c.cv) / sqrt(n.n2) / sqrt(c.cn2) AS cc
+  FROM n CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cc DESC, cid ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM n
+  WHERE vec_id % 50 = 0
+),
+qs AS (
+  SELECT q.query_id, q.qv, q.qn2, c.cid,
+    list_dot_product(q.qv, c.cv) / sqrt(q.qn2) / sqrt(c.cn2) AS cc
+  FROM q CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, qv, qn2, cid AS cluster FROM (
+    SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cc DESC, cid ASC) AS r
+    FROM qs
+  ) WHERE r <= 2
+),
+cand AS (
+  SELECT p.query_id, p.qv, p.qn2, n.vec_id, n.v, n.n2
+  FROM probes p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN n ON n.vec_id = a.vec_id
+  WHERE n.vec_id <> p.query_id
+),
+sc AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    list_dot_product(qv, v) / sqrt(qn2) / sqrt(n2) AS c
+  FROM cand
+),
+rk AS (
+  SELECT query_id, neighbor_id, c,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(c, 6) AS cos_r
+FROM rk WHERE rank <= 3
+"""
+
+
 BAND_BITS = 6
 N_ANN_BANDS = 3
 
@@ -413,6 +496,7 @@ ML_QUERIES = {
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
     "q44_dedup_clusters": q44_dedup_clusters,
     "q45_embed_ann_banded": q45_embed_ann_banded,
+    "q47_embed_ann_ivf": q47_embed_ann_ivf,
 }
 
 
@@ -424,4 +508,5 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
         "q44_dedup_clusters": _cluster_oracle(),
         "q45_embed_ann_banded": _ann_banded_oracle(),
+        "q47_embed_ann_ivf": _IVF_ORACLE,
     }

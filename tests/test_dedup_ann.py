@@ -222,3 +222,46 @@ def test_simhash_df_matches_column_form(corpus):
     }
     got = {r.doc_id: r.simhash for r in simhash16(corpus).collect()}
     assert got == want
+
+
+def test_ivf_ann_recall_against_exact_knn(spark):
+    """IVF with n_probe=2 over ~8 centroids must recover a solid
+    share of the exact top-3 neighbors, and every returned neighbor
+    must be a true vector with correct exact cosine (IVF only
+    restricts the candidate set, never the scoring)."""
+    import os
+
+    from osmgraft.operators.dedup import (
+        embed_ann_ivf,
+        embed_knn_exact,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("testdata not present")
+    emb = spark.read.parquet(path)
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_r
+        for r in embed_knn_exact(
+            emb, F.col("vec_id") % 50 == 0, k=3
+        ).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cos_r
+        for r in embed_ann_ivf(
+            emb,
+            centroid_filter=F.col("vec_id") % 64 == 3,
+            query_filter=F.col("vec_id") % 50 == 0,
+            n_probe=2,
+            k=3,
+        ).collect()
+    }
+    # scores agree exactly on the overlap
+    for k_, v in ivf.items():
+        if k_ in exact:
+            assert v == exact[k_]
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.3, recall
