@@ -221,8 +221,76 @@ FROM ranked
 """
 
 
-ADDR_QUERIES = {"q46_address_geocode": q46_address_geocode}
+def q48_author_columns(spark, sf_dir):
+    """P7 column drops/fakes over a synthesized authored table:
+    mode = doc_id % 4 selects pass-through / --drop-author /
+    --drop-version / --fake-author, applied as four filtered
+    projections unioned back (the flags are table-level in the
+    reference; per-mode slices make one oracle-checkable query)."""
+    from .suite import load
+    from .operators.authors import author_columns
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 9 + 1).alias("version"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(0)
+        ).otherwise(1500000000 + F.col("doc_id")).alias("ts"),
+        (F.col("doc_id") * 3 % 1000).alias("changeset"),
+        (F.col("doc_id") % 7).alias("uid"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("user"), (F.col("doc_id") % 7).cast("string"))
+        ).alias("user"),
+    )
+    mode = F.col("doc_id") % 4
+    parts = [
+        author_columns(base.filter(mode == 0)),
+        author_columns(base.filter(mode == 1), drop_author=True),
+        author_columns(base.filter(mode == 2), drop_version=True),
+        author_columns(base.filter(mode == 3), fake_author=True),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q48_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+    doc_id % 9 + 1 AS version,
+    CASE WHEN doc_id % 5 = 0 THEN 0
+         ELSE 1500000000 + doc_id END AS ts,
+    doc_id * 3 % 1000 AS changeset,
+    doc_id % 7 AS uid,
+    CASE WHEN doc_id % 7 = 0 THEN ''
+         ELSE 'user' || CAST(doc_id % 7 AS VARCHAR) END AS "user"
+  FROM documents
+)
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 2 THEN 0 WHEN 3 THEN 1
+       ELSE version END AS version,
+  CASE doc_id % 4 WHEN 0 THEN ts WHEN 3 THEN 1
+       ELSE 0 END AS ts,
+  CASE doc_id % 4 WHEN 0 THEN changeset WHEN 3 THEN 1
+       ELSE 0 END AS changeset,
+  CASE WHEN doc_id % 4 = 0 AND uid <> 0 AND "user" <> ''
+       THEN uid ELSE 0 END AS uid,
+  CASE WHEN doc_id % 4 = 0 AND uid <> 0 AND "user" <> ''
+       THEN "user" ELSE '' END AS "user"
+FROM base
+"""
+
+
+ADDR_QUERIES = {
+    "q46_address_geocode": q46_address_geocode,
+    "q48_author_columns": q48_author_columns,
+}
 
 
 def addr_oracle_sqls() -> dict[str, str]:
-    return {"q46_address_geocode": addr_oracle_sql()}
+    return {
+        "q46_address_geocode": addr_oracle_sql(),
+        "q48_author_columns": _Q48_ORACLE,
+    }
