@@ -251,3 +251,40 @@ def read_o5m(
     ways = raw.mapInPandas(_reader(1), WAYS_SCHEMA)
     rels = raw.mapInPandas(_reader(2), RELS_SCHEMA)
     return nodes, ways, rels
+
+
+def _find_dataset(data: bytes, code: int) -> _Buf | None:
+    """Scan the framing for the first dataset with byte `code`
+    (0xdc timestamp / 0xdb border box) and return a _Buf positioned
+    at its body; None if absent before the first object."""
+    buf = _Buf(data)
+    n = len(data)
+    while buf.i < n:
+        b = data[buf.i]
+        if b == 0xFF:
+            buf.i += 1
+            continue
+        if b == 0xFE or 0x10 <= b <= 0x12:
+            return None  # objects begin; header datasets are over
+        buf.i += 1
+        ln = buf.uint()
+        if b == code:
+            return buf
+        buf.i += ln
+    return None
+
+
+def o5m_file_timestamp(data: bytes) -> int | None:
+    """K8 timestamp probe: the 0xdc dataset's sint64 unix seconds
+    (what `osmconvert --out-timestamp` prints;
+    osmconvert.c:8357-8362 writer, 9603-9612 reader)."""
+    buf = _find_dataset(data, 0xDC)
+    return None if buf is None else buf.sint()
+
+
+def o5m_bbox(data: bytes) -> tuple[int, int, int, int] | None:
+    """The 0xdb border-box dataset: (x1, y1, x2, y2) fixed-point."""
+    buf = _find_dataset(data, 0xDB)
+    if buf is None:
+        return None
+    return (buf.sint(), buf.sint(), buf.sint(), buf.sint())

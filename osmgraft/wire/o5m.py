@@ -107,15 +107,41 @@ def _emit_single(tab: _StrTabW, out: bytearray, s: str) -> None:
     tab.emit(out, rs + b"\x00", len(rs) <= _TAB_STR_M)
 
 
-def encode_o5m(nodes, ways, rels, change: bool = False) -> bytes:
+def encode_o5m(
+    nodes,
+    ways,
+    rels,
+    change: bool = False,
+    file_timestamp: int | None = None,
+    bbox: tuple[int, int, int, int] | None = None,
+) -> bytes:
     """Row-dict lists (the readers' shape) -> one complete .o5m
     byte string (or .o5c when change=True — same framing, "o5c2"
     header, osmconvert.c:221-223). Rows must be ordered the way OSM
     files are (ids ascending within each type); tags=None rows
     become delete requests (tombstones), which in a changefile mean
-    "remove this object" when applied to a base snapshot."""
+    "remove this object" when applied to a base snapshot.
+
+    file_timestamp (unix seconds) writes the 0xdc timestamp dataset
+    and bbox (x1, y1, x2, y2 fixed-point) the 0xdb border box, in
+    the reference's order (osmconvert.c:8357-8371) — this is what
+    `osmconvert --out-timestamp` probes (K8) and what
+    updateplan.plan_updates consumes as old_timestamp."""
     hdr = b"o5c2" if change else b"o5m2"
     out = bytearray(b"\xff\xe0\x04" + hdr + b"\xff")
+    if file_timestamp is not None:
+        body = bytearray()
+        _sv(body, int(file_timestamp))
+        out.append(0xDC)
+        _uv(out, len(body))
+        out.extend(body)
+    if bbox is not None:
+        body = bytearray()
+        for v in bbox:
+            _sv(body, int(v))
+        out.append(0xDB)
+        _uv(out, len(body))
+        out.extend(body)
     tab = _StrTabW()
     o5id = o5lat = o5lon = 0
     o5rid = [0, 0, 0]

@@ -236,3 +236,36 @@ def test_changefile_sinks_apply_identically(spark, tmp_path):
     osc = tmp_path / "chg.osc"
     osc.write_text(encode_osc(chg_nodes, [], []))
     assert ref_apply(osc) == want
+
+
+def test_o5m_timestamp_and_bbox_datasets(tmp_path):
+    """K8: the reference's --out-timestamp must read back the 0xdc
+    dataset our writer emits, objects still byte-identical, and our
+    own probes decode both header datasets."""
+    from osmgraft.sources.o5m import o5m_bbox, o5m_file_timestamp
+
+    nodes, ways, rels = parse_xml(_world_xml())
+    ts = 1500000000  # 2017-07-14T02:40:00Z
+    data = encode_o5m(
+        nodes, ways, rels,
+        file_timestamp=ts,
+        bbox=(-300000, 500000 - 299 * 33333, 500000, -300000 + 299 * 77777),
+    )
+    p = tmp_path / "ts.o5m"
+    p.write_bytes(data)
+
+    out = subprocess.run(
+        [f"{REFBIN}/osmconvert", str(p), "--out-timestamp"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    assert out == "2017-07-14T02:40:00Z"
+
+    # header datasets don't perturb the object stream
+    plain = encode_o5m(nodes, ways, rels)
+    q = tmp_path / "plain.o5m"
+    q.write_bytes(plain)
+    assert _ref_csv(p) == _ref_csv(q)
+
+    assert o5m_file_timestamp(data) == ts
+    assert o5m_bbox(data) is not None
+    assert o5m_file_timestamp(plain) is None
