@@ -1,0 +1,77 @@
+"""Distributed dense global index (the scale-safe replacement for
+a single-partition `row_number() OVER (ORDER BY ...)`).
+
+The geobase build (and any .ogb/.o5m single-stream sink) needs a
+total ordering with a dense 1-based index. A global window forces
+every row through ONE task; this utility builds the same index in
+two distributed passes:
+
+  1. repartitionByRange on the order columns + sort within
+     partitions (the total order, distributed);
+  2. count rows per partition (tiny collect: one long per
+     partition — a manifest, not data);
+  3. mapInPandas adds offset[pid] + local position.
+
+The order columns must form a TOTAL order (include a tiebreaker):
+then the index is deterministic regardless of where the range
+sampler places partition boundaries."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "idx",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    parts = (
+        df.repartitionByRange(
+            *( [num_partitions] if num_partitions else [] ),
+            *[F.col(c) for c in order_cols],
+        )
+        .sortWithinPartitions(*order_cols)
+        # pin the partitioning: the count pass and the index pass
+        # must see the identical row placement (the range sampler
+        # must not re-run between jobs)
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r._pid: r._n
+        for r in parts.groupBy(
+            F.spark_partition_id().alias("_pid")
+        )
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    }
+    n_parts = parts.rdd.getNumPartitions()
+    offsets = []
+    acc = start
+    for pid in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(parts.schema.fields)
+        + [StructField(index_col, LongType())]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pos = offsets[TaskContext.get().partitionId()]
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[index_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pdf
+
+    return parts.mapInPandas(gen, schema)

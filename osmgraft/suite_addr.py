@@ -21,7 +21,7 @@ the two sides, so q46 covers parse end-to-end as well."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 _U32 = 1 << 32
 
@@ -53,9 +53,14 @@ def _addresses(spark, sf_dir):
         ((F.col("doc_id") * 13) % 1000000).alias("y"),
         ((F.col("doc_id") * 97) % 256).alias("weight"),
     )
-    w = Window.orderBy("city", "street", "housenumeric", "doc_id")
-    return raw.withColumn(
-        "addr_idx", F.row_number().over(w).cast("long")
+    # distributed dense global index (round-2): no single-partition
+    # window — the geobase ordering scales with the corpus
+    from .operators.indexing import with_global_index
+
+    return with_global_index(
+        raw,
+        ["city", "street", "housenumeric", "doc_id"],
+        index_col="addr_idx",
     ).drop("doc_id")
 
 
