@@ -83,3 +83,99 @@ def write_tiles(
     out.sortWithinPartitions(cell_col).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+# ----------------------------------------------------------------
+# raster <-> vector tile materializer (north_rule)
+# ----------------------------------------------------------------
+
+from ..geo.cells import (  # noqa: E402
+    DEFAULT_SHIFT,
+    LAT_OFFSET,
+    LON_OFFSET,
+    _lon_bits,
+)
+
+
+def _pixel(shift: int, grid_bits: int):
+    """Row-major sub-pixel index inside a cell: the next grid_bits
+    bits of the SAME quantization below the cell shift (div/% so
+    the arithmetic is ANSI-SQL portable)."""
+    sub = 1 << (shift - grid_bits)
+    g = 1 << grid_bits
+    py = ((F.col("lat_i") + LAT_OFFSET) / sub).cast("long") % g
+    px = ((F.col("lon_i") + LON_OFFSET) / sub).cast("long") % g
+    return (py * g + px).alias("pix")
+
+
+def rasterize_tiles(
+    pts: DataFrame,
+    shift: int = DEFAULT_SHIFT,
+    grid_bits: int = 4,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Raster side: per cell, a DENSE 2^grid_bits x 2^grid_bits
+    point-count grid over the cell's sub-pixels, serialized
+    row-major as a comma-joined string (canonical, oracle-robust —
+    same convention as the q40 doc lists).
+
+    Plan: groupBy (cell, pix) with map-side partial counts, then one
+    per-cell merge building the dense grid from a pix->count map —
+    both aggregates algebraic, so megacity cells cost
+    O(#partitions) shuffle rows, not O(points)."""
+    g = 1 << grid_bits
+    counts = pts.select(
+        F.col(cell_col).alias("cell"), _pixel(shift, grid_bits)
+    ).groupBy("cell", "pix").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct("pix", "n"))
+    )
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(g * g - 1)),
+        lambda p: F.coalesce(
+            F.try_element_at(m, p.cast("long")), F.lit(0)
+        ),
+    )
+    return counts.groupBy("cell").agg(
+        F.sum("n").alias("n_docs"),
+        F.array_join(
+            F.transform(grid, lambda v: v.cast("string")), ","
+        ).alias("grid_str"),
+    )
+
+
+def vectorize_tiles(
+    pts: DataFrame,
+    shift: int = DEFAULT_SHIFT,
+    grid_bits: int = 4,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Vector side: occupied sub-pixels as fixed-point boxes
+    (cell, pix, x1, y1, x2, y2, n) — the exact inverse of the
+    raster quantization, so every input point lies inside its box
+    (round-trip property, tests/test_tiles_raster.py)."""
+    sub = 1 << (shift - grid_bits)
+    g = 1 << grid_bits
+    lon_bits = _lon_bits(shift)
+    counts = pts.select(
+        F.col(cell_col).alias("cell"), _pixel(shift, grid_bits)
+    ).groupBy("cell", "pix").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    lat_band = (F.col("cell") / (1 << lon_bits)).cast("long")
+    lon_band = F.col("cell") % (1 << lon_bits)
+    py = (F.col("pix") / g).cast("long")
+    px = F.col("pix") % g
+    y1 = lat_band * (1 << shift) + py * sub - LAT_OFFSET
+    x1 = lon_band * (1 << shift) + px * sub - LON_OFFSET
+    return counts.select(
+        "cell",
+        "pix",
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + sub - 1).alias("x2"),
+        (y1 + sub - 1).alias("y2"),
+        "n",
+    )

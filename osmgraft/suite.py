@@ -696,6 +696,27 @@ def q40_tile_doc_lists(spark, sf_dir):
     )
 
 
+def q49_tile_raster(spark, sf_dir):
+    """raster side of the raster<->vector tile materializer
+    (north_rule): dense 16x16 per-cell count grids, serialized
+    row-major (q40's canonical-string convention)."""
+    from .operators.spatial import with_cell
+    from .operators.tiles import rasterize_tiles
+
+    pts = with_cell(doc_points(spark, sf_dir))
+    return rasterize_tiles(pts)
+
+
+def q50_tile_vector(spark, sf_dir):
+    """vector side: occupied sub-pixels back as exact fixed-point
+    boxes (the inverse quantization)."""
+    from .operators.spatial import with_cell
+    from .operators.tiles import vectorize_tiles
+
+    pts = with_cell(doc_points(spark, sf_dir))
+    return vectorize_tiles(pts)
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -824,6 +845,8 @@ QUERIES = {
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
+    "q49_tile_raster": q49_tile_raster,
+    "q50_tile_vector": q50_tile_vector,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -883,6 +906,49 @@ SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
        COUNT(*) AS n_docs,
        array_to_string(list_sort(list(doc_id)), ',') AS ids_str
 FROM pts GROUP BY 1
+""",
+        "q49_tile_raster": f"""
+WITH {_PTS_CTE},
+cp AS (
+  SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
+         + ((lon_i + {LON_OFFSET}) >> {shift}) AS cell,
+    (((lat_i + {LAT_OFFSET}) // 1024) % 16) * 16
+      + ((lon_i + {LON_OFFSET}) // 1024) % 16 AS pix
+  FROM pts
+),
+counts AS (SELECT cell, pix, COUNT(*) AS n FROM cp GROUP BY 1, 2),
+cells AS (SELECT DISTINCT cell FROM counts),
+series AS (SELECT unnest(range(0, 256)) AS p),
+dense AS (
+  SELECT c.cell, s.p, COALESCE(ct.n, 0) AS v
+  FROM cells c CROSS JOIN series s
+  LEFT JOIN counts ct ON ct.cell = c.cell AND ct.pix = s.p
+)
+SELECT cell, CAST(SUM(v) AS BIGINT) AS n_docs,
+  string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS grid_str
+FROM dense GROUP BY cell
+""",
+        "q50_tile_vector": f"""
+WITH {_PTS_CTE},
+cp AS (
+  SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
+         + ((lon_i + {LON_OFFSET}) >> {shift}) AS cell,
+    (((lat_i + {LAT_OFFSET}) // 1024) % 16) * 16
+      + ((lon_i + {LON_OFFSET}) // 1024) % 16 AS pix
+  FROM pts
+),
+counts AS (SELECT cell, pix, COUNT(*) AS n FROM cp GROUP BY 1, 2)
+SELECT cell, pix,
+  (cell % {1 << lon_bits}) * {1 << shift}
+    + (pix % 16) * 1024 - {LON_OFFSET} AS x1,
+  (cell // {1 << lon_bits}) * {1 << shift}
+    + (pix // 16) * 1024 - {LAT_OFFSET} AS y1,
+  (cell % {1 << lon_bits}) * {1 << shift}
+    + (pix % 16) * 1024 - {LON_OFFSET} + 1023 AS x2,
+  (cell // {1 << lon_bits}) * {1 << shift}
+    + (pix // 16) * 1024 - {LAT_OFFSET} + 1023 AS y2,
+  n
+FROM counts
 """,
         "q41_bpe_tokens": """
 SELECT doc_id,
