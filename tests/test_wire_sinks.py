@@ -24,9 +24,12 @@ pytestmark = pytest.mark.skipif(
     reason="reference binaries not built",
 )
 
+# NB: tag columns must be named explicitly — @keys/@values are not
+# osmconvert CSV pseudo-columns (they print empty), which would make
+# the tag comparison vacuous.
 _CSV_ARGS = [
     "--out-csv",
-    "--csv=@otype @id @lat @lon @keys @values",
+    "--csv=@otype @id @lat @lon amenity name highway long",
     "--csv-separator=|",
 ]
 
@@ -269,3 +272,126 @@ def test_o5m_timestamp_and_bbox_datasets(tmp_path):
     assert o5m_file_timestamp(data) == ts
     assert o5m_bbox(data) is not None
     assert o5m_file_timestamp(plain) is None
+
+
+def _random_world(seed: int):
+    """Seeded random world: unicode strings, XML-escape characters,
+    string-table boundary lengths (around the 250-byte storable
+    limit, incl. multibyte boundaries), both-sign coords, random
+    roles — the hard cases of every wire encoder at once."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [
+        "café", "улица", "日本橋", 'quo"te', "amp&lt",
+        "a<b>c", "apos'x", "x" * 248, "y" * 250, "ß" * 125,
+        "plain", "", "trail ",
+    ]
+    keys = ["amenity", "name", "ref:née", "k4"]
+
+    def tags():
+        return {
+            rng.choice(keys): rng.choice(pool)
+            for _ in range(rng.randint(0, 4))
+        }
+
+    nodes = []
+    nid = 0
+    for _ in range(rng.randint(150, 250)):
+        nid += rng.randint(1, 1000)
+        nodes.append(
+            {
+                "id": nid,
+                "lat_i": rng.randint(-850000000, 850000000),
+                "lon_i": rng.randint(-1799999999, 1799999999),
+                "tags": tags(),
+            }
+        )
+    node_ids = [n["id"] for n in nodes]
+    ways = []
+    wid = nid + 1000
+    for _ in range(rng.randint(20, 40)):
+        wid += rng.randint(1, 50)
+        ways.append(
+            {
+                "id": wid,
+                "refs": [
+                    rng.choice(node_ids)
+                    for _ in range(rng.randint(2, 8))
+                ],
+                "tags": tags(),
+            }
+        )
+    way_ids = [w["id"] for w in ways]
+    rels = []
+    rid = wid + 1000
+    for _ in range(rng.randint(5, 15)):
+        rid += rng.randint(1, 20)
+        members = []
+        for _ in range(rng.randint(1, 6)):
+            t = rng.choice(["node", "way", "relation"])
+            ref = rng.choice(
+                node_ids if t == "node"
+                else way_ids if t == "way"
+                else [rid - 1] if rels else way_ids
+            )
+            if t == "relation" and not rels:
+                t, ref = "way", rng.choice(way_ids)
+            members.append(
+                {
+                    "ref": ref,
+                    "mtype": t,
+                    "role": rng.choice(["outer", "", "rôle", "sub"]),
+                }
+            )
+        rels.append({"id": rid, "members": members, "tags": tags()})
+    return nodes, ways, rels
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_wire_fuzz_roundtrip_vs_reference(tmp_path, seed):
+    """Randomized differential: our XML writer's world, converted
+    by osmconvert to its own .o5m, must read back identically (CSV
+    with real tag columns) to our .o5m and our .pbf of the same
+    world — and everything round-trips through our readers."""
+    nodes, ways, rels = _random_world(seed)
+
+    # own-reader round trips
+    assert parse_o5m(encode_o5m(nodes, ways, rels)) == (
+        nodes, ways, rels,
+    )
+    assert parse_pbf(
+        encode_pbf(nodes, ways, rels, block_objects=64)
+    ) == (nodes, ways, rels)
+    assert parse_xml(encode_osm_xml(nodes, ways, rels)) == (
+        nodes, ways, rels,
+    )
+
+    xml_p = tmp_path / "w.osm"
+    xml_p.write_text(encode_osm_xml(nodes, ways, rels))
+    ref_o5m = tmp_path / "ref.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(xml_p), f"-o={ref_o5m}"],
+        check=True,
+    )
+    cols = "--csv=@otype @id @lat @lon amenity name ref:née k4"
+    args = ["--out-csv", cols, "--csv-separator=|"]
+
+    def csv_of(p):
+        return subprocess.run(
+            [f"{REFBIN}/osmconvert", str(p), *args],
+            check=True, capture_output=True, text=True,
+        ).stdout
+
+    want = csv_of(ref_o5m)
+    assert want.strip()
+
+    ours_o5m = tmp_path / "ours.o5m"
+    ours_o5m.write_bytes(encode_o5m(nodes, ways, rels))
+    assert csv_of(ours_o5m) == want
+
+    ours_pbf = tmp_path / "ours.pbf"
+    ours_pbf.write_bytes(
+        encode_pbf(nodes, ways, rels, block_objects=64)
+    )
+    assert csv_of(ours_pbf) == want
