@@ -183,3 +183,108 @@ def test_osmposition_answers_match_spark_operator(spark, tmp_path):
     assert want_blocks[14] and want_blocks[15], (
         "clamp-to-last quirk must reproduce"
     )
+
+
+def test_osmposition_fuzz_queries(spark, tmp_path):
+    """Seeded random free-text queries (exact names, prefixes,
+    wildcards, wrong case, housenumbers in both syntaxes, garbage)
+    against the real binary — every block must match the Spark
+    operator exactly."""
+    import random
+
+    rng = random.Random(42)
+    rows = _addresses()
+    ogb = tmp_path / "adr.ogb"
+    ogb.write_bytes(encode_ogb(rows))
+
+    cities = sorted({r["city"] for r in rows})
+    streets = sorted({r["street"] for r in rows})
+    queries = []
+    for _ in range(80):
+        kind = rng.randint(0, 6)
+        city = rng.choice(
+            [
+                rng.choice(cities),
+                rng.choice(cities)[: rng.randint(2, 6)],
+                rng.choice(cities) + "*",
+                rng.choice(cities).lower(),
+                "Berlin",
+                "Xyzzy",
+            ]
+        )
+        street = rng.choice(
+            [rng.choice(streets), "Street9", "Str*", "street2"]
+        )
+        hn = str(rng.randint(0, 12))
+        if kind == 0:
+            q = city
+        elif kind == 1:
+            q = f"{street}, {city}"
+        elif kind == 2:
+            q = f"{street} {hn}, {city}"
+        elif kind == 3:
+            q = f"{street}, {hn}, {city}"
+        elif kind == 4:
+            q = f"{street} {hn} // apt {rng.randint(1,9)}, {city}"
+        elif kind == 5:
+            q = f"  {rng.randint(10000, 99999)} {city}"
+        else:
+            q = f"{street} {hn}a, {city}"
+        # avoid the interactive digit-selection branch
+        if q.strip().isdigit() and len(q.strip()) <= 2:
+            q = "City00"
+        queries.append(q)
+
+    # swap the module-level QUERIES for this run
+    global QUERIES
+    saved = QUERIES
+    QUERIES = queries
+    try:
+        want_blocks = _run_osmposition(str(ogb))
+    finally:
+        QUERIES = saved
+
+    adf = spark.createDataFrame(
+        [
+            (
+                i + 1,
+                r["city"],
+                r["street"],
+                r["housenumber"],
+                r["housenumeric"],
+                r["x"],
+                r["y"],
+                r["weight"],
+            )
+            for i, r in enumerate(rows)
+        ],
+        "addr_idx long, city string, street string, "
+        "housenumber string, housenumeric long, x long, y long, "
+        "weight long",
+    )
+    qdf = spark.createDataFrame(
+        list(enumerate(queries)), "query_id long, addr string"
+    )
+    got = address_geocode(adf, qdf)
+    by_idx = {i + 1: r for i, r in enumerate(rows)}
+    got_blocks = [[] for _ in queries]
+    for r in got.orderBy("query_id", "rank").collect():
+        src = by_idx[r.addr_idx]
+        got_blocks[r.query_id].append(
+            (
+                r.rank,
+                _fmt_name(
+                    src["street"], src["housenumber"], src["city"]
+                ),
+                r.x,
+                r.y,
+                src["weight"] & 63,
+            )
+        )
+    mismatches = [
+        (qi, queries[qi], got_blocks[qi], want)
+        for qi, want in enumerate(want_blocks)
+        if got_blocks[qi] != want
+    ]
+    assert not mismatches, mismatches[:3]
+    assert sum(1 for b in want_blocks if b) > 20
