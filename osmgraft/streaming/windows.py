@@ -67,3 +67,48 @@ def run_to_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_flagship(
+    spark: SparkSession,
+    pages_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+):
+    """The FLAGSHIP pipeline as a structured stream: pages files ->
+    geocode (Catalyst token probe) -> cell encode -> broadcast
+    polygon PIP (Arrow UDF — pandas UDFs run unchanged in streaming
+    micro-batches) -> watermarked per-region tumbling-window counts.
+
+    This is the continuous-ingest shape of the engine's main query:
+    a Common-Crawl-style crawl feed lands as files, and region/tile
+    activity materializes incrementally with late-data tolerance —
+    the same plan as flagship_assign per micro-batch, zero shuffles
+    until the windowed aggregate."""
+    from ..fixtures import fixture_polyset
+    from ..operators.spatial import assign_regions, with_cell
+    from ..pages import PAGES_SCHEMA, geocode
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .option("recursiveFileLookup", "true")
+        .parquet(pages_dir)
+    )
+    # same stages as flagship_assign, keeping warc_ts for the
+    # event-time window
+    pts = with_cell(geocode(stream))
+    assigned = assign_regions(
+        pts, fixture_polyset(), prefilter_bbox=False
+    )
+    return (
+        assigned.withColumn("ts", F.col("warc_ts"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "region")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "region",
+            "n_pages",
+        )
+    )

@@ -75,3 +75,52 @@ def test_windowed_activity_with_watermark(spark, tmp_path):
     }
     assert got3[(40, 300)] == (1, 1.0)
     assert got3[(50, 300)] == (1, 2.0)
+
+
+def test_streaming_flagship_counts_match_batch(spark, tmp_path):
+    """The flagship pipeline under structured streaming: per-region
+    windowed page counts over a file-fed pages stream must equal
+    the batch flagship's counts over the same files."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.flagship import flagship_assign
+    from osmgraft.pages import synth_pages
+    from osmgraft.streaming.windows import streaming_flagship
+
+    pages_dir = tmp_path / "pages"
+    synth_pages(spark, 4000, partitions=4).write.parquet(
+        str(pages_dir / "b1")
+    )
+
+    batch = flagship_assign(
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            str(pages_dir)
+        )
+    )
+    want = {
+        r.region: r.n for r in batch.groupBy("region").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+
+    q = (
+        streaming_flagship(spark, str(pages_dir), window="1 hour")
+        .writeStream.format("memory")
+        .queryName("flag_stream")
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_rows = spark.sql(
+            "SELECT region, SUM(n_pages) AS n FROM flag_stream "
+            "GROUP BY region"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.region: r.n for r in got_rows}
+    assert got == want
+    assert sum(want.values()) > 0
