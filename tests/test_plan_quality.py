@@ -153,3 +153,24 @@ def test_minhash_plan_uses_partial_aggregation(spark):
     assert "partial_min" in plan or "HashAggregate" in plan
     first_agg = plan.rindex("HashAggregate")
     assert "Exchange" in plan[:first_agg] or "Exchange" in plan
+
+
+def test_ann_small_sides_are_broadcast(spark):
+    """banded-ANN signatures stay in-row (no shuffle before the
+    band self-join) and IVF's centroid side is broadcast, never
+    shuffled."""
+    from osmgraft.operators.dedup import embed_ann_ivf
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 31 + d) % 7) for d in range(8)])
+         for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(
+        embed_ann_ivf(
+            emb,
+            centroid_filter=F.col("vec_id") % 10 == 0,
+            query_filter=F.col("vec_id") % 25 == 0,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

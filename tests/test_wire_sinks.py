@@ -168,6 +168,13 @@ def test_wire_dir_distributed_roundtrip(spark, tmp_path):
     got2 = canon(read_osm_xml(spark, str(out2)))
     assert got2 == want
 
+    from osmgraft.sources.pbf import read_pbf
+
+    out3 = tmp_path / "parts_pbf"
+    write_wire_dir(nodes, ways, rels, str(out3), fmt="pbf", parts=3)
+    got3 = canon(read_pbf(spark, str(out3)))
+    assert got3 == want
+
 
 def test_changefile_sinks_apply_identically(spark, tmp_path):
     """Change-file writers (.o5c and .osc): osmconvert applying OUR
