@@ -103,3 +103,45 @@ def diff(
         .filter(F.col("action").isNotNull())
         .select(*key_cols, "action")
     )
+
+
+def diff_changefile(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """J6 + C1 composed: the change rows that transform `old` into
+    `new` — creates/modifies carry the NEW payload, deletes are
+    tombstones (deleted=true, null payload). Feed the result to the
+    .o5c/.osc writers (wire/) and the reference binary applying it
+    to `old` reproduces `new` exactly
+    (tests/test_wire_sinks.py::test_diff_changefile_roundtrip).
+
+    compare_cols (default payload_cols) drive the change
+    detection — pass canonicalized derivations for unorderable
+    payload types (Spark cannot equality-compare structs holding
+    maps; e.g. compare on array_sort(map_entries(tags)) cast to
+    string while the payload keeps the map).
+
+    One full-outer shuffle (the diff) + one key-join to pull the
+    new payloads; unchanged rows never leave the diff."""
+    d = diff(old, new, key_cols, compare_cols or payload_cols)
+    upserts = (
+        d.filter(F.col("action") != "delete")
+        .select(*key_cols)
+        .join(new, key_cols)
+        .select(
+            *key_cols, *payload_cols, F.lit(False).alias("deleted")
+        )
+    )
+    deletes = d.filter(F.col("action") == "delete").select(
+        *key_cols,
+        *[
+            F.lit(None).cast(new.schema[c].dataType).alias(c)
+            for c in payload_cols
+        ],
+        F.lit(True).alias("deleted"),
+    )
+    return upserts.unionByName(deletes)

@@ -402,3 +402,79 @@ def test_wire_fuzz_roundtrip_vs_reference(tmp_path, seed):
         encode_pbf(nodes, ways, rels, block_objects=64)
     )
     assert csv_of(ours_pbf) == want
+
+
+def test_diff_changefile_roundtrip(spark, tmp_path):
+    """snapshot-to-snapshot replication through the reference:
+    diff(old, new) -> our .o5c changefile -> osmconvert applies it
+    to our old.o5m -> result must equal our new.o5m, byte-for-byte
+    in osmconvert's own CSV view."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.merge import diff_changefile
+
+    old_nodes = [
+        {"id": i, "lat_i": i * 100, "lon_i": -i * 50,
+         "tags": {"name": f"n{i}"}}
+        for i in range(1, 31)
+    ]
+    new_nodes = [
+        dict(n, tags=dict(n["tags"])) for n in old_nodes
+        if n["id"] % 7 != 0          # delete every 7th
+    ]
+    for n in new_nodes:
+        if n["id"] % 5 == 0:         # modify every 5th survivor
+            n["tags"]["name"] = f"renamed{n['id']}"
+            n["lat_i"] += 11
+    new_nodes.append(
+        {"id": 99, "lat_i": 1, "lon_i": 2, "tags": {"name": "new"}}
+    )
+    new_nodes.sort(key=lambda n: n["id"])
+
+    schema = (
+        "id long, lat_i long, lon_i long, tags map<string,string>"
+    )
+    odf = spark.createDataFrame(
+        [(n["id"], n["lat_i"], n["lon_i"], n["tags"])
+         for n in old_nodes], schema
+    )
+    ndf = spark.createDataFrame(
+        [(n["id"], n["lat_i"], n["lon_i"], n["tags"])
+         for n in new_nodes], schema
+    )
+    canon_tags = F.array_sort(F.map_entries("tags")).cast("string")
+    chg = diff_changefile(
+        odf.withColumn("_t", canon_tags),
+        ndf.withColumn("_t", canon_tags),
+        ["id"],
+        ["lat_i", "lon_i", "tags"],
+        compare_cols=["lat_i", "lon_i", "_t"],
+    )
+    rows = sorted(
+        (
+            {"id": r.id, "lat_i": r.lat_i, "lon_i": r.lon_i,
+             "tags": None if r.deleted else dict(r.tags)}
+            for r in chg.collect()
+        ),
+        key=lambda n: n["id"],
+    )
+    assert any(r["tags"] is None for r in rows)
+
+    old_p = tmp_path / "old.o5m"
+    old_p.write_bytes(encode_o5m(old_nodes, [], []))
+    new_p = tmp_path / "new.o5m"
+    new_p.write_bytes(encode_o5m(new_nodes, [], []))
+    chg_p = tmp_path / "chg.o5c"
+    chg_p.write_bytes(encode_o5m(rows, [], [], change=True))
+
+    args = ["--out-csv", "--csv=@id @lat @lon name",
+            "--csv-separator=|"]
+    applied = subprocess.run(
+        [f"{REFBIN}/osmconvert", str(old_p), str(chg_p), *args],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    want = subprocess.run(
+        [f"{REFBIN}/osmconvert", str(new_p), *args],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    assert applied == want
