@@ -123,3 +123,103 @@ def encode_ogb(rows: list[dict]) -> bytes:
             refs += struct.pack("<I", 0)
         out += _section(0x70 + tid, bytes(refs))
     return bytes(out)
+
+
+def write_ogb(
+    addresses, path: str, id_col: str = "addr_idx"
+) -> int:
+    """DataFrame sink: write the .ogb from an addresses DataFrame
+    (the shape address.address_geocode consumes, plus optional
+    region/subregion columns) without materializing the rows as a
+    Python list.
+
+    Two passes: (1) the per-instance string tables from distinct()
+    — names are the SMALL dimension of a geobase; (2) the datasets
+    streamed in id order via toLocalIterator (memory: O(one
+    partition) for rows + O(total refs) for the used-by lists —
+    the same envelope as the CONSUMER, which mallocs the whole file
+    (osmposition.c:1913), so .ogb targets gazetteer-scale address
+    tables, not the raw corpus). Returns the dataset count."""
+    import struct as _struct
+
+    cols = [c for c, _t in _INSTANCES]
+    tables: dict[str, list[str]] = {}
+    index_of: dict[str, dict[str, int]] = {}
+    for col in cols:
+        has = col in addresses.columns
+        vals = (
+            sorted(
+                {
+                    r[0]
+                    for r in addresses.select(col).distinct().collect()
+                    if r[0]
+                },
+                key=lambda s: s.encode("utf-8"),
+            )
+            if has
+            else []
+        )
+        tables[col] = [""] + vals
+        index_of[col] = {s: i for i, s in enumerate(tables[col])}
+
+    addr = bytearray(_struct.pack("<iiIIIIIHbB", *([0] * 10)))
+    used: dict[str, dict[int, list[int]]] = {c: {} for c in cols}
+    n = 0
+    for r in addresses.orderBy(id_col).toLocalIterator():
+        n += 1
+        d = r.asDict()
+        idxs = {
+            c: index_of[c].get(d.get(c) or "", 0) for c in cols
+        }
+        w = int(d["weight"]) & 0xFF
+        addr += _struct.pack(
+            "<iiIIIIIHbB",
+            int(d["x"]),
+            int(d["y"]),
+            idxs["region"],
+            idxs["subregion"],
+            idxs["city"],
+            idxs["street"],
+            idxs["housenumber"],
+            int(d["housenumeric"]) & 0xFFFF,
+            w - 256 if w > 127 else w,
+            0,
+        )
+        for c in cols:
+            used[c].setdefault(idxs[c], []).append(n)
+
+    out = bytearray(_MAGIC)
+    out += _section(0x40, bytes(addr))
+    for col, tid in _INSTANCES:
+        strings = tables[col]
+        raws = [s.encode("utf-8") for s in strings]
+        strlensum = sum(len(b) for b in raws)
+        strlenmax = max((len(b) for b in raws), default=0)
+        counts = [
+            len(used[col].get(i, [])) for i in range(len(strings))
+        ]
+        out += _section(
+            0x50 + tid,
+            _struct.pack(
+                "<qqqqq",
+                len(strings),
+                strlensum,
+                max(strlenmax, 1),
+                sum(counts),
+                max(counts, default=0),
+            ),
+        )
+        out += _section(
+            0x60 + tid, b"".join(b + b"\x00" for b in raws)
+        )
+        refs = bytearray()
+        for i in range(len(strings)):
+            rl = used[col].get(i, [])
+            refs += _struct.pack("<I", len(rl))
+            for ai in rl:
+                refs += _struct.pack("<I", ai)
+            refs += _struct.pack("<I", 0)
+        out += _section(0x70 + tid, bytes(refs))
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return n

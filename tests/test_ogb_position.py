@@ -288,3 +288,40 @@ def test_osmposition_fuzz_queries(spark, tmp_path):
     ]
     assert not mismatches, mismatches[:3]
     assert sum(1 for b in want_blocks if b) > 20
+
+
+def test_write_ogb_dataframe_sink_matches_list_encoder(
+    spark, tmp_path
+):
+    """the DataFrame .ogb sink must produce byte-identical output
+    to the list encoder on the same rows, and the binary must load
+    it."""
+    from osmgraft.wire.ogb import write_ogb
+
+    rows = _addresses()
+    want = encode_ogb(rows)
+    adf = spark.createDataFrame(
+        [
+            (
+                i + 1, r["region"], r["subregion"], r["city"],
+                r["street"], r["housenumber"], r["housenumeric"],
+                r["x"], r["y"], r["weight"],
+            )
+            for i, r in enumerate(rows)
+        ],
+        "addr_idx long, region string, subregion string, "
+        "city string, street string, housenumber string, "
+        "housenumeric long, x long, y long, weight long",
+    )
+    p = tmp_path / "df.ogb"
+    n = write_ogb(adf, str(p))
+    assert n == len(rows)
+    assert p.read_bytes() == want
+
+    proc = subprocess.run(
+        [f"{REFBIN}/osmposition", str(p)],
+        input="City03\n",
+        capture_output=True,
+        text=True,
+    )
+    assert "City03" in proc.stdout
