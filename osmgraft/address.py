@@ -151,6 +151,14 @@ def address_geocode(
 
     Returns (query_id, rank, addr_idx, x, y) — ranked matches, or
     no rows for a query with zero or > max_results results."""
+    # collapse barrier: the parse references `addr` ~30 times, and
+    # ProjectCollapse would inline whatever expression BUILT addr
+    # into every reference — synthesized query tables then blow the
+    # 64KB whole-stage-codegen limit and fall back to interpreted
+    # eval. The query side is tiny; pinning it costs one no-op job.
+    queries = queries.select("query_id", "addr").localCheckpoint(
+        eager=False
+    )
     st, hn, ct = parse_address(F.col("addr"))
     q = queries.select(
         "query_id",
