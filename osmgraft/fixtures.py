@@ -139,20 +139,3 @@ def place_for_doc(doc_id):
     out = np.where(d == 0, -1, np.where(d <= 3, 0, city))
     return out.astype(np.int64)
 
-
-def place_sql(doc_col: str = "doc_id") -> dict[str, str]:
-    """The same planting rule as ANSI SQL snippets (DuckDB oracle).
-
-    Returns {'h','d','city'} expression strings over doc_col.
-    """
-    h = f"(({doc_col} * {HASH_MULT}) % {HASH_MOD})"
-    d = f"({h} % 10)"
-    city = f"(({h} // 10) % {N_CITIES})"
-    return {"h": h, "d": d, "city": city}
-
-
-def city_coords_sql(city_expr: str) -> tuple[str, str]:
-    """lat_i/lon_i SQL expressions for a city-index expression."""
-    lon = f"(102500000 + 3800000 * ({city_expr} % {_GRID_W}))"
-    lat = f"(472500000 + 4700000 * ({city_expr} // {_GRID_W}))"
-    return lat, lon
