@@ -25,8 +25,11 @@ Semantics composed from the differentially-tested operators:
     .pbf) through the wire writers, or --out-csv through the K4
     sink with reference separator-collision handling.
 
+The CSV path emits node rows (coordinate columns); object-type
+column spreads over ways/relations follow the library operators.
 Differentially tested against the compiled binaries in
-tests/test_cli_convert.py."""
+tests/test_cli_convert.py (format conversion, -b and -B clipping,
+--drop-broken-refs, --keep vs osmfilter, byte-exact CSV, merge)."""
 
 from __future__ import annotations
 

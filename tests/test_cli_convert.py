@@ -178,3 +178,36 @@ def test_cli_merge_multiple_inputs(spark, tmp_path):
     )
     assert "1|0.0000009|0.0000008|new" in got
     assert "2|" in got
+
+
+def test_cli_poly_clip_matches_osmconvert(spark, tmp_path):
+    """-B= border clipping through the CLI vs osmconvert -B."""
+    lines = ['<?xml version="1.0"?>', '<osm version="0.6">']
+    for i in range(1, 301):
+        lat = (-400000 + i * 3337) / 1e7
+        lon = (-200000 + i * 2221) / 1e7
+        lines.append(
+            f'<node id="{i}" lat="{lat:.7f}" lon="{lon:.7f}"'
+            ' version="1"/>'
+        )
+    lines.append("</osm>")
+    osm = tmp_path / "p.osm"
+    osm.write_text("\n".join(lines))
+    poly = tmp_path / "m.poly"
+    poly.write_text(
+        "m\n1\n   -0.01  -0.02\n   0.05  -0.02\n   0.05  0.04\n"
+        "   -0.01  0.04\nEND\nEND\n"
+    )
+
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [str(osm), f"-B={poly}", f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [
+            f"{REFBIN}/osmconvert", str(osm), f"-B={poly}",
+            f"-o={theirs}",
+        ],
+        check=True,
+    )
+    cols = ["--out-csv", "--csv=@id @lat @lon", "--csv-separator=|"]
+    assert _ref_csv(str(ours), *cols) == _ref_csv(str(theirs), *cols)
