@@ -8,32 +8,77 @@ invocations against the Spark implementation unchanged:
         --drop-broken-refs -o=clip.o5m
     python tools/osmgraft_convert.py in.osm -B=region.poly -o=r.osm
     python tools/osmgraft_convert.py in.o5m --out-csv \\
-        "--csv=@id @lat @lon name" "--csv-separator=|"
+        "--csv=@otype @id @lat @lon name" "--csv-separator=|"
     python tools/osmgraft_convert.py in.osm \\
         "--keep=place=city or population>=10000" -o=cities.o5m
+    python tools/osmgraft_convert.py in.osm --all-to-nodes -o=n.o5m
+    python tools/osmgraft_convert.py in.osm -b=... --complete-ways \\
+        -o=c.o5m
+    python tools/osmgraft_convert.py in.osm --out-statistics
+    python tools/osmgraft_convert.py in.osm --out-key
+    python tools/osmgraft_convert.py in.osm "--out-count=highway"
+    python tools/osmgraft_convert.py in.osm \\
+        "--modify-tags=highway=track to highway=path" -o=m.o5m
 
 Semantics composed from the differentially-tested operators:
   - inputs sniffed by magic bytes (S5), multiple inputs merged with
     last-wins override (J3, osmconvert.c:11158-11164);
-  - -b / -B keep nodes inside (P1/P2), ways with >= 1 kept node
-    (G3 clip decision), relations with >= 1 kept member;
-  - --drop-broken-refs removes refs/members pointing at dropped
-    objects and empties vanish (P8);
   - --keep compiles the osmfilter predicate language to Catalyst
-    (P3) over the tag map;
+    (P3) over the tag map (osmfilter semantics: applied to every
+    object kind independently, --ignore-dependencies style);
+  - --keep-tags/--drop-tags prune the tag list (P5,
+    osmfilter.c:2980-3021), --modify-tags rewrites it (P6);
+  - -b / -B keep nodes inside (P1/P2), ways with >= 1 kept node
+    (G3 clip decision), relations with >= 1 kept node/way member
+    PLUS the inter-relation closure (relations referencing kept
+    relations, oo__rrprocessing osmconvert.c:9083-9131);
+  - --complete-ways pulls back every node of a partially-inside
+    way (G4, osmconvert.c:11305-11365);
+  - --drop-broken-refs activates the keep-hash even without a
+    border (hashactive osmconvert.c:10427): ways keep >= 1
+    resolvable ref, refs/members pointing at dropped objects are
+    pruned and emptied objects vanish (P8);
+  - --all-to-nodes (G5) replaces ways by center nodes (id +
+    1e15) and relations by center nodes (id + 2e15), reproducing
+    the reference's exact center selection (osmconvert.c:
+    11561-11702 for ways; posr_processing 6917-7070 for
+    relations, including its last-member-wins scan for non-area
+    relations) via iterative member-position resolution;
+  - --out-statistics prints the file summary in the reference's
+    exact text format (osmconvert.c:11919-11984); timestamp
+    lines are omitted because the engine's scan schema carries no
+    author metadata (the reference omits them too when the input
+    has none);
+  - --out-key / --out-count print tag-key (or tag-value)
+    frequency tables in osmfilter's "%11i\\tname" format with its
+    sort orders (count_ module, osmfilter.c:1791-1906);
   - output format chosen by -o extension (.osm/.o5m/.o5c/.osc/
     .pbf) through the wire writers, or --out-csv through the K4
-    sink with reference separator-collision handling.
+    sink; CSV rows cover all three object kinds in stream order
+    with @otype/@oname spreads (csv_ osmconvert.c:3253-3262,
+    wo_way osmconvert.c:8646-8664).
 
-The CSV path emits node rows (coordinate columns); object-type
-column spreads over ways/relations follow the library operators.
+Statistics are computed over the post---keep, pre-border stream
+(the reference's statistics block runs before the border check,
+osmconvert.c:11420-11490); combining --out-statistics with -b/-B
+is therefore supported but reflects the unclipped stream, exactly
+like a single-pass reference run.
+
 Differentially tested against the compiled binaries in
-tests/test_cli_convert.py (format conversion, -b and -B clipping,
---drop-broken-refs, --keep vs osmfilter, byte-exact CSV, merge)."""
+tests/test_cli_convert.py and tests/test_cli_flags.py."""
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# --all-to-nodes pseudo-id offsets (global_otypeoffset10/20,
+# osmconvert.c:632-693): ways -> id + 1e15, relations -> id + 2e15
+OFF10 = 1_000_000_000_000_000
+OFF20 = 2 * OFF10
+
+_MAX_REL_PASSES = 12
 
 
 def _parse_args(argv: list[str]) -> dict:
@@ -42,9 +87,18 @@ def _parse_args(argv: list[str]) -> dict:
         "bbox": None,
         "poly": None,
         "keep": None,
+        "keep_tags": None,
+        "drop_tags": None,
+        "modify_tags": None,
         "drop_broken_refs": False,
+        "complete_ways": False,
+        "all_to_nodes": False,
         "out": None,
         "out_csv": False,
+        "out_statistics": False,
+        "out_key": None,       # "" => list keys; else key pattern
+        "out_sort": False,     # --out-count
+        "emulate": None,       # pbf2osm | osmosis
         "csv_cols": "@id @lon @lat",
         "csv_sep": "\t",
     }
@@ -55,8 +109,31 @@ def _parse_args(argv: list[str]) -> dict:
             opts["poly"] = a[3:]
         elif a.startswith("--keep="):
             opts["keep"] = a[7:]
+        elif a.startswith("--keep-tags="):
+            opts["keep_tags"] = a[12:]
+        elif a.startswith("--drop-tags="):
+            opts["drop_tags"] = a[12:]
+        elif a.startswith("--modify-tags="):
+            opts["modify_tags"] = a[14:]
         elif a == "--drop-broken-refs":
             opts["drop_broken_refs"] = True
+        elif a == "--complete-ways":
+            opts["complete_ways"] = True
+        elif a == "--all-to-nodes":
+            opts["all_to_nodes"] = True
+        elif a == "--out-statistics":
+            opts["out_statistics"] = True
+        elif a == "--out-key" or a.startswith("--out-key="):
+            opts["out_key"] = a[10:] if a.startswith("--out-key=") else ""
+        elif a == "--out-count" or a.startswith("--out-count="):
+            opts["out_key"] = (
+                a[12:] if a.startswith("--out-count=") else ""
+            )
+            opts["out_sort"] = True
+        elif a == "--emulate-pbf2osm":
+            opts["emulate"] = "pbf2osm"
+        elif a == "--emulate-osmosis":
+            opts["emulate"] = "osmosis"
         elif a.startswith("-o="):
             opts["out"] = a[3:]
         elif a == "--out-csv":
@@ -74,7 +151,12 @@ def _parse_args(argv: list[str]) -> dict:
     return opts
 
 
-def _apply_spatial(nodes, ways, rels, opts):
+# ----------------------------------------------------------------
+# spatial keep + ref-graph pruning
+# ----------------------------------------------------------------
+
+
+def _inside_nodes(nodes: DataFrame, opts: dict) -> DataFrame:
     from .geo.fixedpoint import deg_to_fix_trunc
     from .operators.spatial import bbox_contains, filter_border
 
@@ -91,23 +173,93 @@ def _apply_spatial(nodes, ways, rels, opts):
         with open(opts["poly"]) as f:
             es = parse_border(f.read())
         nodes = filter_border(nodes, es)
-    if opts["bbox"] is None and opts["poly"] is None:
+    return nodes
+
+
+def _rel_keep_closure(
+    rels: DataFrame, direct: DataFrame
+) -> DataFrame:
+    """Inter-relation keep propagation (oo__rrprocessing,
+    osmconvert.c:9083-9131): a relation whose RELATION member is
+    kept becomes kept, to a fixpoint. The rel->rel edge set is tiny
+    relative to the data (relations referencing relations), so each
+    pass is one broadcast-able semi-join; one driver job per pass
+    via localCheckpoint, capped like the reference's maxrewind."""
+    edges = (
+        rels.select("id", F.explode("members").alias("m"))
+        .filter(F.col("m.mtype") == "relation")
+        .select("id", F.col("m.ref").alias("ref"))
+        .localCheckpoint(eager=True)
+    )
+    kept = direct.localCheckpoint(eager=True)
+    for _ in range(_MAX_REL_PASSES):
+        grown = (
+            edges.join(
+                kept.select(F.col("id").alias("ref")), "ref", "left_semi"
+            )
+            .select("id")
+            .unionByName(kept)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == kept.count():
+            return grown
+        kept = grown
+    import warnings
+
+    warnings.warn(
+        "relation keep closure did not converge within "
+        f"{_MAX_REL_PASSES} passes (reference maxrewind behavior: "
+        "deeper hierarchies stay dropped)",
+        stacklevel=2,
+    )
+    return kept
+
+
+def _apply_spatial(nodes, ways, rels, opts):
+    """Border / ref-graph stage. Returns the kept (nodes, ways,
+    rels). --drop-broken-refs alone activates the keep-hash exactly
+    like the reference (hashactive = border_active ||
+    global_dropbrokenrefs, osmconvert.c:10427)."""
+    spatial = opts["bbox"] is not None or opts["poly"] is not None
+    hash_active = spatial or opts["drop_broken_refs"]
+    if not hash_active:
         return nodes, ways, rels
 
-    # ways with >= 1 kept node (G3); relations with >= 1 kept member
-    kept_ids = nodes.select(F.col("id").alias("ref"))
+    inside = _inside_nodes(nodes, opts) if spatial else nodes
+
     wref = ways.select("id", F.explode("refs").alias("ref"))
+    kept_node_ids = inside.select(F.col("id").alias("ref"))
     kept_way_ids = (
-        wref.join(kept_ids, "ref", "left_semi").select("id").distinct()
+        wref.join(kept_node_ids, "ref", "left_semi")
+        .select("id")
+        .distinct()
     )
+
+    if opts["complete_ways"] and spatial:
+        # G4: pull back every ref of a partially-inside way
+        pulled = (
+            ways.join(kept_way_ids, "id", "left_semi")
+            .select(F.explode("refs").alias("id"))
+            .distinct()
+        )
+        nodes = nodes.join(
+            pulled.unionByName(inside.select("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        kept_node_ids = nodes.select(F.col("id").alias("ref"))
+    else:
+        nodes = inside
+
     ways = ways.join(kept_way_ids, "id", "left_semi")
-    mref = rels.select(
-        "id",
-        F.explode("members").alias("m"),
-    ).select("id", F.col("m.ref").alias("ref"), F.col("m.mtype").alias("t"))
-    kept_rel_ids = (
+
+    mref = rels.select("id", F.explode("members").alias("m")).select(
+        "id", F.col("m.ref").alias("ref"), F.col("m.mtype").alias("t")
+    )
+    direct = (
         mref.filter(F.col("t") == "node")
-        .join(kept_ids, "ref", "left_semi")
+        .join(kept_node_ids, "ref", "left_semi")
         .select("id")
         .unionByName(
             mref.filter(F.col("t") == "way")
@@ -120,60 +272,469 @@ def _apply_spatial(nodes, ways, rels, opts):
         )
         .distinct()
     )
+    kept_rel_ids = _rel_keep_closure(rels, direct)
     rels = rels.join(kept_rel_ids, "id", "left_semi")
 
     if opts["drop_broken_refs"]:
-        # P8 on ways...
-        ex = ways.select("id", F.posexplode("refs").alias("j", "ref"))
-        kept = ex.join(kept_ids, "ref", "left_semi")
-        ways = (
-            kept.groupBy("id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "ref"))),
-                    lambda s: s.ref,
-                ).alias("refs")
-            )
-            .filter(F.size("refs") > 0)
-            .join(ways.select("id", "tags"), "id")
-            .select("id", "refs", "tags")
-        )
-        # ...and relation members (node/way members only here; the
-        # rel->rel closure lives in graph.rel_closure_*)
-        mex = rels.select(
-            "id", F.posexplode("members").alias("j", "m")
-        )
-        mkept = mex.filter(F.col("m.mtype") == "node").join(
-            kept_ids.select(F.col("ref").alias("_r")),
-            F.col("m.ref") == F.col("_r"),
-            "left_semi",
-        ).unionByName(
-            mex.filter(F.col("m.mtype") == "way").join(
-                ways.select(F.col("id").alias("_r")),
-                F.col("m.ref") == F.col("_r"),
-                "left_semi",
-            )
-        ).unionByName(mex.filter(F.col("m.mtype") == "relation"))
-        rels = (
-            mkept.groupBy("id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "m"))),
-                    lambda s: s.m,
-                ).alias("members")
-            )
-            .filter(F.size("members") > 0)
-            .join(rels.select("id", "tags"), "id")
-            .select("id", "members", "tags")
+        nodes, ways, rels = _drop_broken(
+            nodes, ways, rels, kept_way_ids, kept_rel_ids
         )
     return nodes, ways, rels
 
 
+def _drop_broken(nodes, ways, rels, kept_way_ids, kept_rel_ids):
+    """P8: prune refs/members pointing at dropped objects; objects
+    left empty vanish (osmconvert.c:11683-11687, stage-33 member
+    pruning 11872-11886)."""
+    kept_node_ids = nodes.select(F.col("id").alias("ref"))
+    ex = ways.select("id", F.posexplode("refs").alias("j", "ref"))
+    kept = ex.join(kept_node_ids, "ref", "left_semi")
+    ways = (
+        kept.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "ref"))),
+                lambda s: s.ref,
+            ).alias("refs")
+        )
+        .filter(F.size("refs") > 0)
+        .join(ways.select("id", "tags"), "id")
+        .select("id", "refs", "tags")
+    )
+    mex = rels.select("id", F.posexplode("members").alias("j", "m"))
+    mkept = (
+        mex.filter(F.col("m.mtype") == "node")
+        .join(
+            kept_node_ids.select(F.col("ref").alias("_r")),
+            F.col("m.ref") == F.col("_r"),
+            "left_semi",
+        )
+        .unionByName(
+            mex.filter(F.col("m.mtype") == "way").join(
+                kept_way_ids.select(F.col("id").alias("_r")),
+                F.col("m.ref") == F.col("_r"),
+                "left_semi",
+            )
+        )
+        .unionByName(
+            mex.filter(F.col("m.mtype") == "relation").join(
+                kept_rel_ids.select(F.col("id").alias("_r")),
+                F.col("m.ref") == F.col("_r"),
+                "left_semi",
+            )
+        )
+    )
+    rels = (
+        mkept.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m"))),
+                lambda s: s.m,
+            ).alias("members")
+        )
+        .filter(F.size("members") > 0)
+        .join(rels.select("id", "tags"), "id")
+        .select("id", "members", "tags")
+    )
+    return nodes, ways, rels
+
+
+# ----------------------------------------------------------------
+# --all-to-nodes (G5): ways/relations -> center pseudo-nodes
+# ----------------------------------------------------------------
+
+
+def _way_centers(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Way center nodes (id + OFF10): exact reference selection
+    (osmconvert.c:11561-11640) — closed way: trunc-division bbox
+    middle; open way: FIRST ref (in ref order) minimizing the
+    Manhattan distance to the middle. Reuses the oracle-tested
+    way_geometry kernel (operators/graph.py:114)."""
+    from .operators.graph import way_geometry
+
+    w = ways.select(
+        F.col("id").alias("way_id"),
+        F.coalesce(
+            F.try_element_at("refs", F.lit(1))
+            == F.try_element_at("refs", F.lit(-1)),
+            F.lit(False),
+        ).alias("is_closed"),
+        "refs",
+    )
+    n = nodes.select(F.col("id").alias("doc_id"), "lat_i", "lon_i")
+    geo = way_geometry(w, n)  # ways with zero resolvable refs vanish
+    return geo.join(
+        ways.select(F.col("id").alias("way_id"), "tags"), "way_id"
+    ).select(
+        (F.col("way_id") + F.lit(OFF10)).alias("id"),
+        F.col("center_lat").alias("lat_i"),
+        F.col("center_lon").alias("lon_i"),
+        "tags",
+    )
+
+
+_AREA_KEYS = ("highway", "waterway", "railway", "aerialway", "power",
+              "route")
+
+
+def _rel_centers(
+    rels: DataFrame, node_pos: DataFrame, way_pos: DataFrame
+) -> DataFrame:
+    """Relation center nodes (id + OFF20) by iterative member-
+    position resolution (posr_processing, osmconvert.c:6917-7070):
+
+    - member positions: node -> node coord, way -> way CENTER,
+      relation -> that relation's (already resolved) center;
+    - a relation resolves only once ALL its relation-type members
+      are resolved; members referencing missing relations (or
+      cycles) never resolve, so those relations are dropped —
+      exactly the reference's posi_nil behavior;
+    - node/way members with unknown positions are silently
+      skipped; a relation needs >= 1 valid member position;
+    - is_area = no highway/waterway/railway/aerialway/power/route
+      key, or area=yes (osmconvert.c:11752-11766); area relations
+      take the trunc-division bbox middle of their member
+      positions, NON-area relations take the LAST valid member's
+      position — replicating the reference's scan at
+      osmconvert.c:6977-6994, whose distance loop never updates
+      its candidate and therefore always keeps the final member.
+
+    One driver job per pass (localCheckpoint + count), bounded like
+    maxrewind. Plain min/max bbox: the reference's 9e8 anti-
+    wraparound guard (osmconvert.c:7036-7060) only diverges on
+    member spreads wider than 90 degrees of longitude."""
+    has_hw = F.arrays_overlap(
+        F.map_keys("tags"),
+        F.array(*[F.lit(k) for k in _AREA_KEYS]),
+    )
+    has_area = F.coalesce(
+        F.try_element_at("tags", F.lit("area")) == F.lit("yes"),
+        F.lit(False),
+    )
+    is_area = (~has_hw) | has_area
+    mem = (
+        rels.select(
+            "id",
+            is_area.alias("is_area"),
+            F.posexplode("members").alias("j", "m"),
+        )
+        .select(
+            "id",
+            "is_area",
+            "j",
+            F.when(F.col("m.mtype") == "way", F.col("m.ref") + OFF10)
+            .when(F.col("m.mtype") == "relation", F.col("m.ref") + OFF20)
+            .otherwise(F.col("m.ref"))
+            .alias("pos_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    resolved = (
+        node_pos.select(
+            F.col("id").alias("pos_id"), "lon_i", "lat_i"
+        )
+        .unionByName(
+            way_pos.select(
+                F.col("id").alias("pos_id"), "lon_i", "lat_i"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    rel_ids = mem.select("id").distinct()
+    done = None  # resolved relation centers (id, lon_i, lat_i)
+    for _ in range(_MAX_REL_PASSES):
+        # relations not yet resolved whose rel-members all are
+        blocked = (
+            mem.filter(F.col("pos_id") >= OFF20 - OFF10 // 2)
+            .join(
+                resolved.select("pos_id"), "pos_id", "left_anti"
+            )
+            .select("id")
+            .distinct()
+        )
+        todo = rel_ids.join(blocked, "id", "left_anti")
+        if done is not None:
+            todo = todo.join(
+                done.select((F.col("id") - OFF20).alias("id")),
+                "id",
+                "left_anti",
+            )
+        got = mem.join(todo, "id", "left_semi").join(
+            resolved, "pos_id"
+        )
+        agg = got.groupBy("id").agg(
+            F.first("is_area").alias("is_area"),
+            F.min("lon_i").alias("x_min"),
+            F.max("lon_i").alias("x_max"),
+            F.min("lat_i").alias("y_min"),
+            F.max("lat_i").alias("y_max"),
+            F.max_by(
+                F.struct("lon_i", "lat_i"), F.col("j")
+            ).alias("last"),
+        )
+        batch = agg.select(
+            (F.col("id") + OFF20).alias("id"),
+            F.when(
+                F.col("is_area"),
+                F.expr("x_max div 2 + x_min div 2"),
+            )
+            .otherwise(F.col("last.lon_i"))
+            .alias("lon_i"),
+            F.when(
+                F.col("is_area"),
+                F.expr("(y_max + y_min) div 2"),
+            )
+            .otherwise(F.col("last.lat_i"))
+            .alias("lat_i"),
+        ).localCheckpoint(eager=True)
+        # todo already excludes resolved relations, so every batch
+        # row is new; an empty batch means the fixpoint is reached
+        if batch.count() == 0:
+            break
+        done = (
+            batch
+            if done is None
+            else done.unionByName(batch).localCheckpoint(eager=True)
+        )
+        resolved = resolved.unionByName(
+            batch.select(
+                F.col("id").alias("pos_id"), "lon_i", "lat_i"
+            )
+        ).localCheckpoint(eager=True)
+    if done is None:
+        return rels.select(
+            "id",
+            F.lit(0).cast("long").alias("lat_i"),
+            F.lit(0).cast("long").alias("lon_i"),
+            "tags",
+        ).limit(0)
+    return done.join(
+        rels.select((F.col("id") + OFF20).alias("id"), "tags"), "id"
+    ).select("id", "lat_i", "lon_i", "tags")
+
+
+def _all_to_nodes(nodes, ways, rels):
+    way_nodes = _way_centers(ways, nodes)
+    rel_nodes = _rel_centers(
+        rels,
+        nodes.select("id", "lon_i", "lat_i"),
+        way_nodes.select("id", "lon_i", "lat_i"),
+    )
+    all_nodes = nodes.unionByName(way_nodes).unionByName(rel_nodes)
+    return all_nodes, None, None
+
+
+# ----------------------------------------------------------------
+# --out-statistics (K7 text format, osmconvert.c:11919-11984)
+# ----------------------------------------------------------------
+
+
+def _fix7(v: int) -> str:
+    """write_createsfix7o (osmconvert.c:2996-3021): sign + integer
+    part + '.' + exactly 7 decimals, trailing zeros kept."""
+    s = "-" if v < 0 else ""
+    a = abs(int(v))
+    return f"{s}{a // 10_000_000}.{a % 10_000_000:07d}"
+
+
+def _stats_text(nodes, ways, rels) -> str:
+    n = nodes.agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+        F.min("lon_i").alias("lon_min"),
+        F.max("lon_i").alias("lon_max"),
+        F.min("lat_i").alias("lat_min"),
+        F.max("lat_i").alias("lat_max"),
+        F.max(F.size("tags")).alias("kv_max"),
+        F.min_by("id", F.struct(
+            (-F.size("tags")).alias("neg"), F.col("id")
+        )).alias("kv_id"),
+    ).first()
+    w = ways.agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+        F.max(F.size("refs")).alias("refs_max"),
+        F.min_by("id", F.struct(
+            (-F.size("refs")).alias("neg"), F.col("id")
+        )).alias("refs_id"),
+        F.max(F.size("tags")).alias("kv_max"),
+        F.min_by("id", F.struct(
+            (-F.size("tags")).alias("neg"), F.col("id")
+        )).alias("kv_id"),
+    ).first()
+    r = rels.agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+        F.max(F.size("members")).alias("refs_max"),
+        F.min_by("id", F.struct(
+            (-F.size("members")).alias("neg"), F.col("id")
+        )).alias("refs_id"),
+        F.max(F.size("tags")).alias("kv_max"),
+        F.min_by("id", F.struct(
+            (-F.size("tags")).alias("neg"), F.col("id")
+        )).alias("kv_id"),
+    ).first()
+
+    lines: list[str] = []
+    if n["n"] > 0:
+        lines += [
+            f"lon min: {_fix7(n['lon_min'])}",
+            f"lon max: {_fix7(n['lon_max'])}",
+            f"lat min: {_fix7(n['lat_min'])}",
+            f"lat max: {_fix7(n['lat_max'])}",
+        ]
+    lines += [
+        f"nodes: {n['n']}",
+        f"ways: {w['n']}",
+        f"relations: {r['n']}",
+    ]
+    for label, row in (("node", n), ("way", w), ("relation", r)):
+        if row["id_min"] is not None and row["id_min"] != 0:
+            lines.append(f"{label} id min: {row['id_min']}")
+        if row["id_max"] is not None and row["id_max"] != 0:
+            lines.append(f"{label} id max: {row['id_max']}")
+    # keyval pairs max: stream-first object (nodes then ways then
+    # relations, ids ascending; strictly-greater replacement keeps
+    # the earliest, osmconvert.c:11486-11489)
+    kv_max, kv_name, kv_id = 0, None, None
+    for name, row in (("node", n), ("way", w), ("relation", r)):
+        m = row["kv_max"] or 0
+        if m > kv_max:
+            kv_max, kv_name, kv_id = m, name, row["kv_id"]
+    if kv_max:
+        lines.append(f"keyval pairs max: {kv_max}")
+        lines.append(f"keyval pairs max object: {kv_name} {kv_id}")
+    if (w["refs_max"] or 0) > 0:
+        lines.append(f"noderefs max: {w['refs_max']}")
+        lines.append(f"noderefs max object: way {w['refs_id']}")
+    if (r["refs_max"] or 0) > 0:
+        lines.append(f"relrefs max: {r['refs_max']}")
+        lines.append(
+            f"relrefs max object: relation {r['refs_id']}"
+        )
+    return "".join(line + "\n" for line in lines)
+
+
+# ----------------------------------------------------------------
+# --out-key / --out-count (osmfilter count_ module, 1791-1906)
+# ----------------------------------------------------------------
+
+
+def _key_count_lines(
+    frames: list[DataFrame], pattern: str, by_count: bool
+) -> list[str]:
+    """Tag-key (pattern == '') or tag-value (values of keys
+    matching pattern, * wildcards at either end) frequency table.
+    Names are grouped by their first 59 chars (count__nameL=60,
+    osmfilter.c:1775); sort orders per count__qsortcount and the
+    name-ordered index. The count table is bounded (the reference
+    caps it at 1e6 entries), so the collect is small by
+    construction."""
+    ent_frames = [
+        df.select(F.explode(F.map_entries("tags")).alias("e"))
+        for df in frames
+    ]
+    ents = ent_frames[0]
+    for other in ent_frames[1:]:
+        ents = ents.unionByName(other)
+    if pattern == "":
+        named = ents.select(F.col("e.key").alias("name"))
+    else:
+        k = F.col("e.key")
+        pre = pattern.startswith("*")
+        suf = pattern.endswith("*") and len(pattern) > 1
+        core = pattern.strip("*")
+        if pre and suf:
+            cond = k.contains(core)
+        elif pre:
+            cond = k.endswith(core)
+        elif suf:
+            cond = k.startswith(core)
+        else:
+            cond = k == core
+        named = ents.filter(cond).select(
+            F.col("e.value").alias("name")
+        )
+    counts = (
+        named.select(F.substring("name", 1, 59).alias("name"))
+        .groupBy("name")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    rows = [(r["cnt"], r["name"]) for r in counts]
+    if by_count:
+        rows.sort(key=lambda t: (-t[0], t[1].encode("utf-8")))
+    else:
+        rows.sort(key=lambda t: t[1].encode("utf-8"))
+    return [f"{c:11d}\t{name}" for c, name in rows]
+
+
+# ----------------------------------------------------------------
+# CSV (K4): all three kinds in stream order
+# ----------------------------------------------------------------
+
+
+def _csv_projection(df, cols: list[str], otype: int, with_coords: bool):
+    from .geo.bboxtags import fix7_col
+
+    oname = ("node", "way", "relation")[otype]
+    sel = []
+    for i, c in enumerate(cols):
+        a = f"c{i}"
+        if c == "@id":
+            sel.append(F.col("id").cast("string").alias(a))
+        elif c == "@otype":
+            sel.append(F.lit(str(otype)).alias(a))
+        elif c == "@oname":
+            sel.append(F.lit(oname).alias(a))
+        elif c == "@lat" and with_coords:
+            sel.append(fix7_col(F.col("lat_i")).alias(a))
+        elif c == "@lon" and with_coords:
+            sel.append(fix7_col(F.col("lon_i")).alias(a))
+        elif c.startswith("@"):
+            sel.append(F.lit("").alias(a))
+        else:
+            sel.append(
+                F.try_element_at(F.col("tags"), F.lit(c)).alias(a)
+            )
+    return df.select(
+        F.lit(otype).alias("_k"), F.col("id").alias("_id"), *sel
+    )
+
+
+def _emit_csv(nodes, ways, rels, opts) -> None:
+    from .operators.sinks import csv_lines
+
+    cols = opts["csv_cols"].split(" ")
+    names = [f"c{i}" for i in range(len(cols))]
+    parts = [_csv_projection(nodes, cols, 0, True)]
+    if ways is not None:
+        parts.append(_csv_projection(ways, cols, 1, False))
+    if rels is not None:
+        parts.append(_csv_projection(rels, cols, 2, False))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    lines = csv_lines(
+        union.orderBy("_k", "_id"), names, sep=opts["csv_sep"]
+    )
+    for row in lines.toLocalIterator():
+        print(row.value)
+
+
+# ----------------------------------------------------------------
+# driver
+# ----------------------------------------------------------------
+
+
 def convert(spark: SparkSession, argv: list[str]) -> str | None:
-    """Run one conversion; returns the output path (None for csv to
-    stdout)."""
+    """Run one conversion; returns the output path (None for the
+    stdout sinks: csv / statistics / key lists)."""
     from .filterlang.ast import parse as parse_keep
-    from .filterlang.spark import keep_column
+    from .filterlang.spark import keep_column, tags_filter_column
     from .operators.merge import union_dedup
     from .sources.auto import read_osm_auto
 
@@ -192,35 +753,73 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         ways = ways.filter(keep_column(F.col("tags"), pred))
         rels = rels.filter(keep_column(F.col("tags"), pred))
 
+    if opts["keep_tags"] is not None or opts["drop_tags"] is not None:
+        proj = lambda df: df.withColumn(  # noqa: E731
+            "tags",
+            tags_filter_column(
+                F.col("tags"),
+                keep=opts["keep_tags"],
+                drop=opts["drop_tags"],
+            ),
+        )
+        nodes, ways, rels = proj(nodes), proj(ways), proj(rels)
+
+    if opts["modify_tags"] is not None:
+        from .filterlang.modify import modify_entries, parse_modify
+
+        rules = parse_modify(opts["modify_tags"])
+
+        def remap(df):
+            ents = modify_entries(F.col("tags"), rules)
+            # first occurrence wins on rename collisions (the map
+            # type cannot carry the reference's duplicate tags)
+            dedup = F.aggregate(
+                ents,
+                F.array().cast(
+                    "array<struct<key:string,val:string>>"
+                ),
+                lambda acc, e: F.when(
+                    F.exists(acc, lambda a: a.key == e.key), acc
+                ).otherwise(F.concat(acc, F.array(e))),
+            )
+            return df.withColumn(
+                "tags",
+                F.map_from_entries(
+                    F.transform(
+                        dedup,
+                        lambda e: F.struct(
+                            e.key.alias("key"), e.val.alias("value")
+                        ),
+                    )
+                ),
+            )
+
+        nodes, ways, rels = remap(nodes), remap(ways), remap(rels)
+
+    if opts["out_statistics"]:
+        # pre-border stream, like the reference's statistics block
+        sys.stdout.write(_stats_text(nodes, ways, rels))
+        return None
+
     nodes, ways, rels = _apply_spatial(nodes, ways, rels, opts)
 
+    if opts["all_to_nodes"]:
+        nodes, ways, rels = _all_to_nodes(nodes, ways, rels)
+
+    if opts["out_key"] is not None:
+        frames = [nodes]
+        if ways is not None:
+            frames.append(ways)
+        if rels is not None:
+            frames.append(rels)
+        for line in _key_count_lines(
+            frames, opts["out_key"], opts["out_sort"]
+        ):
+            print(line)
+        return None
+
     if opts["out_csv"]:
-        from .operators.sinks import csv_lines
-
-        cols = opts["csv_cols"].split(" ")
-        sel = []
-        for c in cols:
-            if c == "@id":
-                sel.append(F.col("id").cast("string").alias(c))
-            elif c == "@lat":
-                from .geo.bboxtags import fix7_col
-
-                sel.append(fix7_col(F.col("lat_i")).alias(c))
-            elif c == "@lon":
-                from .geo.bboxtags import fix7_col
-
-                sel.append(fix7_col(F.col("lon_i")).alias(c))
-            else:
-                sel.append(
-                    F.try_element_at(F.col("tags"), F.lit(c)).alias(c)
-                )
-        lines = csv_lines(
-            nodes.orderBy("id").select(*sel),
-            cols,
-            sep=opts["csv_sep"],
-        )
-        for r in lines.toLocalIterator():
-            print(r.value)
+        _emit_csv(nodes, ways, rels, opts)
         return None
 
     out = opts["out"]
@@ -229,32 +828,34 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
     from .wire import (
         encode_o5m,
         encode_osc,
-        encode_osm_xml,
-        encode_pbf,
         write_wire_single,
     )
+    from .wire.spark import _iter_rows
 
     ext = out.rsplit(".", 1)[-1]
-    if ext in ("o5m", "o5c"):
-        from .wire.spark import _iter_rows
-
+    if ext == "o5m":
+        write_wire_single(nodes, ways, rels, out, fmt="o5m")
+    elif ext == "o5c":
         data = encode_o5m(
             _iter_rows(nodes),
-            _iter_rows(ways),
-            _iter_rows(rels),
-            change=(ext == "o5c"),
+            _iter_rows(ways) if ways is not None else [],
+            _iter_rows(rels) if rels is not None else [],
+            change=True,
         )
         with open(out, "wb") as f:
             f.write(data)
     elif ext == "osm":
-        write_wire_single(nodes, ways, rels, out, fmt="osm")
+        write_wire_single(
+            nodes, ways, rels, out, fmt="osm",
+            dialect=opts["emulate"],
+        )
     elif ext == "osc":
-        from .wire.spark import _iter_rows
-
         with open(out, "w") as f:
             f.write(
                 encode_osc(
-                    _iter_rows(nodes), _iter_rows(ways), _iter_rows(rels)
+                    _iter_rows(nodes),
+                    _iter_rows(ways) if ways is not None else [],
+                    _iter_rows(rels) if rels is not None else [],
                 )
             )
     elif ext == "pbf":

@@ -24,7 +24,8 @@ version 0 as "no metadata", which is how osmconvert represents
 
 from __future__ import annotations
 
-_TAB_M = 15000 + 4000
+_TAB_M = 15000 + 4000   # reader-side tolerance (str__tabM)
+_TAB_W = 15000          # writer-side window (stw__tabM / o5m spec)
 _TAB_STR_M = 250
 
 _TYPE_DIGIT = {"node": "0", "way": "1", "relation": "2"}
@@ -80,10 +81,14 @@ class _StrTabW:
         self.count = 0
 
     def emit(self, out: bytearray, raw: bytes, storable: bool) -> None:
+        # Back-reference only within the WRITER window (stw__tabM =
+        # 15000, the o5m spec limit). The reader tolerates refs up
+        # to 19000 (str__tabM), but emitting into that slack would
+        # corrupt strings in spec-compliant third-party readers.
         c = self.pos.get(raw)
         if c is not None:
             ref = self.count - c
-            if 1 <= ref <= min(self.count, _TAB_M):
+            if 1 <= ref <= min(self.count, _TAB_W):
                 _uv(out, ref)
                 return
         out.append(0)
@@ -142,6 +147,19 @@ def encode_o5m(
         out.append(0xDB)
         _uv(out, len(body))
         out.extend(body)
+    out += encode_o5m_body(nodes, ways, rels)
+    out.append(0xFE)
+    return bytes(out)
+
+
+def encode_o5m_body(nodes, ways, rels) -> bytes:
+    """The dataset stream only — no file header, no 0xfe EOF, and
+    fresh delta/string-table state (the caller must ensure a 0xff
+    reset precedes this chunk in the file; the header's trailing
+    0xff covers the first chunk). This is the executor-side unit of
+    the parallel single-file sink (wire/spark.py): o5m's 0xff reset
+    makes independently-encoded chunks legal to concatenate."""
+    out = bytearray()
     tab = _StrTabW()
     o5id = o5lat = o5lon = 0
     o5rid = [0, 0, 0]
@@ -209,5 +227,4 @@ def encode_o5m(
             _emit_pair(tab, body, k, v)
         dataset(0x12, body)
 
-    out.append(0xFE)
     return bytes(out)

@@ -111,14 +111,122 @@ def encode_osc(nodes, ways, rels) -> str:
     return "\n".join(parts)
 
 
-def encode_osm_xml(nodes, ways, rels) -> str:
+def _sfix7(v: int) -> str:
+    """write_sfix7 (osmconvert.c:3023-3050): 7-decimal fixed point
+    with trailing zeros STRIPPED, at least one decimal kept."""
+    s = "-" if v < 0 else ""
+    a = abs(int(v))
+    frac = f"{a % 10_000_000:07d}".rstrip("0") or "0"
+    return f"{s}{a // 10_000_000}.{frac}"
+
+
+def _sfix7o(v: int) -> str:
+    """write_sfix7o: 7-decimal fixed point, trailing zeros KEPT."""
+    s = "-" if v < 0 else ""
+    a = abs(int(v))
+    return f"{s}{a // 10_000_000}.{a % 10_000_000:07d}"
+
+
+def _encode_emulated(nodes, ways, rels, dialect: str) -> str:
+    """The reference's --emulate-pbf2osm / --emulate-osmosis XML
+    dialects, byte-exact for metadata-less objects (hisver=0 =>
+    wo__author emits nothing):
+
+    - pbf2osm (wo__format 12, osmconvert.c:8545-8551, 8946-8950):
+      tab indentation, lat/lon BEFORE author with trailing zeros
+      kept (write_sfix7o), tags closed with " />", no <bounds>;
+    - Osmosis (wo__format 13, osmconvert.c:8553-8559, 8895-8905):
+      two-space indentation, author before lat/lon, trailing
+      zeros stripped (write_sfix7), tags/nd/member indented four
+      spaces;
+    - both end with "<!--End of emulated output.-->"
+      (wo_end, osmconvert.c:8516-8518).
+    """
+    p2 = dialect == "pbf2osm"
+    gen = "pbf2osm" if p2 else "Osmosis 0.40"
+    ind1 = "\t" if p2 else "  "
+    ind2 = "\t\t" if p2 else "    "
+    tag_close = '" />' if p2 else '"/>'
+    fmt = _sfix7o if p2 else _sfix7
+    parts = [
+        "<?xml version='1.0' encoding='UTF-8'?>",
+        f'<osm version="0.6" generator="{gen}">',
+    ]
+
+    def obj(head: str, children: list[str], close: str) -> None:
+        if children:
+            parts.append(head + '">')
+            parts.extend(children)
+            parts.append(close)
+        else:
+            parts.append(head + '"/>')
+
+    def tag_lines(tags: dict) -> list[str]:
+        return [
+            f'{ind2}<tag k="{_esc(k)}" v="{_esc(v)}{tag_close}'
+            for k, v in tags.items()
+        ]
+
+    for nd in nodes:
+        if nd.get("tags") is None:
+            continue
+        head = (
+            f'{ind1}<node id="{nd["id"]}"'
+            f' lat="{fmt(nd["lat_i"])}" lon="{fmt(nd["lon_i"])}'
+        )
+        obj(head, tag_lines(nd["tags"]), f"{ind1}</node>")
+    for wy in ways:
+        if wy.get("tags") is None:
+            continue
+        children = [
+            f'{ind2}<nd ref="{r}"/>' for r in wy["refs"]
+        ] + tag_lines(wy["tags"])
+        obj(f'{ind1}<way id="{wy["id"]}', children, f"{ind1}</way>")
+    for rl in rels:
+        if rl.get("tags") is None:
+            continue
+        children = [
+            f'{ind2}<member type="{m["mtype"]}" ref="{m["ref"]}"'
+            f' role="{_esc(m["role"])}"/>'
+            for m in rl["members"]
+        ] + tag_lines(rl["tags"])
+        obj(
+            f'{ind1}<relation id="{rl["id"]}',
+            children,
+            f"{ind1}</relation>",
+        )
+    parts.append("</osm>")
+    parts.append("<!--End of emulated output.-->")
+    parts.append("")
+    return "\n".join(parts)
+
+
+def encode_osm_xml(nodes, ways, rels, dialect: str | None = None) -> str:
     """Row-dict lists (the readers' shape) -> one .osm document.
     tags=None tombstones are skipped: plain .osm carries no delete
-    semantics (that is .osc's job — streaming/changes.py)."""
+    semantics (that is .osc's job — streaming/changes.py).
+    dialect: None for the native writer, or "pbf2osm"/"osmosis" for
+    the reference's --emulate-* output formats."""
+    if dialect is not None:
+        return _encode_emulated(nodes, ways, rels, dialect)
     parts = [
         "<?xml version='1.0' encoding='UTF-8'?>",
         '<osm version="0.6" generator="osmgraft">',
     ]
+    body = encode_osm_xml_body(nodes, ways, rels)
+    if body:
+        parts.append(body)
+    parts.append("</osm>")
+    parts.append("")
+    return "\n".join(parts)
+
+
+def encode_osm_xml_body(nodes, ways, rels) -> str:
+    """Object lines only (no XML declaration, no <osm> envelope) —
+    the executor-side unit of the parallel single-file sink: XML
+    objects are self-contained, so independently-rendered chunks
+    concatenate byte-identically to a serial render."""
+    parts: list[str] = []
     for nd in nodes:
         if nd.get("tags") is None:
             continue
@@ -153,6 +261,4 @@ def encode_osm_xml(nodes, ways, rels) -> str:
             )
         _tags(parts, rl["tags"], "\t\t")
         parts.append("\t</relation>")
-    parts.append("</osm>")
-    parts.append("")
     return "\n".join(parts)

@@ -24,6 +24,13 @@ import zlib
 
 
 def _uv(out: bytearray, v: int) -> None:
+    # Mask to 64 bits so negative values (legal object ids in OSM
+    # editor extracts) emit the 10-byte two's-complement varint that
+    # protobuf decoders expect, instead of looping forever on
+    # Python's unbounded arithmetic right shift. int() first: rows
+    # arriving through pandas carry numpy int64, which cannot hold
+    # the unsigned mask.
+    v = int(v) & ((1 << 64) - 1)
     while True:
         b = v & 0x7F
         v >>= 7
@@ -120,7 +127,18 @@ def encode_pbf(
     _field_bytes(hdr, 4, b"OsmSchema-V0.6")
     _field_bytes(hdr, 4, b"DenseNodes")
     _blob(out, "OSMHeader", bytes(hdr))
+    out += encode_pbf_body(nodes, ways, rels, block_objects)
+    return bytes(out)
 
+
+def encode_pbf_body(
+    nodes, ways, rels, block_objects: int = 8000
+) -> bytes:
+    """OSMData blobs only (no OSMHeader) — the executor-side unit
+    of the parallel single-file sink: every blob carries its own
+    string table and delta state, so independently-encoded blob
+    runs concatenate into a valid file."""
+    out = bytearray()
     live_nodes = [n for n in nodes if n.get("tags") is not None]
     for chunk in _chunks(live_nodes, block_objects):
         tab = _StrTab()

@@ -1,0 +1,391 @@
+"""Round-3 CLI flag differentials: every newly-wired flag is run
+against the compiled reference binaries on fixture worlds
+(--all-to-nodes, --complete-ways, --out-statistics, --out-key/
+--out-count, --keep-tags/--drop-tags, --modify-tags, the
+--emulate-* XML dialects, CSV way/relation rows, and the
+inter-relation border keep closure)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pytest
+
+from osmgraft.cli import convert
+
+from .test_o5m_source import _world_xml
+
+REFBIN = "/root/repo/.refbin"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{REFBIN}/osmconvert"),
+    reason="reference binaries not built",
+)
+
+_CSV = ["--out-csv", "--csv=@otype @id @lat @lon amenity highway type",
+        "--csv-separator=|"]
+
+
+def _run(tool: str, *args) -> str:
+    return subprocess.run(
+        [f"{REFBIN}/{tool}", *args],
+        check=True, capture_output=True, text=True,
+    ).stdout
+
+
+def _view(path: str) -> str:
+    """Order-insensitive-to-tag-order object view via the reference
+    binary itself."""
+    return _run("osmconvert", path, *_CSV)
+
+
+def _world(tmp_path, name="w.osm") -> str:
+    p = tmp_path / name
+    p.write_text(_world_xml())
+    return str(p)
+
+
+def test_all_to_nodes_matches_osmconvert(spark, tmp_path):
+    """--all-to-nodes: way centers (first-minimizer), relation
+    centers through the member-position fixed point (including the
+    rel->rel chains in the fixture), pseudo-id offsets."""
+    osm = _world(tmp_path)
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [osm, "--all-to-nodes", f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, "--all-to-nodes",
+         f"-o={theirs}"],
+        check=True,
+    )
+    assert _view(str(ours)) == _view(str(theirs))
+
+
+def test_all_to_nodes_non_area_last_member(spark, tmp_path):
+    """A 'route' relation is NOT an area: the reference's candidate
+    scan keeps the LAST valid member position (osmconvert.c:
+    6977-6994). Verify we reproduce that quirk."""
+    osm = tmp_path / "na.osm"
+    osm.write_text(
+        '<?xml version="1.0"?><osm version="0.6">'
+        '<node id="1" lat="0.0000000" lon="0.0000000" version="1"/>'
+        '<node id="2" lat="0.0400000" lon="0.0100000" version="1"/>'
+        '<node id="3" lat="0.0100000" lon="0.0900000" version="1"/>'
+        '<relation id="10" version="1">'
+        '<member type="node" ref="1" role=""/>'
+        '<member type="node" ref="2" role=""/>'
+        '<member type="node" ref="3" role=""/>'
+        '<tag k="route" v="bus"/></relation>'
+        "</osm>"
+    )
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [str(osm), "--all-to-nodes", f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(osm), "--all-to-nodes",
+         f"-o={theirs}"],
+        check=True,
+    )
+    got = _run("osmconvert", str(ours), "--out-csv",
+               "--csv=@id @lat @lon", "--csv-separator=|")
+    want = _run("osmconvert", str(theirs), "--out-csv",
+                "--csv=@id @lat @lon", "--csv-separator=|")
+    assert got == want
+    # last member (node 3), not the bbox-middle-nearest (node 2)
+    assert "2000000000000010|0.0100000|0.0900000" in got
+
+
+def test_complete_ways_matches_osmconvert(spark, tmp_path):
+    osm = _world(tmp_path)
+    bbox = "-0.2,0,0.1,0.6"
+    ours = tmp_path / "ours.o5m"
+    convert(
+        spark, [osm, f"-b={bbox}", "--complete-ways", f"-o={ours}"]
+    )
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-b={bbox}",
+         "--complete-ways", f"-o={theirs}"],
+        check=True, capture_output=True,
+    )
+    assert _view(str(ours)) == _view(str(theirs))
+
+
+def test_rel_of_rel_border_keep(spark, tmp_path):
+    """A relation whose only members are other relations is kept
+    when the closure reaches an inside member (oo__rrprocessing) —
+    the round-2 ADVICE finding."""
+    osm = tmp_path / "rr.osm"
+    osm.write_text(
+        '<?xml version="1.0"?><osm version="0.6">'
+        '<node id="1" lat="0.0010000" lon="0.0010000" version="1"/>'
+        '<node id="2" lat="0.5000000" lon="0.5000000" version="1"/>'
+        '<way id="100" version="1"><nd ref="1"/><nd ref="2"/>'
+        '<tag k="highway" v="a"/></way>'
+        '<relation id="200" version="1">'
+        '<member type="node" ref="1" role=""/>'
+        '<tag k="type" v="x"/></relation>'
+        '<relation id="201" version="1">'
+        '<member type="relation" ref="200" role="sub"/>'
+        '<tag k="type" v="parent"/></relation>'
+        '<relation id="202" version="1">'
+        '<member type="relation" ref="201" role="sub"/>'
+        '<tag k="type" v="grand"/></relation>'
+        '<relation id="203" version="1">'
+        '<member type="node" ref="2" role=""/>'
+        '<tag k="type" v="outside"/></relation>'
+        '<relation id="204" version="1">'
+        '<member type="relation" ref="203" role="sub"/>'
+        '<tag k="type" v="outparent"/></relation>'
+        "</osm>"
+    )
+    bbox = "0,0,0.01,0.01"
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [str(osm), f"-b={bbox}", f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(osm), f"-b={bbox}",
+         f"-o={theirs}"],
+        check=True, capture_output=True,
+    )
+    cols = ["--out-csv", "--csv=@otype @id type", "--csv-separator=|"]
+    got = _run("osmconvert", str(ours), *cols)
+    assert got == _run("osmconvert", str(theirs), *cols)
+    assert "2|202|grand" in got and "outparent" not in got
+
+
+def test_drop_broken_refs_standalone(spark, tmp_path):
+    """--drop-broken-refs WITHOUT -b/-B (the round-2 ADVICE
+    finding): refs pointing at absent nodes are pruned against the
+    post-filter node set, and fully-broken ways vanish.
+
+    Deliberate divergence from the binary: osmconvert in this
+    flag combination never fills its node hash (hash_seti only
+    runs under border_active, osmconvert.c:11504-11510) and so
+    drops EVERY way and relation — a degenerate artifact, not a
+    usable semantic. We implement the intent: prune against the
+    objects actually present."""
+    osm = tmp_path / "br.osm"
+    osm.write_text(
+        '<?xml version="1.0"?><osm version="0.6">'
+        '<node id="1" lat="0.0000001" lon="0.0000001" version="1"/>'
+        '<node id="2" lat="0.0000002" lon="0.0000002" version="1"/>'
+        '<way id="10" version="1"><nd ref="1"/><nd ref="99"/>'
+        '<nd ref="2"/><tag k="highway" v="a"/></way>'
+        '<way id="11" version="1"><nd ref="98"/><nd ref="99"/>'
+        '<tag k="highway" v="b"/></way>'
+        '<relation id="20" version="1">'
+        '<member type="way" ref="10" role=""/>'
+        '<member type="way" ref="11" role="gone"/>'
+        '<tag k="type" v="r"/></relation>'
+        "</osm>"
+    )
+    out = tmp_path / "out.o5m"
+    convert(spark, [str(osm), "--drop-broken-refs", f"-o={out}"])
+    got = _run(
+        "osmconvert", str(out), "--out-csv",
+        "--csv=@otype @id", "--csv-separator=|",
+    )
+    lines = got.strip().splitlines()
+    assert lines == ["0|1", "0|2", "1|10", "2|20"]
+    # way 10 kept its two resolvable refs only
+    xml = _run("osmconvert", str(out), "--out-osm")
+    assert '<nd ref="99"/>' not in xml
+    assert xml.count("<nd ref=") == 2
+    assert 'ref="11"' not in xml
+
+
+def test_keep_with_drop_broken_refs(spark, tmp_path):
+    """--keep + --drop-broken-refs: dangling way refs to
+    filtered-out nodes are pruned (the ADVICE scenario)."""
+    osm = tmp_path / "kb.osm"
+    parts = ['<?xml version="1.0"?>', '<osm version="0.6">']
+    for i in range(1, 11):
+        keep = "yes" if i % 2 else "no"
+        parts.append(
+            f'<node id="{i}" lat="0.000000{i % 10}" lon="0.0000001"'
+            f' version="1"><tag k="keep" v="{keep}"/>'
+            f'<tag k="highway" v="x"/></node>'
+        )
+    parts.append(
+        '<way id="50" version="1"><nd ref="1"/><nd ref="2"/>'
+        '<nd ref="3"/><tag k="keep" v="yes"/>'
+        '<tag k="highway" v="x"/></way>'
+    )
+    parts.append("</osm>")
+    osm.write_text("".join(parts))
+    out = tmp_path / "out.o5m"
+    convert(
+        spark,
+        [str(osm), "--keep=keep=yes", "--drop-broken-refs",
+         f"-o={out}"],
+    )
+    xml = _run("osmconvert", str(out), "--out-osm")
+    # node 2 was filtered out, so the way must not reference it
+    assert '<nd ref="2"/>' not in xml
+    assert '<nd ref="1"/>' in xml and '<nd ref="3"/>' in xml
+
+
+def test_out_statistics_matches_osmconvert(spark, tmp_path, capsys):
+    """--out-statistics byte-equal to the binary (timestamp lines
+    excepted: the engine's scan schema carries no author metadata,
+    so they are absent from our output; on a metadata-less input
+    the reference omits them too)."""
+    osm = _world(tmp_path)
+    convert(spark, [osm, "--out-statistics"])
+    ours = capsys.readouterr().out
+    want = _run("osmconvert", osm, "--out-statistics")
+    want = "".join(
+        line for line in want.splitlines(keepends=True)
+        if not line.startswith("timestamp ")
+    )
+    assert ours == want
+
+
+def test_out_statistics_no_metadata_byte_exact(spark, tmp_path,
+                                               capsys):
+    """On a timestamp-free world the full statistics output is
+    byte-identical."""
+    osm = tmp_path / "nm.osm"
+    lines = ['<?xml version="1.0"?>', '<osm version="0.6">']
+    for i in range(1, 41):
+        lines.append(
+            f'<node id="{i}" lat="{(i * 37) / 1e7:.7f}"'
+            f' lon="{(-i * 11) / 1e7:.7f}" version="1">'
+            f'<tag k="n" v="v{i}"/></node>'
+        )
+    lines.append(
+        '<way id="7" version="1"><nd ref="1"/><nd ref="2"/>'
+        '<nd ref="3"/><tag k="highway" v="x"/>'
+        '<tag k="name" v="w"/></way>'
+    )
+    lines.append("</osm>")
+    osm.write_text("".join(lines))
+    convert(spark, [str(osm), "--out-statistics"])
+    ours = capsys.readouterr().out
+    assert ours == _run("osmconvert", str(osm), "--out-statistics")
+
+
+def test_out_key_and_count_match_osmfilter(spark, tmp_path, capsys):
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    for args, ref_args in (
+        (["--out-key"], ["--out-key"]),
+        (["--out-count"], ["--out-count"]),
+        (["--out-count=amenity"], ["--out-count=amenity"]),
+        (["--out-key=amenity"], ["--out-key=amenity"]),
+    ):
+        convert(spark, [osm, *args])
+        ours = capsys.readouterr().out
+        assert ours == _run("osmfilter", str(o5m), *ref_args), args
+
+
+def test_out_key_after_keep_matches_osmfilter(spark, tmp_path,
+                                              capsys):
+    """Counts reflect the written (post---keep) objects."""
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    convert(spark, [osm, "--keep=amenity=kind1", "--out-count"])
+    ours = capsys.readouterr().out
+    want = _run(
+        "osmfilter", str(o5m), "--keep=amenity=kind1",
+        "--ignore-dependencies", "--out-count",
+    )
+    assert ours == want
+
+
+def test_keep_tags_matches_osmfilter(spark, tmp_path):
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    arg = "--keep-tags=all type= highway=h1 =h2"
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [osm, arg, f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmfilter", str(o5m), arg,
+         "--ignore-dependencies", f"-o={theirs}"],
+        check=True,
+    )
+    assert _view(str(ours)) == _view(str(theirs))
+
+
+def test_drop_tags_matches_osmfilter(spark, tmp_path):
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    arg = "--drop-tags=amenity=kind0 =kind2"
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [osm, arg, f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmfilter", str(o5m), arg,
+         "--ignore-dependencies", f"-o={theirs}"],
+        check=True,
+    )
+    assert _view(str(ours)) == _view(str(theirs))
+
+
+def test_modify_tags_matches_osmfilter(spark, tmp_path):
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    arg = "--modify-tags=amenity=kind0 to amenity=kindX"
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [osm, arg, f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmfilter", str(o5m), arg,
+         "--ignore-dependencies", f"-o={theirs}"],
+        check=True,
+    )
+    assert _view(str(ours)) == _view(str(theirs))
+
+
+def test_emulate_dialects_byte_exact(spark, tmp_path):
+    """--emulate-pbf2osm / --emulate-osmosis byte-diff vs the
+    binary (reading a version-dropped o5m so the reference also
+    writes metadata-less objects)."""
+    osm = _world(tmp_path)
+    nv = tmp_path / "nv.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, "--drop-version", f"-o={nv}"],
+        check=True,
+    )
+    for flag, dialect in (
+        ("--emulate-pbf2osm", "pbf2osm"),
+        ("--emulate-osmosis", "osmosis"),
+    ):
+        ours = tmp_path / f"ours_{dialect}.osm"
+        convert(spark, [osm, flag, f"-o={ours}"])
+        theirs = tmp_path / f"theirs_{dialect}.osm"
+        subprocess.run(
+            [f"{REFBIN}/osmconvert", str(nv), flag, f"-o={theirs}"],
+            check=True,
+        )
+        assert ours.read_bytes() == theirs.read_bytes(), dialect
+
+
+def test_csv_way_rel_rows_byte_exact(spark, tmp_path, capsys):
+    """--out-csv emits way and relation rows with @otype/@oname
+    spreads, in stream order, byte-equal to the binary."""
+    osm = _world(tmp_path)
+    cols = ["--out-csv",
+            "--csv=@oname @otype @id @lat @lon amenity highway type",
+            "--csv-separator=|"]
+    convert(spark, [osm, *cols])
+    ours = capsys.readouterr().out
+    assert ours == _run("osmconvert", osm, *cols)
