@@ -60,31 +60,43 @@ def main() -> None:
             "overwrite"
         ).parquet(path)
 
-    timings: dict[str, float] = {}
-
-    pages = spark.read.parquet(path)
-    t0 = time.monotonic()
-    _force(flagship_assign(pages))
-    flagship_s = time.monotonic() - t0
-    timings["flagship"] = round(flagship_s, 3)
-
     import gc
 
-    for name, fn in QUERIES.items():
+    # Interleaved min-of-N (default 3) per query: every query is
+    # sampled once per round in round-robin order, so all queries
+    # see the same host-load window and a noisy-neighbor burst
+    # cannot masquerade as a plan regression (the round-2 q22-q26
+    # "regression" was exactly that). Per-query value = min across
+    # rounds; DataFrames are rebuilt every round so no shuffle-
+    # stage reuse flatters later rounds.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    timings: dict[str, float] = {}
+    for _ in range(rounds):
         t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
-        # release cached/checkpointed state from iterative queries so
-        # later timings don't pay accumulated GC pressure
-        spark.catalog.clearCache()
-        gc.collect()
+        _force(flagship_assign(spark.read.parquet(path)))
+        dt = time.monotonic() - t0
+        timings["flagship"] = min(
+            timings.get("flagship", dt), dt
+        )
+        for name, fn in QUERIES.items():
+            t0 = time.monotonic()
+            _force(fn(spark, SF_DIR))
+            dt = time.monotonic() - t0
+            timings[name] = min(timings.get(name, dt), dt)
+            # release cached/checkpointed state from iterative
+            # queries so later timings don't pay accumulated GC
+            spark.catalog.clearCache()
+            gc.collect()
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    flagship_s = timings["flagship"]
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": (
             "wall seconds: flagship spatial-join+tile-assignment "
-            f"on {n_pages} pages + operator suite at sf{sf}"
+            f"on {n_pages} pages + operator suite at sf{sf} "
+            f"(per-query min of {rounds} interleaved rounds)"
         ),
         "value": total,
         "unit": "sec",
@@ -92,8 +104,34 @@ def main() -> None:
         "sf": float(sf),
         "n_pages": n_pages,
         "cpus": CPUS,
+        "bench_rounds": rounds,
         "flagship_docs_per_sec": round(n_pages / flagship_s, 1),
     }
+
+    # Larger-scale flagship point (round-2 VERDICT task 6): 10x the
+    # suite's pages table, so fixed per-job Spark overhead (~0.3-1s)
+    # stops dominating and the plan's real per-row cost is visible.
+    # Skipped at toy SF where synthesis would dwarf the measurement.
+    if (
+        os.environ.get("SPARK_GRAFT_BIGPOINT", "1") == "1"
+        and float(sf) >= 0.1
+    ):
+        n_big = n_pages * 10
+        big_path = _pages_path(n_big)
+        if not os.path.exists(big_path + "/_SUCCESS"):
+            synth_pages(spark, n_big, partitions=CPUS * 4).write.mode(
+                "overwrite"
+            ).parquet(big_path)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            _force(flagship_assign(spark.read.parquet(big_path)))
+            best = min(best, time.monotonic() - t0)
+        out["flagship_large"] = {
+            "n_pages": n_big,
+            "seconds": round(best, 3),
+            "docs_per_sec": round(n_big / best, 1),
+        }
 
     # scaling evidence (north_rule): same flagship job at N and 4N
     # parallelism on identical input; efficiency = (T_N / T_4N) / 4.

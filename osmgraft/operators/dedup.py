@@ -472,6 +472,28 @@ def embed_ann_banded(
     product; duplicate-band collisions recompute the (cheap) dot
     product and collapse in the final groupBy.
     """
+    pairs = _banded_pairs(
+        emb, band_bits, n_bands, dim, id_col, vec_col
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("shared_bands"),
+        F.round(F.first("_cos"), 6).alias("cos_r"),
+    )
+
+
+def _banded_pairs(
+    emb: DataFrame,
+    band_bits: int,
+    n_bands: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared candidate generator for the hyperplane-bucket family:
+    (band, bucket, a, b, _cos) pairs from n_bands independent
+    band_bits-plane signatures. The self-join key is (band,
+    bucket); expected bucket population N / 2^band_bits bounds the
+    per-bucket quadratic term."""
     planes = hyperplanes(n_bands * band_bits, dim)
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("vid"),
@@ -493,21 +515,19 @@ def embed_ann_banded(
     )
     a = base.alias("a")
     c = base.alias("c")
-    pairs = a.join(
+    return a.join(
         c,
         (F.col("a.band") == F.col("c.band"))
         & (F.col("a.bucket") == F.col("c.bucket"))
         & (F.col("a.vid") < F.col("c.vid")),
     ).select(
+        F.col("a.band").alias("band"),
+        F.col("a.bucket").alias("bucket"),
         F.col("a.vid").alias("a"),
         F.col("c.vid").alias("b"),
         cosine(
             F.col("a.v"), F.col("c.v"), F.col("a.n2"), F.col("c.n2")
         ).alias("_cos"),
-    )
-    return pairs.groupBy("a", "b").agg(
-        F.count("*").cast("long").alias("shared_bands"),
-        F.round(F.first("_cos"), 6).alias("cos_r"),
     )
 
 
@@ -618,33 +638,23 @@ def embed_ann_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale-path ANN: bucket vectors by hyperplane signature and
-    emit bucket-local candidate pairs with exact cosine. At corpus
-    scale the self-join shuffles on bucket id only; bucket
-    population is ~N/2^n_planes, so the quadratic term is bounded
-    per bucket."""
-    planes = hyperplanes(n_planes, dim)
-    b = with_norm2(emb, vec_col).select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        F.col("_n2").alias("n2"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = b.alias("a")
-    c = b.alias("c")
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.vid") < F.col("c.vid")),
+    """Single-signature hyperplane ANN — literally
+    embed_ann_banded with n_bands=1 and band_bits=n_planes (they
+    are the same algorithm; this is the n_bands=1 projection of
+    the shared _banded_pairs generator, so the round-2 fixed-
+    bucket implementation no longer exists as a separate code
+    path). Output keeps q32's contract: (bucket, a, b, cos_r).
+
+    Bucket bound: expected population N / 2^n_planes — at growing
+    corpus size, raise n_planes to hold the per-bucket quadratic
+    term constant, or use embed_ann_banded directly to buy recall
+    back with independent bands."""
+    pairs = _banded_pairs(
+        emb, n_planes, 1, dim, id_col, vec_col
     )
     return pairs.select(
-        F.col("a.bucket").alias("bucket"),
-        F.col("a.vid").alias("a"),
-        F.col("c.vid").alias("b"),
-        F.round(
-            cosine(
-                F.col("a.v"), F.col("c.v"), F.col("a.n2"), F.col("c.n2")
-            ),
-            6,
-        ).alias("cos_r"),
+        "bucket",
+        "a",
+        "b",
+        F.round(F.col("_cos"), 6).alias("cos_r"),
     )
