@@ -478,3 +478,45 @@ def test_diff_changefile_roundtrip(spark, tmp_path):
         check=True, capture_output=True, text=True,
     ).stdout
     assert applied == want
+
+
+def test_single_file_sink_encodes_on_executors(spark, tmp_path):
+    """Round-3: write_wire_single encodes body chunks in >1 task
+    per format (the round-2 serial-driver bottleneck is gone) and
+    the result is equivalent to the serial driver encode — byte-
+    identical for XML, reference-binary-view-identical for o5m/pbf
+    (chunk boundaries reset delta/string state, so bytes may
+    differ while the object stream is identical)."""
+    from osmgraft.sources.auto import read_osm_auto
+    from osmgraft.wire import encode_osm_xml
+    from osmgraft.wire.spark import _iter_rows, write_wire_single
+
+    osm = tmp_path / "w.osm"
+    osm.write_text(_world_xml())
+    nodes, ways, rels = read_osm_auto(spark, str(osm))
+
+    for fmt in ("o5m", "pbf", "osm"):
+        path = tmp_path / f"par.{fmt}"
+        write_wire_single(
+            nodes, ways, rels, str(path), fmt=fmt, parts=4
+        )
+        assert path.exists()
+    # >1 encode task: with parts=4 and 300 nodes, the node frame
+    # range-partitions into 4 non-empty chunks, each leading with a
+    # 0xff reset — count the mid-stream chunk boundaries
+    data = (tmp_path / "par.o5m").read_bytes()
+    resets_mid = data[7:-1].count(b"\xff\x10") + data[7:-1].count(
+        b"\xff\x11"
+    ) + data[7:-1].count(b"\xff\x12")
+    assert resets_mid >= 3, "expected >1 encoded chunk per kind"
+
+    # equivalence with the serial driver encode
+    serial_xml = encode_osm_xml(
+        _iter_rows(nodes), _iter_rows(ways), _iter_rows(rels)
+    ).encode("utf-8")
+    assert (tmp_path / "par.osm").read_bytes() == serial_xml
+
+    for fmt in ("o5m", "pbf"):
+        got = _ref_csv(tmp_path / f"par.{fmt}")
+        want = _ref_csv(osm)
+        assert got == want, fmt
