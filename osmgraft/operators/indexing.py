@@ -50,12 +50,14 @@ def with_global_index(
         .agg(F.count("*").alias("_n"))
         .collect()
     }
-    n_parts = parts.rdd.getNumPartitions()
-    offsets = []
+    # offsets keyed by partition id from the count pass — partitions
+    # absent from `counts` are empty and never consult an offset, so
+    # no RDD conversion is needed just for getNumPartitions
+    offsets: dict[int, int] = {}
     acc = start
-    for pid in range(n_parts):
-        offsets.append(acc)
-        acc += counts.get(pid, 0)
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -67,7 +69,8 @@ def with_global_index(
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pos = offsets[TaskContext.get().partitionId()]
+        # empty partitions have no offset entry (and yield nothing)
+        pos = offsets.get(TaskContext.get().partitionId(), 0)
         for pdf in it:
             pdf = pdf.copy()
             pdf[index_col] = range(pos, pos + len(pdf))

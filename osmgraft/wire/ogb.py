@@ -126,21 +126,39 @@ def encode_ogb(rows: list[dict]) -> bytes:
 
 
 def write_ogb(
-    addresses, path: str, id_col: str = "addr_idx"
+    addresses, path: str, id_col: str = "addr_idx",
+    parts: int = 8,
 ) -> int:
     """DataFrame sink: write the .ogb from an addresses DataFrame
     (the shape address.address_geocode consumes, plus optional
     region/subregion columns) without materializing the rows as a
     Python list.
 
-    Two passes: (1) the per-instance string tables from distinct()
-    — names are the SMALL dimension of a geobase; (2) the datasets
-    streamed in id order via toLocalIterator (memory: O(one
-    partition) for rows + O(total refs) for the used-by lists —
-    the same envelope as the CONSUMER, which mallocs the whole file
+    Three distributed passes (round 3 — no driver-side per-row
+    loop remains):
+    (1) per-instance string tables from distinct() — names are the
+        SMALL dimension of a geobase;
+    (2) the 32-byte datasets packed ON THE EXECUTORS: range-
+        partitioned by id + dense global index (with_global_index),
+        each partition packs one byte blob, the driver only
+        concatenates (same fan-out shape as the o5m/pbf single-file
+        sinks);
+    (3) used-by lists via groupBy(value) -> sort_array(collect) —
+        one shuffle keyed by string value, result bounded by the
+        string-table size.
+    Driver memory: O(total refs) for the used-by section — the
+    same envelope as the CONSUMER, which mallocs the whole file
     (osmposition.c:1913), so .ogb targets gazetteer-scale address
-    tables, not the raw corpus). Returns the dataset count."""
+    tables, not the raw corpus. Returns the dataset count."""
+    import os
+    import shutil
     import struct as _struct
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..operators.indexing import with_global_index
 
     cols = [c for c, _t in _INSTANCES]
     tables: dict[str, list[str]] = {}
@@ -162,31 +180,88 @@ def write_ogb(
         tables[col] = [""] + vals
         index_of[col] = {s: i for i, s in enumerate(tables[col])}
 
-    addr = bytearray(_struct.pack("<iiIIIIIHbB", *([0] * 10)))
-    used: dict[str, dict[int, list[int]]] = {c: {} for c in cols}
-    n = 0
-    for r in addresses.orderBy(id_col).toLocalIterator():
-        n += 1
-        d = r.asDict()
-        idxs = {
-            c: index_of[c].get(d.get(c) or "", 0) for c in cols
-        }
-        w = int(d["weight"]) & 0xFF
-        addr += _struct.pack(
-            "<iiIIIIIHbB",
-            int(d["x"]),
-            int(d["y"]),
-            idxs["region"],
-            idxs["subregion"],
-            idxs["city"],
-            idxs["street"],
-            idxs["housenumber"],
-            int(d["housenumeric"]) & 0xFFFF,
-            w - 256 if w > 127 else w,
-            0,
+    present = [c for c in cols if c in addresses.columns]
+    indexed = with_global_index(
+        addresses.select(
+            id_col, "x", "y", "housenumeric", "weight", *present
+        ),
+        [id_col],
+        index_col="_n",
+        num_partitions=parts,
+    ).localCheckpoint(eager=False)
+
+    tmp_dir = tempfile.mkdtemp(
+        prefix=os.path.basename(path) + ".parts-",
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+    )
+    iof = index_of  # shipped inside the task closure
+
+    def enc(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        blob = bytearray()
+        count = 0
+        for b in batches:
+            for d in b.to_dict("records"):
+                idxs = {
+                    c: iof[c].get(d.get(c) or "", 0) for c in cols
+                }
+                w = int(d["weight"]) & 0xFF
+                blob += _struct.pack(
+                    "<iiIIIIIHbB",
+                    int(d["x"]),
+                    int(d["y"]),
+                    idxs["region"],
+                    idxs["subregion"],
+                    idxs["city"],
+                    idxs["street"],
+                    idxs["housenumber"],
+                    int(d["housenumeric"]) & 0xFFFF,
+                    w - 256 if w > 127 else w,
+                    0,
+                )
+                count += 1
+        if count == 0:
+            return
+        p = os.path.join(tmp_dir, f"ogb-{pid:05d}.bin")
+        with open(p, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame([{"path": p, "pid": pid, "cnt": count}])
+
+    try:
+        manifest = sorted(
+            (r["pid"], r["path"], r["cnt"])
+            for r in indexed.mapInPandas(
+                enc, "path string, pid int, cnt long"
+            ).collect()
         )
+        n = sum(m[2] for m in manifest)
+
+        used: dict[str, dict[int, list[int]]] = {c: {} for c in cols}
         for c in cols:
-            used[c].setdefault(idxs[c], []).append(n)
+            if c not in present:
+                if n:
+                    used[c][0] = list(range(1, n + 1))
+                continue
+            groups = (
+                indexed.groupBy(
+                    F.coalesce(F.col(c), F.lit("")).alias("v")
+                )
+                .agg(F.sort_array(F.collect_list("_n")).alias("ns"))
+                .collect()
+            )
+            for r in groups:
+                used[c][index_of[c].get(r["v"], 0)] = [
+                    int(x) for x in r["ns"]
+                ]
+
+        addr = bytearray(_struct.pack("<iiIIIIIHbB", *([0] * 10)))
+        for _pid, p, _cnt in manifest:
+            with open(p, "rb") as f:
+                addr += f.read()
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
     out = bytearray(_MAGIC)
     out += _section(0x40, bytes(addr))
