@@ -412,68 +412,147 @@ def _rel_centers(
         F.lit(False),
     )
     is_area = (~has_hw) | has_area
-    mem = (
-        rels.select(
-            "id",
-            is_area.alias("is_area"),
-            F.posexplode("members").alias("j", "m"),
-        )
-        .select(
-            "id",
-            "is_area",
-            "j",
-            F.when(F.col("m.mtype") == "way", F.col("m.ref") + OFF10)
-            .when(F.col("m.mtype") == "relation", F.col("m.ref") + OFF20)
-            .otherwise(F.col("m.ref"))
-            .alias("pos_id"),
-        )
-        .localCheckpoint(eager=True)
+    mem = rels.select(
+        "id",
+        is_area.alias("is_area"),
+        F.posexplode("members").alias("j", "m"),
+    ).select(
+        "id",
+        "is_area",
+        "j",
+        F.when(F.col("m.mtype") == "way", F.col("m.ref") + OFF10)
+        .when(F.col("m.mtype") == "relation", F.col("m.ref") + OFF20)
+        .otherwise(F.col("m.ref"))
+        .alias("pos_id"),
     )
-    resolved = (
-        node_pos.select(
+    off15 = OFF10 + OFF10 // 2
+
+    # STATIC half, aggregated exactly once: node/way member
+    # positions never change across passes, so their bbox partials
+    # and last-valid candidate collapse to one row per relation
+    # before the loop — the corpus-sized joins stay OUT of the
+    # fixpoint (the rel->rel layer the loop iterates on is tiny by
+    # comparison).
+    positions = node_pos.select(
+        F.col("id").alias("pos_id"), "lon_i", "lat_i"
+    ).unionByName(
+        way_pos.select(
             F.col("id").alias("pos_id"), "lon_i", "lat_i"
         )
-        .unionByName(
-            way_pos.select(
-                F.col("id").alias("pos_id"), "lon_i", "lat_i"
-            )
+    )
+    stat = (
+        mem.filter(F.col("pos_id") < off15)
+        .join(positions, "pos_id")
+        .groupBy("id")
+        .agg(
+            F.min("lon_i").alias("sx_min"),
+            F.max("lon_i").alias("sx_max"),
+            F.min("lat_i").alias("sy_min"),
+            F.max("lat_i").alias("sy_max"),
+            F.max_by(
+                F.struct("j", "lon_i", "lat_i"), F.col("j")
+            ).alias("slast"),
+            F.count("*").cast("long").alias("s_n"),
         )
+    )
+    mem_rel = mem.filter(F.col("pos_id") >= off15).select(
+        "id", "j", (F.col("pos_id") - OFF20).alias("child")
+    )
+    spine = (
+        mem.groupBy("id")
+        .agg(F.first("is_area").alias("is_area"))
+        .join(
+            mem_rel.groupBy("id").agg(
+                F.count("*").cast("long").alias("n_rel")
+            ),
+            "id",
+            "left",
+        )
+        .join(stat, "id", "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
         .localCheckpoint(eager=True)
     )
-    rel_ids = mem.select("id").distinct()
-    done = None  # resolved relation centers (id, lon_i, lat_i)
+    mem_rel = mem_rel.localCheckpoint(eager=True)
+
+    # fixpoint over the rel->rel layer only: one eager checkpoint
+    # (job) per pass; `done` and `resolved` stay lazy unions of the
+    # <= _MAX_REL_PASSES checkpointed batches
+    done = None  # resolved centers (id = rel_id + OFF20)
     for _ in range(_MAX_REL_PASSES):
-        # relations not yet resolved whose rel-members all are
-        blocked = (
-            mem.filter(F.col("pos_id") >= OFF20 - OFF10 // 2)
-            .join(
-                resolved.select("pos_id"), "pos_id", "left_anti"
+        if done is None:
+            probe = mem_rel.limit(0).select(
+                "id",
+                "j",
+                F.lit(0).cast("long").alias("lon_i"),
+                F.lit(0).cast("long").alias("lat_i"),
             )
-            .select("id")
-            .distinct()
+        else:
+            probe = mem_rel.join(
+                done.select(
+                    (F.col("id") - OFF20).alias("child"),
+                    "lon_i",
+                    "lat_i",
+                ),
+                "child",
+            ).select("id", "j", "lon_i", "lat_i")
+        ragg = probe.groupBy("id").agg(
+            F.min("lon_i").alias("rx_min"),
+            F.max("lon_i").alias("rx_max"),
+            F.min("lat_i").alias("ry_min"),
+            F.max("lat_i").alias("ry_max"),
+            F.max_by(
+                F.struct("j", "lon_i", "lat_i"), F.col("j")
+            ).alias("rlast"),
+            F.count("*").cast("long").alias("n_matched"),
         )
-        todo = rel_ids.join(blocked, "id", "left_anti")
+        cand = spine.join(ragg, "id", "left").filter(
+            (F.coalesce("n_matched", F.lit(0)) == F.col("n_rel"))
+            & (
+                F.coalesce("s_n", F.lit(0))
+                + F.coalesce("n_matched", F.lit(0))
+                > 0
+            )
+        )
         if done is not None:
-            todo = todo.join(
+            cand = cand.join(
                 done.select((F.col("id") - OFF20).alias("id")),
                 "id",
                 "left_anti",
             )
-        got = mem.join(todo, "id", "left_semi").join(
-            resolved, "pos_id"
+        last = F.when(
+            F.col("rlast").isNull()
+            | (
+                F.col("slast").isNotNull()
+                & (F.col("slast.j") > F.col("rlast.j"))
+            ),
+            F.col("slast"),
+        ).otherwise(F.col("rlast"))
+        x_min = F.least(
+            F.coalesce("sx_min", F.col("rx_min")),
+            F.coalesce("rx_min", F.col("sx_min")),
         )
-        agg = got.groupBy("id").agg(
-            F.first("is_area").alias("is_area"),
-            F.min("lon_i").alias("x_min"),
-            F.max("lon_i").alias("x_max"),
-            F.min("lat_i").alias("y_min"),
-            F.max("lat_i").alias("y_max"),
-            F.max_by(
-                F.struct("lon_i", "lat_i"), F.col("j")
-            ).alias("last"),
+        x_max = F.greatest(
+            F.coalesce("sx_max", F.col("rx_max")),
+            F.coalesce("rx_max", F.col("sx_max")),
         )
-        batch = agg.select(
+        y_min = F.least(
+            F.coalesce("sy_min", F.col("ry_min")),
+            F.coalesce("ry_min", F.col("sy_min")),
+        )
+        y_max = F.greatest(
+            F.coalesce("sy_max", F.col("ry_max")),
+            F.coalesce("ry_max", F.col("sy_max")),
+        )
+        batch = cand.select(
             (F.col("id") + OFF20).alias("id"),
+            F.col("is_area"),
+            x_min.alias("x_min"),
+            x_max.alias("x_max"),
+            y_min.alias("y_min"),
+            y_max.alias("y_max"),
+            last.alias("last"),
+        ).select(
+            "id",
             F.when(
                 F.col("is_area"),
                 F.expr("x_max div 2 + x_min div 2"),
@@ -487,20 +566,11 @@ def _rel_centers(
             .otherwise(F.col("last.lat_i"))
             .alias("lat_i"),
         ).localCheckpoint(eager=True)
-        # todo already excludes resolved relations, so every batch
-        # row is new; an empty batch means the fixpoint is reached
         if batch.count() == 0:
             break
         done = (
-            batch
-            if done is None
-            else done.unionByName(batch).localCheckpoint(eager=True)
+            batch if done is None else done.unionByName(batch)
         )
-        resolved = resolved.unionByName(
-            batch.select(
-                F.col("id").alias("pos_id"), "lon_i", "lat_i"
-            )
-        ).localCheckpoint(eager=True)
     if done is None:
         return rels.select(
             "id",

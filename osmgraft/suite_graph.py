@@ -218,6 +218,70 @@ def q39_rel_geometry(spark, sf_dir):
     )
 
 
+def q51_rel_centers_fixpoint(spark, sf_dir):
+    """G5/R3 composed (round 3): the CLI --all-to-nodes relation
+    center FIXED POINT (cli._rel_centers) over multi-level rel->rel
+    member chains — a relation resolves only after its child
+    relation has (posr_processing, osmconvert.c:6917-7070), so the
+    synth child chains (length <= 7 between breaks) take several
+    passes. Members per relation, in order: node, way, child
+    relation (when present). Non-area relations take the LAST
+    valid member's position (child center when present), area
+    relations the C-trunc bbox middle of all member positions.
+    Oracle: recursive CTE walking the child chains upward."""
+    from .cli import OFF10, OFF20, _rel_centers
+    from .operators.graph import synth_rels, synth_ways, way_geometry
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    nodes = _nodes(spark, sf_dir)
+    centers = way_geometry(synth_ways(docs, n), nodes)
+    raw = synth_rels(docs, n)
+
+    def member(ref, t):
+        return F.struct(
+            ref.cast("long").alias("ref"),
+            F.lit(t).alias("mtype"),
+            F.lit("").alias("role"),
+        )
+
+    base = F.array(
+        member(F.col("node_member"), "node"),
+        member(F.col("way_member"), "way"),
+    )
+    rels = raw.select(
+        F.col("rel_id").alias("id"),
+        F.when(
+            F.col("child_rel").isNotNull(),
+            F.concat(
+                base,
+                F.array(member(F.col("child_rel"), "relation")),
+            ),
+        )
+        .otherwise(base)
+        .alias("members"),
+        F.when(
+            F.col("rel_id") % 2 == 0,
+            F.create_map().cast("map<string,string>"),
+        )
+        .otherwise(F.create_map(F.lit("route"), F.lit("x")))
+        .alias("tags"),
+    )
+    node_pos = nodes.select(
+        F.col("doc_id").alias("id"), "lon_i", "lat_i"
+    )
+    way_pos = centers.select(
+        (F.col("way_id") + F.lit(OFF10)).alias("id"),
+        F.col("center_lon").alias("lon_i"),
+        F.col("center_lat").alias("lat_i"),
+    )
+    out = _rel_centers(rels, node_pos, way_pos)
+    return out.select(
+        (F.col("id") - F.lit(OFF20)).alias("rel_id"),
+        F.col("lon_i").alias("x"),
+        F.col("lat_i").alias("y"),
+    )
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -226,6 +290,7 @@ GRAPH_QUERIES = {
     "q27_rel_closure": q27_rel_closure,
     "q38_rel_closure_down": q38_rel_closure_down,
     "q39_rel_geometry": q39_rel_geometry,
+    "q51_rel_centers_fixpoint": q51_rel_centers_fixpoint,
 }
 
 _RELS_CTE = f"""
@@ -410,5 +475,42 @@ SELECT rel_id,
        THEN (greatest(ny, wy) + least(ny, wy)) // 2
        ELSE wy END AS y
 FROM relpos
+""",
+        "q51_rel_centers_fixpoint": f"""
+WITH RECURSIVE {pts_cte},
+{_GRAPH_CTES},
+{_RELS_CTE.strip().lstrip()},
+{_WAY_CENTERS_CTE.strip().lstrip()},
+relbase AS (
+  SELECT r.rel_id, r.child_rel,
+    p.lon_i AS nx, p.lat_i AS ny,
+    c.cx AS wx, c.cy AS wy,
+    (r.rel_id % 2 = 0) AS is_area
+  FROM rels2 r
+  JOIN pts p ON p.doc_id = r.node_member
+  JOIN centers c ON c.way_id = r.way_member
+),
+fix AS (
+  SELECT rel_id,
+    CASE WHEN is_area
+         THEN greatest(nx, wx) // 2 + least(nx, wx) // 2
+         ELSE wx END AS x,
+    CASE WHEN is_area
+         THEN (greatest(ny, wy) + least(ny, wy)) // 2
+         ELSE wy END AS y
+  FROM relbase WHERE child_rel IS NULL
+  UNION ALL
+  SELECT r.rel_id,
+    CASE WHEN r.is_area
+         THEN greatest(r.nx, r.wx, f.x) // 2
+              + least(r.nx, r.wx, f.x) // 2
+         ELSE f.x END,
+    CASE WHEN r.is_area
+         THEN (greatest(r.ny, r.wy, f.y)
+               + least(r.ny, r.wy, f.y)) // 2
+         ELSE f.y END
+  FROM relbase r JOIN fix f ON f.rel_id = r.child_rel
+)
+SELECT rel_id, x, y FROM fix
 """,
     }
