@@ -26,6 +26,49 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_score(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signal (Rae et al. 2021, public
+    quality heuristics for web text): the fraction of duplicated
+    word n-grams per document. High dup_frac marks boilerplate /
+    degenerate pages a training-data pipeline filters out.
+
+    Pure Catalyst: tokens -> in-row n-gram array via transform over
+    a sequence -> array_distinct ratio. No shuffle, no UDF — scales
+    as a map-only pass over the corpus."""
+    toks = F.split(F.col(text_col), " ")
+    cnt = F.size(toks)
+    grams = F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(
+                "\x1f",
+                *[F.element_at(toks, i + k) for k in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias(
+            "n_distinct"
+        ),
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """cheap quality heuristics: length, space/period densities,
     long/short bucket."""

@@ -27,6 +27,7 @@ from .operators.text import (
     lang_id,
     ngram_jaccard_pairs,
     quality_score,
+    repetition_score,
     token_count,
 )
 
@@ -372,6 +373,12 @@ def q11_token_count(spark, sf_dir):
 
 def q12_quality(spark, sf_dir):
     return quality_score(load(spark, sf_dir, "documents"))
+
+
+def q52_repetition(spark, sf_dir):
+    """Gopher-style duplicate-3-gram fraction (public web-text
+    quality heuristic) — map-only Catalyst pass."""
+    return repetition_score(load(spark, sf_dir, "documents"))
 
 
 def q13_lang_id(spark, sf_dir):
@@ -826,6 +833,7 @@ QUERIES = {
     "q10_diff": q10_diff,
     "q11_token_count": q11_token_count,
     "q12_quality": q12_quality,
+    "q52_repetition": q52_repetition,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -1085,6 +1093,26 @@ SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
   CAST(length(text) AS BIGINT) AS text_len
 FROM documents
+""",
+        "q52_repetition": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_transform(
+      range(1, len(t) - 1),
+      i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])
+    ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(g) AS BIGINT) AS n_grams,
+  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+  ROUND(CASE WHEN len(g) > 0
+        THEN 1.0 - len(list_distinct(g)) / len(g)
+        ELSE 0.0 END, 6) AS dup_frac
+FROM g
 """,
         "q12_quality": """
 SELECT doc_id,
