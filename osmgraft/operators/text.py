@@ -37,18 +37,7 @@ def repetition_score(
     Pure Catalyst: tokens -> in-row n-gram array via transform over
     a sequence -> array_distinct ratio. No shuffle, no UDF — scales
     as a map-only pass over the corpus."""
-    toks = F.split(F.col(text_col), " ")
-    cnt = F.size(toks)
-    grams = F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - (n - 1)),
-            lambda i: F.concat_ws(
-                "\x1f",
-                *[F.element_at(toks, i + k) for k in range(n)],
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _word_grams(text_col, n)
     out = df.select(
         "doc_id",
         F.size(grams).cast("long").alias("n_grams"),
@@ -66,6 +55,57 @@ def repetition_score(
             ).otherwise(F.lit(0.0)),
             6,
         ),
+    )
+
+
+def _word_grams(text_col: str, n: int):
+    """In-row word n-gram array (shared by repetition_score and
+    decontaminate_flags — identical shingling on both sides)."""
+    toks = F.split(F.col(text_col), " ")
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(
+                "\x1f",
+                *[F.element_at(toks, i + k) for k in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate_flags(
+    df: DataFrame,
+    eval_pred,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination (standard training-data hygiene,
+    e.g. GPT-3 appendix C / Dodge et al. 2021): flag corpus
+    documents sharing >= 1 word n-gram with a held-out eval set.
+    Returns (doc_id, n_shared) for flagged documents, n_shared =
+    number of DISTINCT shared n-grams.
+
+    Scale shape: the eval set is tiny by definition, so its
+    distinct shingle set BROADCASTS; the corpus side is a map-side
+    explode + broadcast-hash semi-join — the full corpus is never
+    shuffled. One small shuffle aggregates per-doc match counts."""
+    grams = _word_grams(text_col, n)
+    eval_grams = (
+        df.filter(eval_pred)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    corpus = df.filter(~eval_pred)
+    return (
+        corpus.select(
+            "doc_id",
+            F.explode(F.array_distinct(grams)).alias("g"),
+        )
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
     )
 
 

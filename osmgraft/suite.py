@@ -26,6 +26,7 @@ from .operators.text import (
     fingerprint,
     lang_id,
     ngram_jaccard_pairs,
+    decontaminate_flags,
     quality_score,
     repetition_score,
     token_count,
@@ -379,6 +380,16 @@ def q52_repetition(spark, sf_dir):
     """Gopher-style duplicate-3-gram fraction (public web-text
     quality heuristic) — map-only Catalyst pass."""
     return repetition_score(load(spark, sf_dir, "documents"))
+
+
+def q53_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing a word
+    3-gram with the (synthetic) eval slice doc_id % 97 == 0.
+    Broadcast eval shingles; corpus never shuffles."""
+    return decontaminate_flags(
+        load(spark, sf_dir, "documents"),
+        F.col("doc_id") % 97 == 0,
+    )
 
 
 def q13_lang_id(spark, sf_dir):
@@ -834,6 +845,7 @@ QUERIES = {
     "q11_token_count": q11_token_count,
     "q12_quality": q12_quality,
     "q52_repetition": q52_repetition,
+    "q53_decontaminate": q53_decontaminate,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -1113,6 +1125,29 @@ SELECT doc_id,
         THEN 1.0 - len(list_distinct(g)) / len(g)
         ELSE 0.0 END, 6) AS dup_frac
 FROM g
+""",
+        "q53_decontaminate": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_transform(
+      range(1, len(t) - 1),
+      i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])
+    ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM t
+),
+eg AS (
+  SELECT DISTINCT unnest(g) AS gr FROM g WHERE doc_id % 97 = 0
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct(g)) AS gr
+  FROM g WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cg JOIN eg USING (gr)
+GROUP BY doc_id
 """,
         "q12_quality": """
 SELECT doc_id,

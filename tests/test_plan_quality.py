@@ -174,3 +174,23 @@ def test_ann_small_sides_are_broadcast(spark):
         )
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """q53: the eval-set shingles must reach the corpus via a
+    BroadcastHashJoin — the corpus side is never shuffled before
+    the per-doc aggregate's own exchange."""
+    from osmgraft.operators.text import decontaminate_flags
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30)))
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    plan = _plan(
+        decontaminate_flags(docs, F.col("doc_id") % 97 == 0)
+    )
+    assert "BroadcastHashJoin" in plan
+    # exactly one exchange bringing per-doc partial counts together
+    # (plus the broadcast exchange); no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan
