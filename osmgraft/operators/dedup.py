@@ -48,7 +48,15 @@ _LOG = logging.getLogger("osmgraft")
 def gram_array(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of a text column, in-row (no shuffle).
     Documents shorter than n tokens contribute their full text as
-    one (short) gram."""
+    one (short) gram.
+
+    NOTE (round 3): when a plan references this expression from
+    SEVERAL output columns, the whole gram pipeline (split
+    included) re-evaluates per reference — HOF lambdas defeat
+    cross-expression CSE (measured ~9x on q52's size+distinct
+    pair). Single-reference uses (explode) are unaffected. Hot
+    paths use with_gram_array, which materializes the array once
+    as its own column either way."""
     toks = F.split(text, " ")
     idx = F.sequence(
         F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
@@ -57,6 +65,31 @@ def gram_array(text: Column, n: int = 3) -> Column:
         idx, lambda j: F.concat_ws(" ", F.slice(toks, j, n))
     )
     return F.array_distinct(grams)
+
+
+def with_gram_array(
+    df: DataFrame, text_col: str, n: int = 3, out: str = "_g"
+) -> DataFrame:
+    """df + distinct word n-gram array column as its OWN projection.
+    This guarantees the gram pipeline is evaluated exactly once per
+    row no matter how many downstream expressions reference it —
+    HOF lambdas defeat cross-expression CSE, so a plan touching the
+    array from k output columns would otherwise re-run the whole
+    tokenize+shingle per column (measured ~9x on the size+distinct
+    pair in repetition_score; single-reference explode paths are
+    unaffected)."""
+    toks = F.col("_toks")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    )
+    grams = F.transform(
+        idx, lambda j: F.concat_ws(" ", F.slice(toks, j, n))
+    )
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn(out, F.array_distinct(grams))
+        .drop("_toks")
+    )
 
 
 # ---------------------------------------------------------------
@@ -86,9 +119,9 @@ def minhash_lsh_pairs(
     (doc_id, 12 hex mins) per doc — the same order of traffic as
     the band-join shuffle that follows."""
     n_bands = n_hashes // band_rows
-    grams = docs.select(
+    grams = with_gram_array(docs, text_col).select(
         F.col(id_col).alias("doc"),
-        F.explode(gram_array(F.col(text_col))).alias("gram"),
+        F.explode(F.col("_g")).alias("gram"),
     )
     sigs = grams.groupBy("doc").agg(
         *[
@@ -153,9 +186,8 @@ def jaccard_on_candidates(
     Output (a, b, inter, jaccard) matches text.ngram_jaccard_pairs
     (the all-pairs oracle twin used at small scale).
     """
-    g = docs.select(
-        F.col(id_col).alias("_id"),
-        gram_array(F.col(text_col), n).alias("_g"),
+    g = with_gram_array(docs, text_col, n).select(
+        F.col(id_col).alias("_id"), "_g"
     )
     withg = (
         pairs.select("a", "b")
@@ -322,10 +354,10 @@ def simhash16(
     column form re-evaluates the gram pipeline inside each of the
     16 aggregates — HOFs defeat cross-expression CSE; measured ~4x
     slower). Shuffle carries only (doc_id, 16 small sums)."""
-    h = df.select(
+    h = with_gram_array(df, text_col).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(gram_array(F.col(text_col))).alias("_g"),
-    ).select("doc_id", _hex4(F.col("_g")).alias("_h"))
+        F.explode(F.col("_g")).alias("_gram"),
+    ).select("doc_id", _hex4(F.col("_gram")).alias("_h"))
     sums = h.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -37,8 +37,8 @@ def repetition_score(
     Pure Catalyst: tokens -> in-row n-gram array via transform over
     a sequence -> array_distinct ratio. No shuffle, no UDF — scales
     as a map-only pass over the corpus."""
-    grams = _word_grams(text_col, n)
-    out = df.select(
+    grams = F.col("_grams")
+    out = _with_word_grams(df, text_col, n).select(
         "doc_id",
         F.size(grams).cast("long").alias("n_grams"),
         F.size(F.array_distinct(grams)).cast("long").alias(
@@ -58,12 +58,23 @@ def repetition_score(
     )
 
 
-def _word_grams(text_col: str, n: int):
-    """In-row word n-gram array (shared by repetition_score and
-    decontaminate_flags — identical shingling on both sides)."""
-    toks = F.split(F.col(text_col), " ")
+def _with_word_grams(
+    df: DataFrame, text_col: str, n: int, out_col: str = "_grams"
+) -> DataFrame:
+    """df + an in-row word n-gram array column (shared by
+    repetition_score and decontaminate_flags — identical shingling
+    on both sides).
+
+    Two deliberate projections: the token split materializes as its
+    OWN column first. Higher-order functions evaluate their lambda
+    per element OUTSIDE whole-stage codegen, so an inlined
+    split(text) would re-tokenize the document for every
+    element_at — measured ~10x slower than splitting once
+    (CollapseProject keeps the boundary because the split is
+    referenced many times)."""
+    toks = F.col("_toks")
     cnt = F.size(toks)
-    return F.when(
+    grams = F.when(
         cnt >= n,
         F.transform(
             F.sequence(F.lit(1), cnt - (n - 1)),
@@ -73,6 +84,11 @@ def _word_grams(text_col: str, n: int):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .withColumn(out_col, grams)
+        .drop("_toks")
+    )
 
 
 def decontaminate_flags(
@@ -91,13 +107,13 @@ def decontaminate_flags(
     distinct shingle set BROADCASTS; the corpus side is a map-side
     explode + broadcast-hash semi-join — the full corpus is never
     shuffled. One small shuffle aggregates per-doc match counts."""
-    grams = _word_grams(text_col, n)
+    grams = F.col("_grams")
     eval_grams = (
-        df.filter(eval_pred)
+        _with_word_grams(df.filter(eval_pred), text_col, n)
         .select(F.explode(grams).alias("g"))
         .distinct()
     )
-    corpus = df.filter(~eval_pred)
+    corpus = _with_word_grams(df.filter(~eval_pred), text_col, n)
     return (
         corpus.select(
             "doc_id",
