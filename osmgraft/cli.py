@@ -87,6 +87,12 @@ def _parse_args(argv: list[str]) -> dict:
         "bbox": None,
         "poly": None,
         "keep": None,
+        # per-type keep/drop predicates (osmfilter fil_parse ftype
+        # 0-5, osmfilter.c:6897-6916); values are filter strings,
+        # drop_all_* mark the bare --drop-nodes/-ways/-relations
+        "keep_t": {"node": None, "way": None, "relation": None},
+        "drop_t": {"node": None, "way": None, "relation": None},
+        "drop_all": {"node": False, "way": False, "relation": False},
         "keep_tags": None,
         "drop_tags": None,
         "modify_tags": None,
@@ -94,6 +100,7 @@ def _parse_args(argv: list[str]) -> dict:
         "complete_ways": False,
         "all_to_nodes": False,
         "out": None,
+        "out_fmt": None,   # --out-osm/--out-o5m/... to stdout
         "out_csv": False,
         "out_statistics": False,
         "out_key": None,       # "" => list keys; else key pattern
@@ -102,6 +109,32 @@ def _parse_args(argv: list[str]) -> dict:
         "csv_cols": "@id @lon @lat",
         "csv_sep": "\t",
     }
+    def _set_types(slot: dict, kinds: list[str], expr: str) -> None:
+        for k in kinds:
+            slot[k] = (
+                expr if slot[k] is None else f"( {slot[k]} ) or ( {expr} )"
+            )
+
+    _TYPED = {
+        "nodes": ["node"],
+        "ways": ["way"],
+        "relations": ["relation"],
+        "nodes-ways": ["node", "way"],
+        "nodes-relations": ["node", "relation"],
+        "ways-relations": ["way", "relation"],
+    }
+
+    def _typed_flag(a: str, prefix: str, slot: dict) -> bool:
+        # e.g. prefix "--keep-": --keep-ways=EXPR
+        if not a.startswith(prefix):
+            return False
+        rest = a[len(prefix):]
+        name, eq, expr = rest.partition("=")
+        if name in _TYPED and eq:
+            _set_types(slot, _TYPED[name], expr)
+            return True
+        return False
+
     for a in argv:
         if a.startswith("-b="):
             opts["bbox"] = [float(v) for v in a[3:].split(",")]
@@ -109,6 +142,16 @@ def _parse_args(argv: list[str]) -> dict:
             opts["poly"] = a[3:]
         elif a.startswith("--keep="):
             opts["keep"] = a[7:]
+        elif a.startswith("--drop="):
+            _set_types(
+                opts["drop_t"], ["node", "way", "relation"], a[7:]
+            )
+        elif a in ("--drop-nodes", "--drop-ways", "--drop-relations"):
+            opts["drop_all"][a[7:-1]] = True
+        elif _typed_flag(a, "--keep-", opts["keep_t"]):
+            pass
+        elif _typed_flag(a, "--drop-", opts["drop_t"]):
+            pass
         elif a.startswith("--keep-tags="):
             opts["keep_tags"] = a[12:]
         elif a.startswith("--drop-tags="):
@@ -134,6 +177,8 @@ def _parse_args(argv: list[str]) -> dict:
             opts["emulate"] = "pbf2osm"
         elif a == "--emulate-osmosis":
             opts["emulate"] = "osmosis"
+        elif a in ("--out-osm", "--out-o5m", "--out-o5c", "--out-pbf"):
+            opts["out_fmt"] = a[6:]
         elif a.startswith("-o="):
             opts["out"] = a[3:]
         elif a == "--out-csv":
@@ -823,6 +868,30 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         ways = ways.filter(keep_column(F.col("tags"), pred))
         rels = rels.filter(keep_column(F.col("tags"), pred))
 
+    # per-type keep, then per-type drop (fil_check0/fil_check1
+    # order, osmfilter.c:6450-6467); bare --drop-nodes/-ways/
+    # -relations empty the whole section
+    kinds = {"node": nodes, "way": ways, "relation": rels}
+    for kind, df in kinds.items():
+        if opts["keep_t"][kind] is not None:
+            df = df.filter(
+                keep_column(
+                    F.col("tags"), parse_keep(opts["keep_t"][kind])
+                )
+            )
+        if opts["drop_t"][kind] is not None:
+            df = df.filter(
+                ~keep_column(
+                    F.col("tags"),
+                    parse_keep(opts["drop_t"][kind]),
+                    mode="drop",
+                )
+            )
+        if opts["drop_all"][kind]:
+            df = df.limit(0)
+        kinds[kind] = df
+    nodes, ways, rels = kinds["node"], kinds["way"], kinds["relation"]
+
     if opts["keep_tags"] is not None or opts["drop_tags"] is not None:
         proj = lambda df: df.withColumn(  # noqa: E731
             "tags",
@@ -890,6 +959,31 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
 
     if opts["out_csv"]:
         _emit_csv(nodes, ways, rels, opts)
+        return None
+
+    if opts["out_fmt"] is not None and opts["out"] is None:
+        # --out-FORMAT without -o=: stream to stdout, like the
+        # reference tools (osmconvert.c:12823-12860). XML goes to
+        # the text stream, binary formats to the byte stream.
+        from .wire import encode_o5m, encode_osm_xml, encode_pbf
+        from .wire.spark import _iter_rows
+
+        rows = (
+            _iter_rows(nodes),
+            _iter_rows(ways) if ways is not None else [],
+            _iter_rows(rels) if rels is not None else [],
+        )
+        fmt = opts["out_fmt"]
+        if fmt == "osm":
+            sys.stdout.write(
+                encode_osm_xml(*rows, dialect=opts["emulate"])
+            )
+        elif fmt in ("o5m", "o5c"):
+            sys.stdout.buffer.write(
+                encode_o5m(*rows, change=(fmt == "o5c"))
+            )
+        else:  # pbf
+            sys.stdout.buffer.write(encode_pbf(*rows))
         return None
 
     out = opts["out"]

@@ -389,3 +389,54 @@ def test_csv_way_rel_rows_byte_exact(spark, tmp_path, capsys):
     convert(spark, [osm, *cols])
     ours = capsys.readouterr().out
     assert ours == _run("osmconvert", osm, *cols)
+
+
+def test_per_type_keep_drop_match_osmfilter(spark, tmp_path):
+    """--keep-ways= / --drop-nodes= / --drop= per-type predicates
+    (fil_parse ftype 0-5) vs osmfilter."""
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    cases = [
+        ["--keep-ways=highway=h1"],
+        ["--drop-nodes=amenity=kind2"],
+        ["--drop=amenity=kind0"],
+        ["--keep-nodes=amenity=kind1", "--drop-ways=highway=h0"],
+    ]
+    for args in cases:
+        ours = tmp_path / "ours.o5m"
+        convert(spark, [osm, *args, f"-o={ours}"])
+        theirs = tmp_path / "theirs.o5m"
+        subprocess.run(
+            [f"{REFBIN}/osmfilter", str(o5m), *args,
+             "--ignore-dependencies", f"-o={theirs}"],
+            check=True,
+        )
+        assert _view(str(ours)) == _view(str(theirs)), args
+
+
+def test_drop_all_sections(spark, tmp_path):
+    """bare --drop-ways / --drop-relations empty the section
+    (osmfilter.c help: 'delete all ways')."""
+    osm = _world(tmp_path)
+    ours = tmp_path / "ours.o5m"
+    convert(
+        spark, [osm, "--drop-ways", "--drop-relations", f"-o={ours}"]
+    )
+    got = _run("osmconvert", str(ours), "--out-csv",
+               "--csv=@otype @id", "--csv-separator=|")
+    assert all(line.startswith("0|") for line in got.splitlines())
+    assert len(got.splitlines()) == 300
+
+
+def test_out_osm_stdout(spark, tmp_path, capsys):
+    """--out-osm without -o= streams XML to stdout; byte-equal to
+    the file sink's serial render."""
+    osm = _world(tmp_path)
+    convert(spark, [osm, "--out-osm"])
+    streamed = capsys.readouterr().out
+    f = tmp_path / "f.osm"
+    convert(spark, [osm, f"-o={f}"])
+    assert streamed == f.read_text()
