@@ -93,9 +93,12 @@ def _parse_args(argv: list[str]) -> dict:
         "keep_t": {"node": None, "way": None, "relation": None},
         "drop_t": {"node": None, "way": None, "relation": None},
         "drop_all": {"node": False, "way": False, "relation": False},
-        "keep_tags": None,
-        "drop_tags": None,
+        # per-type tag projections (fil_parse ftype 6-11)
+        "keep_tags_t": {"node": None, "way": None, "relation": None},
+        "drop_tags_t": {"node": None, "way": None, "relation": None},
         "modify_tags": None,
+        "out_timestamp": False,
+        "csv_headline": False,
         "drop_broken_refs": False,
         "complete_ways": False,
         "all_to_nodes": False,
@@ -106,7 +109,9 @@ def _parse_args(argv: list[str]) -> dict:
         "out_key": None,       # "" => list keys; else key pattern
         "out_sort": False,     # --out-count
         "emulate": None,       # pbf2osm | osmosis
-        "csv_cols": "@id @lon @lat",
+        # reference default columns (csv_ini(NULL),
+        # osmconvert.c:3235-3243)
+        "csv_cols": "@oname @id name",
         "csv_sep": "\t",
     }
     def _set_types(slot: dict, kinds: list[str], expr: str) -> None:
@@ -123,6 +128,30 @@ def _parse_args(argv: list[str]) -> dict:
         "nodes-relations": ["node", "relation"],
         "ways-relations": ["way", "relation"],
     }
+    _TYPED_TAGS = {
+        "tags": ["node", "way", "relation"],
+        "node-tags": ["node"],
+        "way-tags": ["way"],
+        "relation-tags": ["relation"],
+        "node-way-tags": ["node", "way"],
+        "node-relation-tags": ["node", "relation"],
+        "way-relation-tags": ["way", "relation"],
+    }
+
+    def _tags_flag(a: str, prefix: str, slot: dict) -> bool:
+        if not a.startswith(prefix):
+            return False
+        rest = a[len(prefix):]
+        name, eq, expr = rest.partition("=")
+        if name in _TYPED_TAGS and eq:
+            for k in _TYPED_TAGS[name]:
+                # tag filters are PAIR LISTS: appending extends the
+                # list (fil_parse appends into one pair array)
+                slot[k] = expr if slot[k] is None else (
+                    f"{slot[k]} {expr}"
+                )
+            return True
+        return False
 
     def _typed_flag(a: str, prefix: str, slot: dict) -> bool:
         # e.g. prefix "--keep-": --keep-ways=EXPR
@@ -152,10 +181,10 @@ def _parse_args(argv: list[str]) -> dict:
             pass
         elif _typed_flag(a, "--drop-", opts["drop_t"]):
             pass
-        elif a.startswith("--keep-tags="):
-            opts["keep_tags"] = a[12:]
-        elif a.startswith("--drop-tags="):
-            opts["drop_tags"] = a[12:]
+        elif _tags_flag(a, "--keep-", opts["keep_tags_t"]):
+            pass
+        elif _tags_flag(a, "--drop-", opts["drop_tags_t"]):
+            pass
         elif a.startswith("--modify-tags="):
             opts["modify_tags"] = a[14:]
         elif a == "--drop-broken-refs":
@@ -183,6 +212,10 @@ def _parse_args(argv: list[str]) -> dict:
             opts["out"] = a[3:]
         elif a == "--out-csv":
             opts["out_csv"] = True
+        elif a == "--out-timestamp":
+            opts["out_timestamp"] = True
+        elif a == "--csv-headline":
+            opts["csv_headline"] = True
         elif a.startswith("--csv="):
             opts["csv_cols"] = a[6:]
         elif a.startswith("--csv-separator="):
@@ -836,6 +869,10 @@ def _emit_csv(nodes, ways, rels, opts) -> None:
     lines = csv_lines(
         union.orderBy("_k", "_id"), names, sep=opts["csv_sep"]
     )
+    if opts.get("csv_headline"):
+        # csv_headline (osmconvert.c:3332-3347): one leading row of
+        # the column names themselves
+        print(opts["csv_sep"].join(cols))
     for row in lines.toLocalIterator():
         print(row.value)
 
@@ -854,6 +891,30 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
     from .sources.auto import read_osm_auto
 
     opts = _parse_args(argv)
+
+    if opts["out_timestamp"]:
+        # K8 probe (osmconvert.c:10501-10508): print the first
+        # input's 0xdc file timestamp, or "(invalid timestamp)"
+        import datetime as _dt
+
+        from .sources.auto import sniff_format
+        from .sources.o5m import o5m_file_timestamp
+
+        p = opts["inputs"][0]
+        ts = None
+        if sniff_format(p) in ("o5m", "o5c"):
+            with open(p, "rb") as f:
+                ts = o5m_file_timestamp(f.read())
+        if ts:
+            print(
+                _dt.datetime.fromtimestamp(
+                    ts, _dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            )
+        else:
+            print("(invalid timestamp)")
+        return None
+
     parts = [read_osm_auto(spark, p) for p in opts["inputs"]]
     if len(parts) == 1:
         nodes, ways, rels = parts[0]
@@ -892,16 +953,21 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         kinds[kind] = df
     nodes, ways, rels = kinds["node"], kinds["way"], kinds["relation"]
 
-    if opts["keep_tags"] is not None or opts["drop_tags"] is not None:
-        proj = lambda df: df.withColumn(  # noqa: E731
-            "tags",
-            tags_filter_column(
-                F.col("tags"),
-                keep=opts["keep_tags"],
-                drop=opts["drop_tags"],
-            ),
+    kt, dt = opts["keep_tags_t"], opts["drop_tags_t"]
+    if any(kt.values()) or any(dt.values()):
+        kinds = {"node": nodes, "way": ways, "relation": rels}
+        for kind, df in kinds.items():
+            if kt[kind] is None and dt[kind] is None:
+                continue
+            kinds[kind] = df.withColumn(
+                "tags",
+                tags_filter_column(
+                    F.col("tags"), keep=kt[kind], drop=dt[kind]
+                ),
+            )
+        nodes, ways, rels = (
+            kinds["node"], kinds["way"], kinds["relation"]
         )
-        nodes, ways, rels = proj(nodes), proj(ways), proj(rels)
 
     if opts["modify_tags"] is not None:
         from .filterlang.modify import modify_entries, parse_modify

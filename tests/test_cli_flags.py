@@ -440,3 +440,67 @@ def test_out_osm_stdout(spark, tmp_path, capsys):
     f = tmp_path / "f.osm"
     convert(spark, [osm, f"-o={f}"])
     assert streamed == f.read_text()
+
+
+def test_default_csv_columns_byte_exact(spark, tmp_path, capsys):
+    """--out-csv without --csv uses the reference's default
+    "@oname @id name" (csv_ini(NULL), osmconvert.c:3235-3243),
+    trailing separators included."""
+    osm = _world(tmp_path)
+    convert(spark, [osm, "--out-csv"])
+    ours = capsys.readouterr().out
+    assert ours == _run("osmconvert", osm, "--out-csv")
+
+
+def test_csv_headline(spark, tmp_path, capsys):
+    osm = _world(tmp_path)
+    args = ["--out-csv", "--csv-headline", "--csv=@oname @id amenity",
+            "--csv-separator=|"]
+    convert(spark, [osm, *args])
+    ours = capsys.readouterr().out
+    assert ours == _run("osmconvert", osm, *args)
+
+
+def test_per_type_tag_filters_match_osmfilter(spark, tmp_path):
+    """--keep-node-tags= / --drop-way-tags= (fil_parse ftype 6-11)
+    vs osmfilter."""
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    cases = [
+        ["--keep-node-tags=all amenity="],
+        ["--drop-way-tags=highway=h1"],
+        ["--keep-way-tags=all highway=", "--drop-node-tags=name="],
+    ]
+    for args in cases:
+        ours = tmp_path / "ours.o5m"
+        convert(spark, [osm, *args, f"-o={ours}"])
+        theirs = tmp_path / "theirs.o5m"
+        subprocess.run(
+            [f"{REFBIN}/osmfilter", str(o5m), *args,
+             "--ignore-dependencies", f"-o={theirs}"],
+            check=True,
+        )
+        assert _view(str(ours)) == _view(str(theirs)), args
+
+
+def test_out_timestamp(spark, tmp_path, capsys):
+    """--out-timestamp prints the 0xdc file timestamp exactly like
+    the binary, and "(invalid timestamp)" when absent."""
+    from osmgraft.sources.osmxml import _parse as parse_xml
+    from osmgraft.wire import encode_o5m
+
+    nodes, ways, rels = parse_xml(_world_xml())
+    stamped = tmp_path / "s.o5m"
+    stamped.write_bytes(
+        encode_o5m(nodes, ways, rels, file_timestamp=1735689600)
+    )
+    plain = tmp_path / "p.o5m"
+    plain.write_bytes(encode_o5m(nodes, ways, rels))
+    for path in (stamped, plain):
+        convert(spark, [str(path), "--out-timestamp"])
+        ours = capsys.readouterr().out
+        want = _run("osmconvert", str(path), "--out-timestamp")
+        assert ours == want, path
