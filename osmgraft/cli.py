@@ -101,6 +101,8 @@ def _parse_args(argv: list[str]) -> dict:
         "csv_headline": False,
         "drop_broken_refs": False,
         "complete_ways": False,
+        "complete_mp": False,
+        "complete_boundaries": False,
         "all_to_nodes": False,
         "out": None,
         "out_fmt": None,   # --out-osm/--out-o5m/... to stdout
@@ -191,6 +193,10 @@ def _parse_args(argv: list[str]) -> dict:
             opts["drop_broken_refs"] = True
         elif a == "--complete-ways":
             opts["complete_ways"] = True
+        elif a in ("--complete-multipolygons", "--complex-ways"):
+            opts["complete_mp"] = True
+        elif a == "--complete-boundaries":
+            opts["complete_boundaries"] = True
         elif a == "--all-to-nodes":
             opts["all_to_nodes"] = True
         elif a == "--out-statistics":
@@ -314,7 +320,87 @@ def _apply_spatial(nodes, ways, rels, opts):
         .distinct()
     )
 
-    if opts["complete_ways"] and spatial:
+    complex_mode = (
+        opts["complete_mp"] or opts["complete_boundaries"]
+    ) and spatial
+    if complex_mode:
+        # --complete-multipolygons / --complete-boundaries
+        # (dependency stages 11-13, osmconvert.c:11240-11302):
+        # relations touched by the border whose type qualifies and
+        # which have >= 1 flagged outer/inner member way pull their
+        # UNFLAGGED outer/inner member ways back in; all kept ways
+        # then complete their node sets (stage 12 = stage 21).
+        mref1 = rels.select(
+            "id", F.explode("members").alias("m")
+        ).select(
+            "id",
+            F.col("m.ref").alias("ref"),
+            F.col("m.mtype").alias("t"),
+            F.col("m.role").alias("role"),
+        )
+        direct1 = (
+            mref1.filter(F.col("t") == "node")
+            .join(inside.select(F.col("id").alias("ref")),
+                  "ref", "left_semi")
+            .select("id")
+            .unionByName(
+                mref1.filter(F.col("t") == "way")
+                .join(kept_way_ids.select(F.col("id").alias("ref")),
+                      "ref", "left_semi")
+                .select("id")
+            )
+            .distinct()
+        )
+        rel1 = _rel_keep_closure(rels, direct1)
+        type_val = F.try_element_at(F.col("tags"), F.lit("type"))
+        qual_type = F.lit(False)
+        if opts["complete_mp"]:
+            qual_type = qual_type | (type_val == "multipolygon")
+        if opts["complete_boundaries"]:
+            qual_type = qual_type | (type_val == "boundary")
+        qual_rels = rels.join(rel1, "id", "left_semi").filter(
+            qual_type
+        )
+        oi = mref1.filter(
+            (F.col("t") == "way")
+            & F.col("role").isin("outer", "inner")
+        )
+        # wayinside: >= 1 flagged outer/inner member way
+        with_inside_way = (
+            oi.join(
+                kept_way_ids.select(F.col("id").alias("ref")),
+                "ref",
+                "left_semi",
+            )
+            .select("id")
+            .distinct()
+        )
+        pulled_ways = (
+            oi.join(
+                qual_rels.select("id").join(
+                    with_inside_way, "id", "left_semi"
+                ),
+                "id",
+                "left_semi",
+            )
+            .select(F.col("ref").alias("id"))
+            .distinct()
+        )
+        kept_way_ids = (
+            kept_way_ids.unionByName(pulled_ways).distinct()
+        )
+        pulled_nodes = (
+            ways.join(kept_way_ids, "id", "left_semi")
+            .select(F.explode("refs").alias("id"))
+            .distinct()
+        )
+        nodes = nodes.join(
+            pulled_nodes.unionByName(inside.select("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        kept_node_ids = nodes.select(F.col("id").alias("ref"))
+    elif opts["complete_ways"] and spatial:
         # G4: pull back every ref of a partially-inside way
         pulled = (
             ways.join(kept_way_ids, "id", "left_semi")

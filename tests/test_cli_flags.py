@@ -504,3 +504,71 @@ def test_out_timestamp(spark, tmp_path, capsys):
         ours = capsys.readouterr().out
         want = _run("osmconvert", str(path), "--out-timestamp")
         assert ours == want, path
+
+
+def test_complete_multipolygons_matches_osmconvert(spark, tmp_path):
+    """--complete-multipolygons: a border-touching multipolygon
+    pulls its outside outer/inner member ways (and their nodes)
+    back in; non-multipolygon relations don't
+    (osmconvert.c:11240-11302 stages 11-13)."""
+    lines = ['<?xml version="1.0"?>', '<osm version="0.6">']
+    # nodes 1-10 inside the box, 11-30 outside
+    for i in range(1, 31):
+        lat = (i * 40000) / 1e7
+        lon = (i * 30000) / 1e7
+        lines.append(
+            f'<node id="{i}" lat="{lat:.7f}" lon="{lon:.7f}"'
+            ' version="1"/>'
+        )
+    # way 100 touches (nodes 2,3,12); way 101 fully outside
+    # (13,14,15); way 102 fully outside (16,17)
+    for wid, refs in ((100, (2, 3, 12)), (101, (13, 14, 15)),
+                      (102, (16, 17)), (103, (18, 19))):
+        lines.append(f'<way id="{wid}" version="1">')
+        for r in refs:
+            lines.append(f'<nd ref="{r}"/>')
+        lines.append('<tag k="highway" v="x"/></way>')
+    # multipolygon with inside way 100 + outside way 101 -> 101
+    # pulled; plain relation with 100 + 102 -> 102 NOT pulled;
+    # multipolygon fully outside (103) -> nothing pulled
+    lines.append(
+        '<relation id="200" version="1">'
+        '<member type="way" ref="100" role="outer"/>'
+        '<member type="way" ref="101" role="inner"/>'
+        '<tag k="type" v="multipolygon"/></relation>'
+    )
+    lines.append(
+        '<relation id="201" version="1">'
+        '<member type="way" ref="100" role="outer"/>'
+        '<member type="way" ref="102" role="outer"/>'
+        '<tag k="type" v="route"/></relation>'
+    )
+    lines.append(
+        '<relation id="202" version="1">'
+        '<member type="way" ref="103" role="outer"/>'
+        '<tag k="type" v="multipolygon"/></relation>'
+    )
+    lines.append("</osm>")
+    osm = tmp_path / "mp.osm"
+    osm.write_text("".join(lines))
+
+    bbox = "0,0,0.04,0.045"
+    ours = tmp_path / "ours.o5m"
+    convert(
+        spark,
+        [str(osm), f"-b={bbox}", "--complete-multipolygons",
+         f"-o={ours}"],
+    )
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(osm), f"-b={bbox}",
+         "--complete-multipolygons", f"-o={theirs}"],
+        check=True, capture_output=True,
+    )
+    cols = ["--out-csv", "--csv=@otype @id", "--csv-separator=|"]
+    got = _run("osmconvert", str(ours), *cols)
+    want = _run("osmconvert", str(theirs), *cols)
+    assert got == want
+    assert "1|101" in got       # pulled member way
+    assert "1|102" not in got   # non-mp relation member stays out
+    assert "0|13" in got        # pulled way's nodes complete
