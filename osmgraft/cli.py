@@ -26,8 +26,21 @@ Semantics composed from the differentially-tested operators:
   - --keep compiles the osmfilter predicate language to Catalyst
     (P3) over the tag map (osmfilter semantics: applied to every
     object kind independently, --ignore-dependencies style);
+    per-type variants --keep-nodes/-ways/-relations(+combos),
+    --drop[-TYPE]= predicates, and bare --drop-nodes/-ways/
+    -relations section drops (fil_parse ftype 0-5);
   - --keep-tags/--drop-tags prune the tag list (P5,
-    osmfilter.c:2980-3021), --modify-tags rewrites it (P6);
+    osmfilter.c:2980-3021) with per-type variants
+    --keep-node-tags= ... --drop-way-relation-tags= (ftype 6-11);
+    --modify-tags rewrites it (P6);
+  - --complete-multipolygons / --complete-boundaries (deprecated
+    alias --complex-ways) pull a qualifying border-touching
+    relation's outside outer/inner member ways and their nodes
+    back in (dependency stages 11-13);
+  - --out-osm/--out-o5m/--out-o5c/--out-pbf stream to stdout when
+    no -o= is given; --out-timestamp prints the 0xdc probe (K8);
+    --csv-headline and the reference's default CSV columns
+    (@oname @id name) are honored;
   - -b / -B keep nodes inside (P1/P2), ways with >= 1 kept node
     (G3 clip decision), relations with >= 1 kept node/way member
     PLUS the inter-relation closure (relations referencing kept
