@@ -116,6 +116,9 @@ def _parse_args(argv: list[str]) -> dict:
         "complete_ways": False,
         "complete_mp": False,
         "complete_boundaries": False,
+        "subtract": False,
+        "sub_inputs": [],
+        "diff": False,
         "all_to_nodes": False,
         "out": None,
         "out_fmt": None,   # --out-osm/--out-o5m/... to stdout
@@ -202,6 +205,10 @@ def _parse_args(argv: list[str]) -> dict:
             pass
         elif a.startswith("--modify-tags="):
             opts["modify_tags"] = a[14:]
+        elif a == "--subtract":
+            opts["subtract"] = True
+        elif a == "--diff":
+            opts["diff"] = True
         elif a == "--drop-broken-refs":
             opts["drop_broken_refs"] = True
         elif a == "--complete-ways":
@@ -241,6 +248,10 @@ def _parse_args(argv: list[str]) -> dict:
             opts["csv_sep"] = a[16:]
         elif a.startswith("-"):
             raise SystemExit(f"unknown option: {a}")
+        elif opts["subtract"]:
+            # positional like the reference: --subtract marks every
+            # file that FOLLOWS it (osmconvert.c:12731-12735)
+            opts["sub_inputs"].append(a)
         else:
             opts["inputs"].append(a)
     if not opts["inputs"]:
@@ -1015,12 +1026,61 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         return None
 
     parts = [read_osm_auto(spark, p) for p in opts["inputs"]]
-    if len(parts) == 1:
+
+    if opts["diff"]:
+        # J6: two snapshots -> changefile (--diff,
+        # osmconvert.c:10865-10976); output must be .osc/.o5c
+        if len(parts) != 2:
+            raise SystemExit("--diff requires exactly two inputs")
+        from .operators.merge import diff_changefile
+
+        canon = F.array_sort(F.map_entries("tags")).cast("string")
+
+        def chg(old, new, payload, compare):
+            d = diff_changefile(
+                old.withColumn("_t", canon),
+                new.withColumn("_t", canon),
+                ["id"],
+                payload + ["tags"],
+                compare_cols=compare + ["_t"],
+            )
+            return d.select(
+                "id",
+                *payload,
+                F.when(F.col("deleted"), F.lit(None))
+                .otherwise(F.col("tags"))
+                .alias("tags"),
+            )
+
+        (on_, ow_, or_), (nn_, nw_, nr_) = parts
+        nodes = chg(on_, nn_, ["lat_i", "lon_i"], ["lat_i", "lon_i"])
+        ways = chg(ow_, nw_, ["refs"], ["refs"])
+        rels = chg(or_, nr_, ["members"], ["members"])
+        ext = (opts["out"] or "").rsplit(".", 1)[-1]
+        if ext not in ("osc", "o5c"):
+            raise SystemExit("--diff output must be .osc or .o5c")
+    elif len(parts) == 1:
         nodes, ways, rels = parts[0]
     else:
         nodes = union_dedup([p[0] for p in parts], ["id"])
         ways = union_dedup([p[1] for p in parts], ["id"])
         rels = union_dedup([p[2] for p in parts], ["id"])
+
+    if opts["sub_inputs"]:
+        # J4: subtract the objects of every file listed after
+        # --subtract (osmconvert.c:554-556, 12731-12735)
+        from .operators.merge import subtract as _subtract
+
+        sub = [read_osm_auto(spark, p) for p in opts["sub_inputs"]]
+        nodes = _subtract(
+            nodes, union_dedup([p[0] for p in sub], ["id"]), ["id"]
+        )
+        ways = _subtract(
+            ways, union_dedup([p[1] for p in sub], ["id"]), ["id"]
+        )
+        rels = _subtract(
+            rels, union_dedup([p[2] for p in sub], ["id"]), ["id"]
+        )
 
     if opts["keep"]:
         pred = parse_keep(opts["keep"])

@@ -572,3 +572,73 @@ def test_complete_multipolygons_matches_osmconvert(spark, tmp_path):
     assert "1|101" in got       # pulled member way
     assert "1|102" not in got   # non-mp relation member stays out
     assert "0|13" in got        # pulled way's nodes complete
+
+
+def test_subtract_matches_osmconvert(spark, tmp_path):
+    """--subtract: first input minus the objects of all following
+    files (osmconvert.c:554-556)."""
+    osm = _world(tmp_path)
+    # second file: a subset world (every 3rd node, ways 1000-1009)
+    lines = ['<?xml version="1.0"?>', '<osm version="0.6">']
+    for i in range(1, 301, 3):
+        lines.append(
+            f'<node id="{i}" lat="0.0000001" lon="0.0000001"'
+            ' version="1"/>'
+        )
+    for w in range(10):
+        lines.append(
+            f'<way id="{w + 1000}" version="1"><nd ref="1"/></way>'
+        )
+    lines.append("</osm>")
+    minus = tmp_path / "minus.osm"
+    minus.write_text("".join(lines))
+
+    ours = tmp_path / "ours.o5m"
+    convert(
+        spark, [osm, "--subtract", str(minus), f"-o={ours}"]
+    )
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, "--subtract", str(minus),
+         f"-o={theirs}"],
+        check=True, capture_output=True,
+    )
+    assert _view(str(ours)) == _view(str(theirs))
+    # node 1 (present in the minus file) really is gone
+    assert "0|1|" not in _view(str(ours))
+
+
+def test_diff_changefile_applies_through_reference(spark, tmp_path):
+    """--diff: our .o5c changefile, applied by osmconvert to the
+    old snapshot, reproduces the new snapshot exactly."""
+    import re
+
+    old = tmp_path / "old.osm"
+    old.write_text(_world_xml())
+    # new world: delete node 7 and way 1003 (whole XML blocks),
+    # retag kind1 -> kindX (modifies)
+    xml = _world_xml()
+    xml = re.sub(
+        r'  <node id="7" .*?</node>\n', "", xml, flags=re.S
+    )
+    xml = re.sub(
+        r'  <way id="1003" .*?</way>\n', "", xml, flags=re.S
+    )
+    new = tmp_path / "new.osm"
+    new.write_text(xml.replace('v="kind1"', 'v="kindX"'))
+
+    chg = tmp_path / "chg.o5c"
+    convert(spark, [str(old), str(new), "--diff", f"-o={chg}"])
+
+    old_o5m = tmp_path / "old.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(old), f"-o={old_o5m}"],
+        check=True,
+    )
+    applied = tmp_path / "applied.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(old_o5m), str(chg),
+         f"-o={applied}"],
+        check=True, capture_output=True,
+    )
+    assert _view(str(applied)) == _view(str(new))
