@@ -119,6 +119,8 @@ def _parse_args(argv: list[str]) -> dict:
         "subtract": False,
         "sub_inputs": [],
         "diff": False,
+        "statistics": False,
+        "out_none": False,
         "all_to_nodes": False,
         "out": None,
         "out_fmt": None,   # --out-osm/--out-o5m/... to stdout
@@ -207,8 +209,15 @@ def _parse_args(argv: list[str]) -> dict:
             opts["modify_tags"] = a[14:]
         elif a == "--subtract":
             opts["subtract"] = True
-        elif a == "--diff":
+        elif a in ("--diff", "--diff-contents"):
+            # we carry no version metadata, so --diff always
+            # compares full contents (the reference's
+            # --diff-contents behavior)
             opts["diff"] = True
+        elif a == "--statistics":
+            opts["statistics"] = True
+        elif a == "--out-none":
+            opts["out_none"] = True
         elif a == "--drop-broken-refs":
             opts["drop_broken_refs"] = True
         elif a == "--complete-ways":
@@ -246,6 +255,17 @@ def _parse_args(argv: list[str]) -> dict:
             opts["csv_cols"] = a[6:]
         elif a.startswith("--csv-separator="):
             opts["csv_sep"] = a[16:]
+        elif a.startswith(
+            ("--hash-memory=", "-h=", "--max-objects=",
+             "--max-refs=", "-t=")
+        ) or a in ("--drop-version", "--drop-author", "--verbose",
+                   "-v"):
+            # capacity knobs are meaningless on Spark (no fixed hash
+            # tables, tempfiles are managed); --drop-version/-author
+            # are no-ops because the scan schema carries no author
+            # metadata in the first place — accepted so real-world
+            # osmconvert invocations run unchanged
+            pass
         elif a.startswith("-"):
             raise SystemExit(f"unknown option: {a}")
         elif opts["subtract"]:
@@ -1164,6 +1184,12 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         # pre-border stream, like the reference's statistics block
         sys.stdout.write(_stats_text(nodes, ways, rels))
         return None
+    if opts["statistics"]:
+        # --statistics prints to stderr while converting normally
+        # (osmconvert.c:11920-11922)
+        sys.stderr.write(_stats_text(nodes, ways, rels))
+        if opts["out_none"] and opts["out"] is None:
+            return None
 
     nodes, ways, rels = _apply_spatial(nodes, ways, rels, opts)
 

@@ -642,3 +642,23 @@ def test_diff_changefile_applies_through_reference(spark, tmp_path):
         check=True, capture_output=True,
     )
     assert _view(str(applied)) == _view(str(new))
+
+
+def test_statistics_to_stderr_and_noop_flags(spark, tmp_path,
+                                             capsys):
+    """--statistics --out-none matches --out-statistics content on
+    stderr; capacity/metadata no-op flags are accepted."""
+    osm = tmp_path / "nm.osm"
+    osm.write_text(
+        '<?xml version="1.0"?><osm version="0.6">'
+        '<node id="1" lat="0.0000100" lon="0.0000200" version="1">'
+        '<tag k="n" v="v"/></node></osm>'
+    )
+    convert(
+        spark,
+        [str(osm), "--statistics", "--out-none",
+         "--hash-memory=1500", "--max-objects=5", "--drop-version"],
+    )
+    err = capsys.readouterr().err
+    want = _run("osmconvert", str(osm), "--out-statistics")
+    assert err == want
