@@ -57,11 +57,13 @@ def sniff_format(path: str) -> str:
 
 
 def read_osm_auto(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, with_meta: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """path: file/dir/glob of OSM files in any supported format
     (all expanded files must share one format, like the reference's
-    per-file dispatch). Returns (nodes, ways, rels)."""
+    per-file dispatch). Returns (nodes, ways, rels); with_meta=True
+    adds the author columns (version, timestamp, changeset, uid,
+    user) on every kind."""
     files = _expand(path)
     if not files:
         raise FileNotFoundError(path)
@@ -73,7 +75,7 @@ def read_osm_auto(
                 f"mixed formats under {path}: {fmt} vs {other} ({f})"
             )
     if fmt == "pbf":
-        return read_pbf(spark, path)
+        return read_pbf(spark, path, with_meta=with_meta)
     if fmt == "o5m":
-        return read_o5m(spark, path)
-    return read_osm_xml(spark, path)
+        return read_o5m(spark, path, with_meta=with_meta)
+    return read_osm_xml(spark, path, with_meta=with_meta)

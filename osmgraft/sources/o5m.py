@@ -108,7 +108,7 @@ class _StrTab:
 
     def ref(self, r: int):
         if r > self.tabn:
-            return ("(invalid)", "(invalid)")
+            return ("(invalid)", "(invalid)", b"")
         i = self.tabi - r
         if i < 0:
             i += _TAB_M
@@ -116,6 +116,10 @@ class _StrTab:
 
 
 def _read_str_pair(buf: _Buf, tab: _StrTab, single: bool):
+    """Entries are (s1, s2, raw1): raw1 keeps the first string's
+    bytes so author pairs (LEB128 uid + user, osmconvert.c
+    wo__author) can be decoded losslessly even through
+    back-references."""
     b = buf.b
     if b[buf.i] == 0:
         buf.i += 1
@@ -125,23 +129,36 @@ def _read_str_pair(buf: _Buf, tab: _StrTab, single: bool):
         s1 = raw1.decode("utf-8", "replace")
         if single:
             if len(raw1) <= _TAB_STR_M:
-                tab.store((s1, ""))
-            return s1, None
+                tab.store((s1, "", raw1))
+            return s1, None, raw1
         e2 = b.index(0, buf.i)
         raw2 = b[buf.i : e2]
         buf.i = e2 + 1
         s2 = raw2.decode("utf-8", "replace")
         if len(raw1) + len(raw2) <= _TAB_STR_M:
-            tab.store((s1, s2))
-        return s1, s2
+            tab.store((s1, s2, raw1))
+        return s1, s2, raw1
     r = buf.uint()
-    s1, s2 = tab.ref(r)
-    return (s1, None) if single else (s1, s2)
+    s1, s2, raw1 = tab.ref(r)
+    return (s1, None, raw1) if single else (s1, s2, raw1)
 
 
-def parse_o5m(data: bytes):
+def _leb128(raw: bytes) -> int:
+    v = 0
+    shift = 0
+    for c in raw:
+        v |= (c & 0x7F) << shift
+        if not (c & 0x80):
+            break
+        shift += 7
+    return v
+
+
+def parse_o5m(data: bytes, with_meta: bool = False):
     """-> (nodes, ways, rels) row-dict lists. Tombstone delete
-    requests carry tags=None."""
+    requests carry tags=None. with_meta=True adds version /
+    timestamp / changeset / uid / user keys (None where the file
+    carries none — hisver==0)."""
     nodes, ways, rels = [], [], []
     buf = _Buf(data)
     tab = _StrTab()
@@ -157,23 +174,49 @@ def parse_o5m(data: bytes):
             end = buf.i + ln
             o5id += buf.sint()
             ver = buf.uint()
+            uid = user = None
+            histime = hiscset = None
             if ver != 0:
                 o5histime += buf.sint()
                 if o5histime != 0:
+                    histime = o5histime
                     o5hiscset += buf.sint()
-                    _user, _uid = _read_str_pair(buf, tab, False)
+                    hiscset = o5hiscset
+                    _s1, user, rawuid = _read_str_pair(
+                        buf, tab, False
+                    )
+                    uid = _leb128(rawuid) if rawuid else 0
+                    if uid == 0:
+                        uid = None
+                    if user == "":
+                        user = None
+            meta = (
+                {
+                    "version": ver if ver != 0 else None,
+                    "timestamp": histime,
+                    "changeset": hiscset,
+                    "uid": uid,
+                    "user": user,
+                }
+                if with_meta
+                else {}
+            )
             if buf.i >= end:
                 # delete request — surfaced as tags=None tombstone
                 if otype == 0:
                     nodes.append(
                         {"id": o5id, "lat_i": None, "lon_i": None,
-                         "tags": None}
+                         "tags": None, **meta}
                     )
                 elif otype == 1:
-                    ways.append({"id": o5id, "refs": [], "tags": None})
+                    ways.append(
+                        {"id": o5id, "refs": [], "tags": None,
+                         **meta}
+                    )
                 else:
                     rels.append(
-                        {"id": o5id, "members": [], "tags": None}
+                        {"id": o5id, "members": [], "tags": None,
+                         **meta}
                     )
                 continue
             if otype == 0:
@@ -192,7 +235,7 @@ def parse_o5m(data: bytes):
                 rend = min(buf.i + rl, end)
                 while buf.i < rend:
                     ri = buf.sint()
-                    rr, _ = _read_str_pair(buf, tab, True)
+                    rr, _s2, _raw = _read_str_pair(buf, tab, True)
                     rt = (ord(rr[0]) - ord("0")) % 3 if rr else 0
                     o5rid[rt] += ri
                     members.append(
@@ -204,18 +247,21 @@ def parse_o5m(data: bytes):
                     )
             tags = {}
             while buf.i < end:
-                k, v = _read_str_pair(buf, tab, False)
+                k, v, _raw = _read_str_pair(buf, tab, False)
                 tags[k] = v
             if otype == 0:
                 nodes.append(
                     {"id": o5id, "lat_i": o5lat, "lon_i": o5lon,
-                     "tags": tags}
+                     "tags": tags, **meta}
                 )
             elif otype == 1:
-                ways.append({"id": o5id, "refs": refs, "tags": tags})
+                ways.append(
+                    {"id": o5id, "refs": refs, "tags": tags, **meta}
+                )
             else:
                 rels.append(
-                    {"id": o5id, "members": members, "tags": tags}
+                    {"id": o5id, "members": members, "tags": tags,
+                     **meta}
                 )
         elif b == 0xFF:
             buf.i += 1
@@ -231,11 +277,11 @@ def parse_o5m(data: bytes):
     return nodes, ways, rels
 
 
-def _reader(kind: int):
+def _reader(kind: int, with_meta: bool = False):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for data in b["content"]:
-                rows = parse_o5m(bytes(data))[kind]
+                rows = parse_o5m(bytes(data), with_meta)[kind]
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -243,13 +289,25 @@ def _reader(kind: int):
 
 
 def read_o5m(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, with_meta: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """path: file/dir/glob of .o5m files; one task per file."""
+    """path: file/dir/glob of .o5m files; one task per file.
+    with_meta=True adds the author columns."""
+    from .osmxml import (
+        NODES_META_SCHEMA,
+        RELS_META_SCHEMA,
+        WAYS_META_SCHEMA,
+    )
+
     raw = spark.read.format("binaryFile").load(path).select("content")
-    nodes = raw.mapInPandas(_reader(0), NODES_SCHEMA)
-    ways = raw.mapInPandas(_reader(1), WAYS_SCHEMA)
-    rels = raw.mapInPandas(_reader(2), RELS_SCHEMA)
+    ns, ws, rs = (
+        (NODES_META_SCHEMA, WAYS_META_SCHEMA, RELS_META_SCHEMA)
+        if with_meta
+        else (NODES_SCHEMA, WAYS_SCHEMA, RELS_SCHEMA)
+    )
+    nodes = raw.mapInPandas(_reader(0, with_meta), ns)
+    ways = raw.mapInPandas(_reader(1, with_meta), ws)
+    rels = raw.mapInPandas(_reader(2, with_meta), rs)
     return nodes, ways, rels
 
 

@@ -36,6 +36,17 @@ RELS_SCHEMA = (
     "role:string>>, tags map<string,string>"
 )
 
+# optional author metadata columns (SURVEY §1.1: version,
+# timestamp epoch-seconds, changeset, uid, user; 0/None = absent,
+# matching the reference's hisver==0 convention)
+META_COLS = (
+    "version int, timestamp long, changeset long, uid long, "
+    "user string"
+)
+NODES_META_SCHEMA = NODES_SCHEMA + ", " + META_COLS
+WAYS_META_SCHEMA = WAYS_SCHEMA + ", " + META_COLS
+RELS_META_SCHEMA = RELS_SCHEMA + ", " + META_COLS
+
 
 def _fix(s: str) -> int:
     """oo__strtodeg semantics: exact decimal scaling, extra digits
@@ -47,7 +58,39 @@ def _fix(s: str) -> int:
     )
 
 
-def _parse(xml_text: str):
+def parse_timestamp(s: str | None) -> int | None:
+    """pb__strtimetosint64 (osmconvert.c:3411-3443): ISO
+    YYYY-MM-DDThh:mm:ssZ -> unix seconds."""
+    if not s:
+        return None
+    from datetime import datetime, timezone
+
+    try:
+        return int(
+            datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+    except ValueError:
+        return None
+
+
+def _meta(el) -> dict:
+    """Author attributes (version timestamp changeset uid user);
+    None where absent, matching hisver==0 semantics."""
+    v = el.get("version")
+    return {
+        "version": int(v) if v else None,
+        "timestamp": parse_timestamp(el.get("timestamp")),
+        "changeset": (
+            int(el.get("changeset")) if el.get("changeset") else None
+        ),
+        "uid": int(el.get("uid")) if el.get("uid") else None,
+        "user": el.get("user"),
+    }
+
+
+def _parse(xml_text: str, with_meta: bool = False):
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(xml_text)
@@ -56,6 +99,7 @@ def _parse(xml_text: str):
         tags = {
             t.get("k"): t.get("v") for t in el if t.tag == "tag"
         }
+        meta = _meta(el) if with_meta else {}
         if el.tag == "node":
             nodes.append(
                 {
@@ -63,6 +107,7 @@ def _parse(xml_text: str):
                     "lat_i": _fix(el.get("lat")),
                     "lon_i": _fix(el.get("lon")),
                     "tags": tags,
+                    **meta,
                 }
             )
         elif el.tag == "way":
@@ -70,7 +115,8 @@ def _parse(xml_text: str):
                 int(nd.get("ref")) for nd in el if nd.tag == "nd"
             ]
             ways.append(
-                {"id": int(el.get("id")), "refs": refs, "tags": tags}
+                {"id": int(el.get("id")), "refs": refs,
+                 "tags": tags, **meta}
             )
         elif el.tag == "relation":
             members = [
@@ -87,16 +133,17 @@ def _parse(xml_text: str):
                     "id": int(el.get("id")),
                     "members": members,
                     "tags": tags,
+                    **meta,
                 }
             )
     return nodes, ways, rels
 
 
-def _reader(kind: int):
+def _reader(kind: int, with_meta: bool = False):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for text in b["value"]:
-                rows = _parse(text)[kind]
+                rows = _parse(text, with_meta)[kind]
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -104,15 +151,21 @@ def _reader(kind: int):
 
 
 def read_osm_xml(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, with_meta: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """path: file, directory, or glob of .osm files. Returns
     (nodes, ways, rels) DataFrames; parallelism = one task per
-    file."""
+    file. with_meta=True adds the author columns (version,
+    timestamp, changeset, uid, user)."""
     raw = spark.read.text(path, wholetext=True)
-    nodes = raw.mapInPandas(_reader(0), NODES_SCHEMA)
-    ways = raw.mapInPandas(_reader(1), WAYS_SCHEMA)
-    rels = raw.mapInPandas(_reader(2), RELS_SCHEMA)
+    ns, ws, rs = (
+        (NODES_META_SCHEMA, WAYS_META_SCHEMA, RELS_META_SCHEMA)
+        if with_meta
+        else (NODES_SCHEMA, WAYS_SCHEMA, RELS_SCHEMA)
+    )
+    nodes = raw.mapInPandas(_reader(0, with_meta), ns)
+    ways = raw.mapInPandas(_reader(1, with_meta), ws)
+    rels = raw.mapInPandas(_reader(2, with_meta), rs)
     return nodes, ways, rels
 
 

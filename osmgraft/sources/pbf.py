@@ -116,9 +116,10 @@ def _delta_zig(raw: list[int]) -> list[int]:
     return out
 
 
-def parse_pbf(data: bytes):
+def parse_pbf(data: bytes, with_meta: bool = False):
     """-> (nodes, ways, rels) row-dict lists (fixed-point coords,
-    tag dicts)."""
+    tag dicts). with_meta=True decodes DenseInfo / Info author
+    fields (version, timestamp seconds, changeset, uid, user)."""
     nodes, ways, rels = [], [], []
     i = 0
     n = len(data)
@@ -144,14 +145,47 @@ def parse_pbf(data: bytes):
                 raw = zlib.decompress(v)
         if btype != "OSMData" or raw is None:
             continue
-        _parse_block(raw, nodes, ways, rels)
+        _parse_block(raw, nodes, ways, rels, with_meta)
     return nodes, ways, rels
 
 
-def _parse_block(block: bytes, nodes, ways, rels) -> None:
+def _info_meta(p: bytes, strings: list[str], date_gran: int) -> dict:
+    """Info submessage (OSMPBF proto: version=1, timestamp=2,
+    changeset=3, uid=4, user_sid=5); 0 means absent."""
+    ver = ts = cs = uid = sid = 0
+    for f2, _w2, q in _fields(p):
+        if f2 == 1:
+            ver = q
+        elif f2 == 2:
+            ts = q
+        elif f2 == 3:
+            cs = q
+        elif f2 == 4:
+            uid = q
+        elif f2 == 5:
+            sid = q
+    return {
+        "version": ver or None,
+        "timestamp": ts * date_gran // 1000 if ts else None,
+        "changeset": cs or None,
+        "uid": uid or None,
+        "user": strings[sid] if sid else None,
+    }
+
+
+_NO_META = {
+    "version": None, "timestamp": None, "changeset": None,
+    "uid": None, "user": None,
+}
+
+
+def _parse_block(
+    block: bytes, nodes, ways, rels, with_meta: bool = False
+) -> None:
     strings: list[str] = []
     groups = []
     gran = 100
+    date_gran = 1000
     lat_off = 0
     lon_off = 0
     for fno, _wt, v in _fields(block):
@@ -163,6 +197,8 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
             groups.append(v)
         elif fno == 17:
             gran = v
+        elif fno == 18:
+            date_gran = v
         elif fno == 19:
             lat_off = v
         elif fno == 20:
@@ -178,9 +214,30 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
         for fno, _wt, v in _fields(g):
             if fno == 2:  # dense nodes
                 ids = lats = lons = kv = None
+                di_ver = di_ts = di_cs = di_uid = di_sid = None
                 for f2, _w2, p in _fields(v):
                     if f2 == 1:
                         ids = _delta_zig(_packed_varints(p))
+                    elif f2 == 5 and with_meta:  # DenseInfo
+                        for f3, _w3, q in _fields(p):
+                            if f3 == 1:
+                                di_ver = _packed_varints(q)
+                            elif f3 == 2:
+                                di_ts = _delta_zig(
+                                    _packed_varints(q)
+                                )
+                            elif f3 == 3:
+                                di_cs = _delta_zig(
+                                    _packed_varints(q)
+                                )
+                            elif f3 == 4:
+                                di_uid = _delta_zig(
+                                    _packed_varints(q)
+                                )
+                            elif f3 == 5:
+                                di_sid = _delta_zig(
+                                    _packed_varints(q)
+                                )
                     elif f2 == 8:
                         lats = _delta_zig(_packed_varints(p))
                     elif f2 == 9:
@@ -194,12 +251,28 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
                         tags[strings[kv[kvi]]] = strings[kv[kvi + 1]]
                         kvi += 2
                     kvi += 1  # skip the 0 terminator
+                    meta = {}
+                    if with_meta:
+                        meta = dict(_NO_META)
+                        if di_ver and di_ver[k]:
+                            meta["version"] = di_ver[k]
+                            if di_ts and di_ts[k]:
+                                meta["timestamp"] = (
+                                    di_ts[k] * date_gran // 1000
+                                )
+                            if di_cs and di_cs[k]:
+                                meta["changeset"] = di_cs[k]
+                            if di_uid and di_uid[k]:
+                                meta["uid"] = di_uid[k]
+                            if di_sid and di_sid[k]:
+                                meta["user"] = strings[di_sid[k]]
                     nodes.append(
                         {
                             "id": ids[k],
                             "lat_i": coord(lat_off, lats[k]),
                             "lon_i": coord(lon_off, lons[k]),
                             "tags": tags,
+                            **meta,
                         }
                     )
             elif fno == 1:  # plain (non-dense) node
@@ -231,6 +304,7 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
             elif fno == 3:  # way
                 wid = 0
                 keys = vals = refs = []
+                meta = dict(_NO_META) if with_meta else {}
                 for f2, _w2, p in _fields(v):
                     if f2 == 1:
                         wid = p
@@ -238,6 +312,8 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
                         keys = _packed_varints(p)
                     elif f2 == 3:
                         vals = _packed_varints(p)
+                    elif f2 == 4 and with_meta:
+                        meta = _info_meta(p, strings, date_gran)
                     elif f2 == 8:
                         refs = _delta_zig(_packed_varints(p))
                 ways.append(
@@ -248,11 +324,13 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
                             strings[k]: strings[w]
                             for k, w in zip(keys, vals)
                         },
+                        **meta,
                     }
                 )
             elif fno == 4:  # relation
                 rid = 0
                 keys = vals = roles = memids = types = []
+                meta = dict(_NO_META) if with_meta else {}
                 for f2, _w2, p in _fields(v):
                     if f2 == 1:
                         rid = p
@@ -260,6 +338,8 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
                         keys = _packed_varints(p)
                     elif f2 == 3:
                         vals = _packed_varints(p)
+                    elif f2 == 4 and with_meta:
+                        meta = _info_meta(p, strings, date_gran)
                     elif f2 == 8:
                         roles = _packed_varints(p)
                     elif f2 == 9:
@@ -283,6 +363,7 @@ def _parse_block(block: bytes, nodes, ways, rels) -> None:
                             strings[k]: strings[w]
                             for k, w in zip(keys, vals)
                         },
+                        **meta,
                     }
                 )
 
@@ -352,7 +433,7 @@ def _expand(path: str) -> list[str]:
     return [path]
 
 
-def _range_reader(kind: int):
+def _range_reader(kind: int, with_meta: bool = False):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for path, start, end in zip(
@@ -361,7 +442,7 @@ def _range_reader(kind: int):
                 with open(path, "rb") as f:
                     f.seek(int(start))
                     data = f.read(int(end) - int(start))
-                rows = parse_pbf(data)[kind]
+                rows = parse_pbf(data, with_meta)[kind]
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -372,6 +453,7 @@ def read_pbf(
     spark: SparkSession,
     path: str,
     target_split_bytes: int = 32 * 1024 * 1024,
+    with_meta: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """path: file/dir/glob of .pbf files. Parallelism is per
     blob-range split (intra-file), not per file: one planet.pbf
@@ -387,7 +469,18 @@ def read_pbf(
     sdf = spark.createDataFrame(
         splits, "path string, start long, end long"
     ).repartition(len(splits), F.col("path"), F.col("start"))
-    nodes = sdf.mapInPandas(_range_reader(0), NODES_SCHEMA)
-    ways = sdf.mapInPandas(_range_reader(1), WAYS_SCHEMA)
-    rels = sdf.mapInPandas(_range_reader(2), RELS_SCHEMA)
+    from .osmxml import (
+        NODES_META_SCHEMA,
+        RELS_META_SCHEMA,
+        WAYS_META_SCHEMA,
+    )
+
+    ns, ws, rs = (
+        (NODES_META_SCHEMA, WAYS_META_SCHEMA, RELS_META_SCHEMA)
+        if with_meta
+        else (NODES_SCHEMA, WAYS_SCHEMA, RELS_SCHEMA)
+    )
+    nodes = sdf.mapInPandas(_range_reader(0, with_meta), ns)
+    ways = sdf.mapInPandas(_range_reader(1, with_meta), ws)
+    rels = sdf.mapInPandas(_range_reader(2, with_meta), rs)
     return nodes, ways, rels

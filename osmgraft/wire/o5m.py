@@ -17,9 +17,12 @@ differentially tested against the binary) and verified by
 (b) osmconvert reading our files byte-for-byte equal to reading
     its own (tests/test_wire_sinks.py).
 
-Objects are written version-0 (no history): the reader treats
-version 0 as "no metadata", which is how osmconvert represents
---drop-version output.
+Rows without author keys are written version-0 (the reader treats
+version 0 as "no metadata" — osmconvert's --drop-version output);
+rows carrying version/timestamp/changeset/uid/user emit the full
+wo__author encoding (round 3): uvar version, delta timestamp, and
+when the timestamp is nonzero the delta changeset plus the
+(LEB128-uid, user) string pair.
 """
 
 from __future__ import annotations
@@ -98,13 +101,53 @@ class _StrTabW:
             self.count += 1
 
 
-def _emit_pair(tab: _StrTabW, out: bytearray, k: str, v: str) -> None:
-    rk = k.encode("utf-8")
-    rv = v.encode("utf-8")
+def _emit_pair_raw(
+    tab: _StrTabW, out: bytearray, rk: bytes, rv: bytes
+) -> None:
     tab.emit(
         out, rk + b"\x00" + rv + b"\x00",
         len(rk) + len(rv) <= _TAB_STR_M,
     )
+
+
+def _emit_pair(tab: _StrTabW, out: bytearray, k: str, v: str) -> None:
+    _emit_pair_raw(tab, out, k.encode("utf-8"), v.encode("utf-8"))
+
+
+def _leb(v: int) -> bytes:
+    out = bytearray()
+    _uv(out, v)
+    return bytes(out)
+
+
+def _author(
+    tab: _StrTabW, body: bytearray, row: dict, st: list[int]
+) -> None:
+    """wo__author's o5m branch (osmconvert.c:8234-8262): uvar
+    version; delta timestamp; when timestamp != 0, delta changeset
+    + the (LEB128-uid, user) string pair — empty pair when the uid
+    or user is absent. st = [o5_time, o5_cset] delta state."""
+    ver = row.get("version") or 0
+    if not ver:
+        body.append(0x00)
+        return
+    _uv(body, int(ver))
+    ts = row.get("timestamp") or 0
+    _sv(body, int(ts) - st[0])
+    st[0] = int(ts)
+    if ts == 0:
+        return
+    cs = row.get("changeset") or 0
+    _sv(body, int(cs) - st[1])
+    st[1] = int(cs)
+    uid = row.get("uid") or 0
+    user = row.get("user") or ""
+    if uid == 0 or not user:
+        _emit_pair_raw(tab, body, b"", b"")
+    else:
+        _emit_pair_raw(
+            tab, body, _leb(int(uid)), user.encode("utf-8")
+        )
 
 
 def _emit_single(tab: _StrTabW, out: bytearray, s: str) -> None:
@@ -163,6 +206,7 @@ def encode_o5m_body(nodes, ways, rels) -> bytes:
     tab = _StrTabW()
     o5id = o5lat = o5lon = 0
     o5rid = [0, 0, 0]
+    meta_st = [0, 0]  # o5_time, o5_cset author delta state
 
     def dataset(code: int, body: bytearray) -> None:
         out.append(code)
@@ -173,7 +217,7 @@ def encode_o5m_body(nodes, ways, rels) -> bytes:
         body = bytearray()
         _sv(body, nd["id"] - o5id)
         o5id = nd["id"]
-        _uv(body, 0)  # version 0 = no metadata
+        _author(tab, body, nd, meta_st)
         if nd.get("tags") is None:
             dataset(0x10, body)
             continue
@@ -189,7 +233,7 @@ def encode_o5m_body(nodes, ways, rels) -> bytes:
         body = bytearray()
         _sv(body, wy["id"] - o5id)
         o5id = wy["id"]
-        _uv(body, 0)
+        _author(tab, body, wy, meta_st)
         if wy.get("tags") is None:
             dataset(0x11, body)
             continue
@@ -207,7 +251,7 @@ def encode_o5m_body(nodes, ways, rels) -> bytes:
         body = bytearray()
         _sv(body, rl["id"] - o5id)
         o5id = rl["id"]
-        _uv(body, 0)
+        _author(tab, body, rl, meta_st)
         if rl.get("tags") is None:
             dataset(0x12, body)
             continue

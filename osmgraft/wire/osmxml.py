@@ -34,6 +34,37 @@ def _tags(parts: list[str], tags: dict, indent: str) -> None:
         )
 
 
+def _iso(ts: int) -> str:
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(int(ts), timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _author_attrs(row: dict) -> str:
+    """wo__author's native-XML branch (osmconvert.c:8280-8292):
+    version, then (when a timestamp exists) timestamp + changeset,
+    then uid + user when both are present. Metadata-less rows keep
+    the version="1" placeholder so strict readers (and osmconvert's
+    parser) accept the document."""
+    ver = row.get("version")
+    if not ver:
+        return ' version="1"'
+    s = f' version="{int(ver)}"'
+    ts = row.get("timestamp")
+    if ts:
+        s += (
+            f' timestamp="{_iso(ts)}"'
+            f' changeset="{int(row.get("changeset") or 0)}"'
+        )
+        uid = row.get("uid")
+        user = row.get("user")
+        if uid and user:
+            s += f' uid="{int(uid)}" user="{_esc(user)}"'
+    return s
+
+
 def encode_osc(nodes, ways, rels) -> str:
     """osmChange XML (.osc) writer: live rows under <modify> (apply
     semantics treat modify as upsert, osmchange.c:1485-1659),
@@ -234,7 +265,7 @@ def encode_osm_xml_body(nodes, ways, rels) -> str:
             f'\t<node id="{nd["id"]}"'
             f' lat="{format_fix7(nd["lat_i"])}"'
             f' lon="{format_fix7(nd["lon_i"])}"'
-            ' version="1"'
+            f"{_author_attrs(nd)}"
         )
         if nd["tags"]:
             parts.append(head + ">")
@@ -245,7 +276,9 @@ def encode_osm_xml_body(nodes, ways, rels) -> str:
     for wy in ways:
         if wy.get("tags") is None:
             continue
-        parts.append(f'\t<way id="{wy["id"]}" version="1">')
+        parts.append(
+            f'\t<way id="{wy["id"]}"{_author_attrs(wy)}>'
+        )
         for r in wy["refs"]:
             parts.append(f'\t\t<nd ref="{r}"/>')
         _tags(parts, wy["tags"], "\t\t")
@@ -253,7 +286,9 @@ def encode_osm_xml_body(nodes, ways, rels) -> str:
     for rl in rels:
         if rl.get("tags") is None:
             continue
-        parts.append(f'\t<relation id="{rl["id"]}" version="1">')
+        parts.append(
+            f'\t<relation id="{rl["id"]}"{_author_attrs(rl)}>'
+        )
         for m in rl["members"]:
             parts.append(
                 f'\t\t<member type="{m["mtype"]}" ref="{m["ref"]}"'

@@ -118,6 +118,25 @@ def _chunks(rows: list, n: int):
         yield rows[i : i + n]
 
 
+def _info_msg(row: dict, tab: "_StrTab") -> bytes | None:
+    """Info submessage (version=1, timestamp=2, changeset=3,
+    uid=4, user_sid=5); None when the row carries no metadata.
+    version/timestamp/changeset are ALWAYS written (0 for absent):
+    osmconvert zeroes the whole author block unless all three are
+    present (hiscomplete&7, osmconvert.c:3913-3916); uid and
+    user_sid likewise travel as a pair (hiscomplete&24)."""
+    if not row.get("version"):
+        return None
+    msg = bytearray()
+    _field_varint(msg, 1, int(row["version"]))
+    _field_varint(msg, 2, int(row.get("timestamp") or 0))
+    _field_varint(msg, 3, int(row.get("changeset") or 0))
+    if row.get("uid") and row.get("user"):
+        _field_varint(msg, 4, int(row["uid"]))
+        _field_varint(msg, 5, tab.get(row["user"]))
+    return bytes(msg)
+
+
 def encode_pbf(
     nodes, ways, rels, block_objects: int = 8000
 ) -> bytes:
@@ -152,6 +171,39 @@ def encode_pbf_body(
         _field_bytes(
             dense, 1, _packed_delta_zig([n["id"] for n in chunk])
         )
+        if any(n.get("version") for n in chunk):
+            # DenseInfo (field 5): packed version + delta-zig
+            # timestamp/changeset/uid/user_sid; date_granularity
+            # stays the 1000ms default so raw = epoch seconds
+            di = bytearray()
+            _field_bytes(
+                di, 1,
+                _packed([n.get("version") or 0 for n in chunk]),
+            )
+            _field_bytes(
+                di, 2, _packed_delta_zig(
+                    [n.get("timestamp") or 0 for n in chunk]
+                ),
+            )
+            _field_bytes(
+                di, 3, _packed_delta_zig(
+                    [n.get("changeset") or 0 for n in chunk]
+                ),
+            )
+            _field_bytes(
+                di, 4, _packed_delta_zig(
+                    [n.get("uid") or 0 for n in chunk]
+                ),
+            )
+            _field_bytes(
+                di, 5, _packed_delta_zig(
+                    [
+                        tab.get(n["user"]) if n.get("user") else 0
+                        for n in chunk
+                    ]
+                ),
+            )
+            _field_bytes(dense, 5, bytes(di))
         _field_bytes(
             dense, 8, _packed_delta_zig([n["lat_i"] for n in chunk])
         )
@@ -178,6 +230,9 @@ def encode_pbf_body(
                 msg, 3,
                 _packed([tab.get(v) for v in wy["tags"].values()]),
             )
+            info = _info_msg(wy, tab)
+            if info is not None:
+                _field_bytes(msg, 4, info)
             _field_bytes(msg, 8, _packed_delta_zig(wy["refs"]))
             _field_bytes(group, 3, bytes(msg))
         _blob(out, "OSMData", _block(bytes(group), tab))
@@ -198,6 +253,9 @@ def encode_pbf_body(
                 msg, 3,
                 _packed([tab.get(v) for v in rl["tags"].values()]),
             )
+            info = _info_msg(rl, tab)
+            if info is not None:
+                _field_bytes(msg, 4, info)
             mem = rl["members"]
             _field_bytes(
                 msg, 8,

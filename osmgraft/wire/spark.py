@@ -42,6 +42,9 @@ def _encode(fmt: str, nodes, ways, rels) -> bytes:
     raise ValueError(f"unknown wire format {fmt!r}")
 
 
+_META_INT = ("version", "timestamp", "changeset", "uid")
+
+
 def _rows(pdf: pd.DataFrame) -> list[dict]:
     recs = pdf.to_dict("records")
     for r in recs:
@@ -52,6 +55,14 @@ def _rows(pdf: pd.DataFrame) -> list[dict]:
             r["members"] = [dict(m) for m in r["members"]]
         if "refs" in r and r["refs"] is not None:
             r["refs"] = list(r["refs"])
+        # pandas turns nullable int meta columns into float NaN,
+        # which is truthy — normalize back to None / int
+        for c in _META_INT:
+            if c in r:
+                v = r[c]
+                r[c] = None if pd.isna(v) else int(v)
+        if "user" in r and pd.isna(r.get("user")):
+            r["user"] = None
     return recs
 
 
