@@ -121,6 +121,10 @@ def _parse_args(argv: list[str]) -> dict:
         "diff": False,
         "statistics": False,
         "out_none": False,
+        "drop_version": False,
+        "drop_author": False,
+        "fake_author": False,
+        "fake_version": False,
         "all_to_nodes": False,
         "out": None,
         "out_fmt": None,   # --out-osm/--out-o5m/... to stdout
@@ -255,16 +259,21 @@ def _parse_args(argv: list[str]) -> dict:
             opts["csv_cols"] = a[6:]
         elif a.startswith("--csv-separator="):
             opts["csv_sep"] = a[16:]
+        elif a == "--drop-version":
+            opts["drop_version"] = True
+        elif a == "--drop-author":
+            opts["drop_author"] = True
+        elif a == "--fake-author":
+            opts["fake_author"] = True
+        elif a == "--fake-version":
+            opts["fake_version"] = True
         elif a.startswith(
             ("--hash-memory=", "-h=", "--max-objects=",
              "--max-refs=", "-t=")
-        ) or a in ("--drop-version", "--drop-author", "--verbose",
-                   "-v"):
-            # capacity knobs are meaningless on Spark (no fixed hash
-            # tables, tempfiles are managed); --drop-version/-author
-            # are no-ops because the scan schema carries no author
-            # metadata in the first place — accepted so real-world
-            # osmconvert invocations run unchanged
+        ) or a in ("--verbose", "-v"):
+            # capacity knobs are meaningless on Spark (no fixed
+            # hash tables, tempfiles are managed) — accepted so
+            # real-world osmconvert invocations run unchanged
             pass
         elif a.startswith("-"):
             raise SystemExit(f"unknown option: {a}")
@@ -506,8 +515,9 @@ def _drop_broken(nodes, ways, rels, kept_way_ids, kept_rel_ids):
             ).alias("refs")
         )
         .filter(F.size("refs") > 0)
-        .join(ways.select("id", "tags"), "id")
-        .select("id", "refs", "tags")
+        # join back EVERYTHING except the rebuilt refs, so tags and
+        # (when present) author metadata survive the prune
+        .join(ways.drop("refs"), "id")
     )
     mex = rels.select("id", F.posexplode("members").alias("j", "m"))
     mkept = (
@@ -541,8 +551,7 @@ def _drop_broken(nodes, ways, rels, kept_way_ids, kept_rel_ids):
             ).alias("members")
         )
         .filter(F.size("members") > 0)
-        .join(rels.select("id", "tags"), "id")
-        .select("id", "members", "tags")
+        .join(rels.drop("members"), "id")
     )
     return nodes, ways, rels
 
@@ -571,13 +580,16 @@ def _way_centers(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     n = nodes.select(F.col("id").alias("doc_id"), "lat_i", "lon_i")
     geo = way_geometry(w, n)  # ways with zero resolvable refs vanish
+    # the replacement node keeps the way's tags AND author metadata
+    # (wo_node(id_new, hisver, ...), osmconvert.c:11661-11663)
+    extra = [c for c in ways.columns if c not in ("id", "refs")]
     return geo.join(
-        ways.select(F.col("id").alias("way_id"), "tags"), "way_id"
+        ways.select(F.col("id").alias("way_id"), *extra), "way_id"
     ).select(
         (F.col("way_id") + F.lit(OFF10)).alias("id"),
         F.col("center_lat").alias("lat_i"),
         F.col("center_lon").alias("lon_i"),
-        "tags",
+        *extra,
     )
 
 
@@ -779,16 +791,18 @@ def _rel_centers(
         done = (
             batch if done is None else done.unionByName(batch)
         )
+    extra = [c for c in rels.columns if c not in ("id", "members")]
     if done is None:
         return rels.select(
             "id",
             F.lit(0).cast("long").alias("lat_i"),
             F.lit(0).cast("long").alias("lon_i"),
-            "tags",
+            *extra,
         ).limit(0)
     return done.join(
-        rels.select((F.col("id") + OFF20).alias("id"), "tags"), "id"
-    ).select("id", "lat_i", "lon_i", "tags")
+        rels.select((F.col("id") + OFF20).alias("id"), *extra),
+        "id",
+    ).select("id", "lat_i", "lon_i", *extra)
 
 
 def _all_to_nodes(nodes, ways, rels):
@@ -857,6 +871,29 @@ def _stats_text(nodes, ways, rels) -> str:
     ).first()
 
     lines: list[str] = []
+    # timestamp min/max across all kinds (printed first and only
+    # when any object carries one, osmconvert.c:11924-11935)
+    if "timestamp" in nodes.columns:
+        ts = (
+            nodes.select("timestamp")
+            .unionByName(ways.select("timestamp"))
+            .unionByName(rels.select("timestamp"))
+            .agg(
+                F.min("timestamp").alias("lo"),
+                F.max("timestamp").alias("hi"),
+            )
+            .first()
+        )
+        if ts["lo"] is not None:
+            from datetime import datetime, timezone
+
+            def iso(v):
+                return datetime.fromtimestamp(
+                    int(v), timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+            lines.append(f"timestamp min: {iso(ts['lo'])}")
+            lines.append(f"timestamp max: {iso(ts['hi'])}")
     if n["n"] > 0:
         lines += [
             f"lon min: {_fix7(n['lon_min'])}",
@@ -972,6 +1009,43 @@ def _csv_projection(df, cols: list[str], otype: int, with_coords: bool):
             sel.append(fix7_col(F.col("lat_i")).alias(a))
         elif c == "@lon" and with_coords:
             sel.append(fix7_col(F.col("lon_i")).alias(a))
+        elif c == "@version" and "version" in df.columns:
+            sel.append(
+                F.coalesce(F.col("version"), F.lit(0))
+                .cast("string")
+                .alias(a)
+            )
+        elif c == "@timestamp" and "timestamp" in df.columns:
+            # write_createtimestamp: absent -> epoch 0 rendered
+            sel.append(
+                F.concat(
+                    F.date_format(
+                        F.timestamp_seconds(
+                            F.coalesce(
+                                F.col("timestamp"), F.lit(0)
+                            )
+                        ),
+                        "yyyy-MM-dd'T'HH:mm:ss",
+                    ),
+                    F.lit("Z"),
+                ).alias(a)
+            )
+        elif c == "@changeset" and "changeset" in df.columns:
+            sel.append(
+                F.coalesce(F.col("changeset"), F.lit(0))
+                .cast("string")
+                .alias(a)
+            )
+        elif c == "@uid" and "uid" in df.columns:
+            sel.append(
+                F.coalesce(F.col("uid"), F.lit(0))
+                .cast("string")
+                .alias(a)
+            )
+        elif c == "@user" and "user" in df.columns:
+            sel.append(
+                F.coalesce(F.col("user"), F.lit("")).alias(a)
+            )
         elif c.startswith("@"):
             sel.append(F.lit("").alias(a))
         else:
@@ -1045,7 +1119,10 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
             print("(invalid timestamp)")
         return None
 
-    parts = [read_osm_auto(spark, p) for p in opts["inputs"]]
+    parts = [
+        read_osm_auto(spark, p, with_meta=True)
+        for p in opts["inputs"]
+    ]
 
     if opts["diff"]:
         # J6: two snapshots -> changefile (--diff,
@@ -1091,7 +1168,10 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         # --subtract (osmconvert.c:554-556, 12731-12735)
         from .operators.merge import subtract as _subtract
 
-        sub = [read_osm_auto(spark, p) for p in opts["sub_inputs"]]
+        sub = [
+            read_osm_auto(spark, p, with_meta=True)
+            for p in opts["sub_inputs"]
+        ]
         nodes = _subtract(
             nodes, union_dedup([p[0] for p in sub], ["id"]), ["id"]
         )
@@ -1101,6 +1181,45 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         rels = _subtract(
             rels, union_dedup([p[2] for p in sub], ["id"]), ["id"]
         )
+
+    # author-column transforms (P7; wo__author globals,
+    # osmconvert.c:8219-8234): --drop-version clears everything,
+    # --drop-author keeps the version but clears the rest,
+    # --fake-author/--fake-version set the minimal (1,1,1) author
+    if any(
+        opts[k]
+        for k in ("drop_version", "drop_author", "fake_author",
+                  "fake_version")
+    ):
+        null_l = F.lit(None).cast("long")
+
+        def author_mod(df):
+            if opts["fake_author"] or opts["fake_version"]:
+                return (
+                    df.withColumn("version", F.lit(1).cast("int"))
+                    .withColumn("timestamp", F.lit(1).cast("long"))
+                    .withColumn("changeset", F.lit(1).cast("long"))
+                    .withColumn("uid", null_l)
+                    .withColumn(
+                        "user", F.lit(None).cast("string")
+                    )
+                )
+            out = df
+            if opts["drop_version"]:
+                out = out.withColumn(
+                    "version", F.lit(None).cast("int")
+                )
+            out = (
+                out.withColumn("timestamp", null_l)
+                .withColumn("changeset", null_l)
+                .withColumn("uid", null_l)
+                .withColumn("user", F.lit(None).cast("string"))
+            )
+            return out
+
+        nodes = author_mod(nodes)
+        ways = author_mod(ways)
+        rels = author_mod(rels)
 
     if opts["keep"]:
         pred = parse_keep(opts["keep"])

@@ -228,19 +228,12 @@ def test_keep_with_drop_broken_refs(spark, tmp_path):
 
 
 def test_out_statistics_matches_osmconvert(spark, tmp_path, capsys):
-    """--out-statistics byte-equal to the binary (timestamp lines
-    excepted: the engine's scan schema carries no author metadata,
-    so they are absent from our output; on a metadata-less input
-    the reference omits them too)."""
+    """--out-statistics byte-equal to the binary, timestamp min/max
+    lines included (round-3 metadata support)."""
     osm = _world(tmp_path)
     convert(spark, [osm, "--out-statistics"])
     ours = capsys.readouterr().out
-    want = _run("osmconvert", osm, "--out-statistics")
-    want = "".join(
-        line for line in want.splitlines(keepends=True)
-        if not line.startswith("timestamp ")
-    )
-    assert ours == want
+    assert ours == _run("osmconvert", osm, "--out-statistics")
 
 
 def test_out_statistics_no_metadata_byte_exact(spark, tmp_path,
@@ -662,3 +655,75 @@ def test_statistics_to_stderr_and_noop_flags(spark, tmp_path,
     err = capsys.readouterr().err
     want = _run("osmconvert", str(osm), "--out-statistics")
     assert err == want
+
+
+_META_CSV = ["--out-csv",
+             "--csv=@otype @id @version @timestamp @changeset @uid"
+             " @user amenity",
+             "--csv-separator=|"]
+
+
+def test_conversion_preserves_author_metadata(spark, tmp_path):
+    """Round-3: plain conversion carries version/timestamp/
+    changeset/uid/user through — osmconvert's author-column CSV
+    view of our .o5m equals its view of its own conversion."""
+    osm = _world(tmp_path)
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [osm, f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={theirs}"], check=True
+    )
+    got = _run("osmconvert", str(ours), *_META_CSV)
+    assert got == _run("osmconvert", str(theirs), *_META_CSV)
+    assert "user" in got  # authors really present
+
+
+def test_clip_preserves_author_metadata(spark, tmp_path):
+    osm = _world(tmp_path)
+    bbox = "-0.2,0,0.1,0.6"
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [osm, f"-b={bbox}", f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-b={bbox}", f"-o={theirs}"],
+        check=True, capture_output=True,
+    )
+    assert _run("osmconvert", str(ours), *_META_CSV) == _run(
+        "osmconvert", str(theirs), *_META_CSV
+    )
+
+
+def test_fake_and_drop_author_flags(spark, tmp_path):
+    """--fake-author and --drop-author match the binary's
+    wo__author globals."""
+    osm = _world(tmp_path)
+    for flag in ("--fake-author", "--drop-author"):
+        ours = tmp_path / "ours.o5m"
+        convert(spark, [osm, flag, f"-o={ours}"])
+        theirs = tmp_path / "theirs.o5m"
+        subprocess.run(
+            [f"{REFBIN}/osmconvert", osm, flag, f"-o={theirs}"],
+            check=True,
+        )
+        got = _run("osmconvert", str(ours), *_META_CSV)
+        assert got == _run(
+            "osmconvert", str(theirs), *_META_CSV
+        ), flag
+
+
+def test_all_to_nodes_preserves_author(spark, tmp_path):
+    """Replacement center nodes keep the way/relation author
+    (wo_node(id_new, hisver, ...), osmconvert.c:11661-11663)."""
+    osm = _world(tmp_path)
+    ours = tmp_path / "ours.o5m"
+    convert(spark, [osm, "--all-to-nodes", f"-o={ours}"])
+    theirs = tmp_path / "theirs.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, "--all-to-nodes",
+         f"-o={theirs}"],
+        check=True,
+    )
+    assert _run("osmconvert", str(ours), *_META_CSV) == _run(
+        "osmconvert", str(theirs), *_META_CSV
+    )
