@@ -312,6 +312,55 @@ def dedup_clusters(
     return labels.select(F.col("node").alias("doc_id"), "cluster")
 
 
+def dedup_keep_list(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    max_passes: int = 12,
+) -> DataFrame:
+    """The training-pipeline deliverable AFTER cluster resolution:
+    a per-document keep/drop verdict. Clusters come from
+    dedup_clusters(pairs); within each cluster the KEEPER is the
+    longest text (ties -> lowest doc_id) — the standard "keep the
+    most complete copy" rule; every document outside any cluster is
+    a singleton and keeps itself. Returns (doc_id, cluster, keep).
+
+    Scale plan: the cluster table and the per-cluster keeper table
+    both contain ONLY near-duplicate members (tiny vs the corpus —
+    the dup fraction), so the two joins against the corpus are
+    broadcastable (AQE converts them at runtime); the corpus itself
+    never shuffles. The keeper argmax is an algebraic max_by, one
+    partial-combined aggregation over the small clustered slice."""
+    clusters = dedup_clusters(pairs, max_passes=max_passes)
+    docs = corpus.select(
+        "doc_id", F.length(F.col(text_col)).alias("_len")
+    )
+    clustered = docs.join(clusters, "doc_id")
+    keepers = clustered.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(
+                F.col("_len").alias("l"),
+                (-F.col("doc_id")).alias("d"),
+            ),
+        ).alias("_keeper")
+    )
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .withColumn(
+            "cluster", F.coalesce(F.col("cluster"), F.col("doc_id"))
+        )
+        .join(keepers, "cluster", "left")
+        .select(
+            "doc_id",
+            "cluster",
+            F.coalesce(
+                F.col("doc_id") == F.col("_keeper"), F.lit(True)
+            ).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------

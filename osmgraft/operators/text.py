@@ -91,6 +91,60 @@ def _with_word_grams(
     )
 
 
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Chunk-level corpus dedup signal (the CCNet / RefinedWeb
+    line-dedup step adapted to unstructured text): split each
+    document into consecutive NON-overlapping `chunk_tokens`-word
+    chunks, count how many distinct documents each chunk appears
+    in corpus-wide, and report per document the fraction of its
+    chunks that are corpus-duplicated (appear in >= min_docs docs).
+    Pipelines drop or trim docs with high dup_chunk_ratio.
+
+    Scale plan: chunking is in-row Catalyst (split once -> slice
+    windows; ~n_tokens/chunk_tokens rows per doc after explode).
+    Chunk frequencies are an ALGEBRAIC two-phase aggregate
+    (distinct-doc count partial-combines map-side), the join back
+    is chunk-co-partitioned with the agg (one shuffle reused, AQE
+    splits hot boilerplate chunks), and the final per-doc rollup is
+    one more algebraic groupBy. No all-pairs anything; cost is
+    O(corpus tokens) rows through two shuffles."""
+    toks = F.col("_toks")
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        .select("doc_id", F.explode(chunks).alias("chunk"))
+    )
+    per_chunk = exploded.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("_chunk_docs")
+    )
+    joined = exploded.join(per_chunk, "chunk")
+    out = joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("_chunk_docs") >= min_docs, 1).otherwise(0)
+        ).cast("long").alias("n_dup_chunks"),
+    )
+    return out.withColumn(
+        "dup_chunk_ratio",
+        F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+    )
+
+
 def decontaminate_flags(
     df: DataFrame,
     eval_pred,

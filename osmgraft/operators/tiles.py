@@ -64,6 +64,53 @@ def tile_doc_lists(
     )
 
 
+def tile_pyramid(
+    pts: DataFrame,
+    levels: int = 4,
+    base_shift: int = None,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+) -> DataFrame:
+    """Multi-resolution tile rollup (tile pyramid): per-cell
+    algebraic stats at `levels` zoom levels at once, level l using
+    quantization shift base_shift + l (cells 2x coarser per level
+    on each axis — the reference's grid refinement ladder,
+    osmgeobase.c zoom grid, run in reverse).
+
+    Plan: ONE pass — each row posexplodes into its `levels` packed
+    (level, cell) keys (a constant-width array of pure integer
+    expressions, no lambda), then a single groupBy(level, cell).
+    Algebraic aggregates partial-combine map-side, so the pyramid
+    costs one shuffle of levels x one row per (partition, cell) —
+    NOT one job per level, and hot megacity cells stay skew-proof
+    (see module docstring). Each level's cell id packs with that
+    level's own lon_bits, mirroring cell_encode exactly."""
+    from ..geo.cells import DEFAULT_SHIFT as _DS
+
+    if base_shift is None:
+        base_shift = _DS
+    lat0 = F.shiftright(
+        F.col(lat_col) + F.lit(LAT_OFFSET), base_shift
+    ).cast("long")
+    lon0 = F.shiftright(
+        F.col(lon_col) + F.lit(LON_OFFSET), base_shift
+    ).cast("long")
+    cells = [
+        F.shiftleft(
+            F.shiftright(lat0, lvl), _lon_bits(base_shift + lvl)
+        ).bitwiseOR(F.shiftright(lon0, lvl))
+        for lvl in range(levels)
+    ]
+    exploded = pts.select(
+        "doc_id", F.posexplode(F.array(*cells)).alias("level", "cell")
+    )
+    return exploded.groupBy("level", "cell").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def write_tiles(
     df: DataFrame,
     path: str,

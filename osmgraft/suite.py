@@ -392,6 +392,28 @@ def q53_decontaminate(spark, sf_dir):
     )
 
 
+def q56_chunk_dedup(spark, sf_dir):
+    """Chunk-level corpus dedup (CCNet/RefinedWeb line-dedup analog
+    on non-overlapping 8-token windows, operators/text.py). Corpus
+    plants one exact copy per doc_id%7==0 doc and one 32-token
+    truncation per doc_id%11==0 doc, so dup_chunk_ratio spans
+    {0, fractional, 1}."""
+    from .operators.text import chunk_dedup_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    trunc = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 32), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(trunc)
+    return chunk_dedup_stats(corpus)
+
+
 def q13_lang_id(spark, sf_dir):
     return lang_id(load(spark, sf_dir, "documents"))
 
@@ -735,6 +757,15 @@ def q50_tile_vector(spark, sf_dir):
     return vectorize_tiles(pts)
 
 
+def q54_tile_pyramid(spark, sf_dir):
+    """G11 follow-on: multi-resolution tile pyramid — per-cell
+    stats at 4 zoom levels (shift 14..17) in ONE posexplode + ONE
+    algebraic shuffle (tiles.tile_pyramid), not one job per level."""
+    from .operators.tiles import tile_pyramid
+
+    return tile_pyramid(doc_points(spark, sf_dir), levels=4)
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -846,6 +877,7 @@ QUERIES = {
     "q12_quality": q12_quality,
     "q52_repetition": q52_repetition,
     "q53_decontaminate": q53_decontaminate,
+    "q56_chunk_dedup": q56_chunk_dedup,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -867,11 +899,64 @@ QUERIES = {
     "q40_tile_doc_lists": q40_tile_doc_lists,
     "q49_tile_raster": q49_tile_raster,
     "q50_tile_vector": q50_tile_vector,
+    "q54_tile_pyramid": q54_tile_pyramid,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
     **ADDR_QUERIES,
 }
+
+
+def _pyramid_oracle(levels: int = 4) -> str:
+    per_level = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {lvl} AS level,"
+        f" ((lat_i + {LAT_OFFSET}) >> {DEFAULT_SHIFT + lvl})"
+        f" * {1 << _lon_bits(DEFAULT_SHIFT + lvl)}"
+        f" + ((lon_i + {LON_OFFSET}) >> {DEFAULT_SHIFT + lvl})"
+        f" AS cell FROM pts"
+        for lvl in range(levels)
+    )
+    return f"""
+WITH {_PTS_CTE},
+c AS (
+{per_level}
+)
+SELECT level, cell, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM c GROUP BY level, cell
+"""
+
+
+_Q56_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string((string_split(text, ' '))[1:32], ' ')
+  FROM documents WHERE doc_id % 11 = 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+ch AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 8 THEN list_transform(
+      range(0, len(w) // 8),
+      i -> array_to_string(w[i*8+1:i*8+8], ' '))
+    ELSE CAST([] AS VARCHAR[]) END) AS chunk
+  FROM t
+),
+pc AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch
+       GROUP BY chunk),
+j AS (SELECT ch.doc_id, pc.nd FROM ch JOIN pc USING (chunk))
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_chunks,
+  ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+    AS dup_chunk_ratio
+FROM j GROUP BY doc_id
+"""
 
 
 def oracle_sqls() -> dict[str, str]:
@@ -927,6 +1012,7 @@ SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
        array_to_string(list_sort(list(doc_id)), ',') AS ids_str
 FROM pts GROUP BY 1
 """,
+        "q54_tile_pyramid": _pyramid_oracle(),
         "q49_tile_raster": f"""
 WITH {_PTS_CTE},
 cp AS (
@@ -1126,6 +1212,7 @@ SELECT doc_id,
         ELSE 0.0 END, 6) AS dup_frac
 FROM g
 """,
+        "q56_chunk_dedup": _Q56_ORACLE,
         "q53_decontaminate": """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -442,6 +442,25 @@ def q44_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q55_dedup_keep_list(spark, sf_dir):
+    """The per-document keep/drop verdict a pipeline feeds to the
+    writer: q44's planted dup clusters resolved to a canonical
+    member (longest text, ties -> lowest doc_id); singletons keep
+    themselves (operators/dedup.dedup_keep_list)."""
+    from .operators.dedup import dedup_keep_list
+
+    base = _corpus(spark, sf_dir)
+    gen2 = base.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("dup "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(gen2)
+    pairs = minhash_lsh_pairs(
+        corpus, n_hashes=N_HASHES, band_rows=BAND_ROWS
+    )
+    return dedup_keep_list(corpus, pairs)
+
+
 _CORPUS3_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
@@ -489,12 +508,32 @@ SELECT u AS doc_id, MIN(v) AS cluster FROM reach GROUP BY u
 """
 
 
+def _keep_oracle() -> str:
+    """q55: q44's cluster oracle nested as a CTE, then the keeper
+    argmax (longest text, lowest id) over the full corpus with
+    singletons as their own clusters."""
+    return f"""
+WITH {_CORPUS3_SQL.strip().rstrip()},
+clus AS ({_cluster_oracle()}),
+lab AS (
+  SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS cluster,
+         length(c.text) AS len
+  FROM corpus c LEFT JOIN clus cl USING (doc_id)
+)
+SELECT doc_id, cluster,
+  (ROW_NUMBER() OVER (PARTITION BY cluster
+                      ORDER BY len DESC, doc_id ASC) = 1) AS keep
+FROM lab
+"""
+
+
 ML_QUERIES = {
     "q29_minhash_lsh": q29_minhash_lsh,
     "q30_simhash": q30_simhash,
     "q31_embed_knn": q31_embed_knn,
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
     "q44_dedup_clusters": q44_dedup_clusters,
+    "q55_dedup_keep_list": q55_dedup_keep_list,
     "q45_embed_ann_banded": q45_embed_ann_banded,
     "q47_embed_ann_ivf": q47_embed_ann_ivf,
 }
@@ -507,6 +546,7 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q31_embed_knn": _EMB_ORACLE,
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
         "q44_dedup_clusters": _cluster_oracle(),
+        "q55_dedup_keep_list": _keep_oracle(),
         "q45_embed_ann_banded": _ann_banded_oracle(),
         "q47_embed_ann_ivf": _IVF_ORACLE,
     }
