@@ -360,7 +360,7 @@ def q45_embed_ann_banded(spark, sf_dir):
     )
 
 
-def _ann_banded_oracle() -> str:
+def _ann_banded_oracle(source: str = "embeddings") -> str:
     planes = hyperplanes(N_ANN_BANDS * BAND_BITS, DIM)
     vals = ",".join(
         f"({p},{d + 1},{c})"
@@ -387,7 +387,7 @@ def _ann_banded_oracle() -> str:
     return f"""
 WITH planes(p, d, coef) AS (VALUES {vals}),
 e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}
 ),
 el AS (
   SELECT vec_id, unnest(v) AS val,
@@ -459,6 +459,89 @@ def q55_dedup_keep_list(spark, sf_dir):
         corpus, n_hashes=N_HASHES, band_rows=BAND_ROWS
     )
     return dedup_keep_list(corpus, pairs)
+
+
+def q57_semantic_dedup(spark, sf_dir):
+    """End-to-end SEMANTIC dedup: banded-ANN candidates -> exact
+    cosine >= 0.95 -> connected components -> keep/drop verdict
+    (the embedding twin of q55's text keep-list). Corpus plants
+    scaled copies (x2 for vec_id%9==0, additionally x3 for %18==0)
+    — same direction, different magnitude, the classic
+    un-normalized re-embedding artifact; the x2/x3 chain exercises
+    transitive cluster resolution. Scaled copies land in the SAME
+    hyperplane bucket in every band (signs are scale-invariant),
+    so ANN recall on the planted dups is exact by construction."""
+    from .suite import load
+
+    from .operators.dedup import dedup_clusters, embed_ann_banded
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def _scaled(mod, offset, k):
+        return emb.filter(F.col("vec_id") % mod == 0).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(float(k))
+            ).alias("embedding"),
+        )
+
+    corpus = emb.unionByName(_scaled(9, 100000, 2)).unionByName(
+        _scaled(18, 200000, 3)
+    )
+    pairs = embed_ann_banded(
+        corpus, band_bits=BAND_BITS, n_bands=N_ANN_BANDS, dim=DIM
+    ).filter(F.col("cos_r") >= 0.95)
+    clusters = dedup_clusters(pairs, a_col="a", b_col="b")
+    return (
+        corpus.select(F.col("vec_id").alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+            (
+                F.coalesce("cluster", F.col("doc_id"))
+                == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )
+
+
+_EMB_CORPUS_CTE = """
+emb_corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+  FROM embeddings WHERE vec_id % 9 = 0
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 3)
+  FROM embeddings WHERE vec_id % 18 = 0
+)
+"""
+
+
+def _semantic_keep_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_EMB_CORPUS_CTE.strip()},
+ann AS ({_ann_banded_oracle(source="emb_corpus")}),
+edges0 AS (SELECT a AS u, b AS v FROM ann WHERE cos_r >= 0.95),
+edges AS (
+  SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+clus AS (SELECT u AS id, MIN(v) AS cluster FROM reach GROUP BY u)
+SELECT c.vec_id, COALESCE(cl.cluster, c.vec_id) AS cluster,
+       (COALESCE(cl.cluster, c.vec_id) = c.vec_id) AS keep
+FROM emb_corpus c LEFT JOIN clus cl ON cl.id = c.vec_id
+"""
 
 
 _CORPUS3_SQL = """
@@ -534,6 +617,7 @@ ML_QUERIES = {
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
     "q44_dedup_clusters": q44_dedup_clusters,
     "q55_dedup_keep_list": q55_dedup_keep_list,
+    "q57_semantic_dedup": q57_semantic_dedup,
     "q45_embed_ann_banded": q45_embed_ann_banded,
     "q47_embed_ann_ivf": q47_embed_ann_ivf,
 }
@@ -547,6 +631,7 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
         "q44_dedup_clusters": _cluster_oracle(),
         "q55_dedup_keep_list": _keep_oracle(),
+        "q57_semantic_dedup": _semantic_keep_oracle(),
         "q45_embed_ann_banded": _ann_banded_oracle(),
         "q47_embed_ann_ivf": _IVF_ORACLE,
     }

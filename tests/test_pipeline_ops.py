@@ -173,6 +173,27 @@ def test_chunk_dedup_flags_copies_and_truncations(spark):
     assert 6 not in out
 
 
+def test_semantic_dedup_drops_scaled_copies(spark):
+    """q57 end-to-end on sf0.001: every planted scaled copy
+    (+100000 / +200000) is dropped, every original is kept, and
+    each copy clusters back to its original id."""
+    from osmgraft.suite_ml import q57_semantic_dedup
+
+    rows = q57_semantic_dedup(spark, "/root/testdata/sf0.001")
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"]) for r in rows.collect()
+    }
+    originals = [v for v in out if v < 100000]
+    copies = [v for v in out if v >= 100000]
+    assert copies, "plant produced no copies"
+    for v in copies:
+        base = v % 100000
+        assert out[v] == (base, False), (v, out[v])
+    for v in originals:
+        assert out[v][1] is True
+        assert out[v][0] == v
+
+
 def test_chunk_dedup_no_python_udf(spark):
     df = spark.createDataFrame(
         [(1, " ".join(f"t{i}" for i in range(32)))],
