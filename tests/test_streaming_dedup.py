@@ -1,0 +1,85 @@
+"""Streaming first-seen-wins dedup (streaming/dedup.py): exactly one
+keeper per distinct fingerprint, dedup state persists across stream
+restarts, and with doc_id-ordered arrival the keeper set matches the
+batch q15 operator."""
+
+from __future__ import annotations
+
+from osmgraft.streaming.dedup import streaming_dedup
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _drain(spark, docs_dir, out_dir, ckpt):
+    def sink(batch, _bid):
+        batch.write.mode("append").parquet(out_dir)
+
+    q = (
+        streaming_dedup(spark, docs_dir)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        return [
+            (r.doc_id, r.is_first)
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+    except Exception:
+        return []
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    _write(spark, str(docs / "b1"), [
+        (1, "alpha text"),
+        (2, "alpha text"),       # same-batch dup
+        (3, "beta text"),
+    ])
+    got = dict(_drain(spark, str(docs), out, ckpt))
+    assert got == {1: True, 2: False, 3: True}
+
+    # later micro-batch: cross-batch dup of 'alpha', new 'gamma';
+    # the checkpointed state remembers fingerprints already seen
+    _write(spark, str(docs / "b2"), [
+        (0, "alpha text"),       # lower id arrives LATER -> dup
+        (4, "gamma text"),
+    ])
+    got = dict(_drain(spark, str(docs), out, ckpt))
+    assert got[0] is False       # arrival order wins, not id order
+    assert got[4] is True
+
+
+def test_streaming_keepers_match_batch_dedup(spark, tmp_path):
+    """With arrival order following doc_id, the streaming keeper set
+    equals the batch dedup_exact keepers (q15 rule: min doc_id)."""
+    from osmgraft.operators.text import dedup_exact
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    rows = [
+        (i, f"text {i % 5}") for i in range(20)
+    ]  # 5 distinct contents, keeper = 0..4
+    _write(spark, str(docs / "all"), rows)
+    got = _drain(
+        spark, str(docs), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    stream_keepers = sorted(d for d, first in got if first)
+    batch = dedup_exact(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    batch_keepers = sorted(r.keeper for r in batch.collect())
+    assert stream_keepers == batch_keepers == [0, 1, 2, 3, 4]
+    assert len(got) == 20
