@@ -111,6 +111,59 @@ def tile_pyramid(
     )
 
 
+def tile_rollup_incremental(
+    base_tiles: DataFrame,
+    base_pts: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    cell_col: str = "cell",
+    delete_col: str = "deleted",
+) -> DataFrame:
+    """Incremental tile-view maintenance: given the PREVIOUS rollup
+    (`base_tiles`), the previous points table (`base_pts`, with
+    `cell_col` already computed), and a changefile (`changes`:
+    key + NEW position's cell + tombstone flag), return the rollup
+    of the post-change world by recomputing ONLY tiles whose
+    membership changed — the osmupdate role (apply a daily .osc,
+    refresh derived output) expressed as Iceberg-style dynamic
+    partition overwrite.
+
+    Affected tiles = old cells of every changed/deleted key (join
+    into the base) UNION new cells of every upserted row. Tiles
+    outside that set pass through from `base_tiles` untouched —
+    min/max/count are holistic under delete, so per-tile recompute
+    (not delta arithmetic) is the correct general maintenance, and
+    the affected-set bound makes it cheap.
+
+    Scale plan: a daily changefile is tiny relative to the corpus
+    (~10^7 changes vs 10^12 rows), so the affected-cell set is
+    broadcast to both the semi-join (recompute scan) and the
+    anti-join (pass-through) — zero extra shuffles beyond the one
+    groupBy of the recomputed slice. On cell-partitioned storage
+    the semi-join predicate prunes the scan to affected partitions
+    and the result maps 1:1 onto a partition-overwrite commit
+    (compose with manifest.write_committed for resumability).
+    """
+    from .merge import change_apply
+
+    new_pts = change_apply(base_pts, changes, [key_col], delete_col)
+    old_cells = (
+        base_pts.join(
+            F.broadcast(changes.select(key_col)), key_col, "left_semi"
+        ).select(cell_col)
+    )
+    new_cells = changes.filter(~F.col(delete_col)).select(cell_col)
+    affected = old_cells.unionByName(new_cells).distinct()
+    refreshed = tile_rollup(
+        new_pts.join(F.broadcast(affected), cell_col, "left_semi"),
+        cell_col,
+    )
+    untouched = base_tiles.join(
+        F.broadcast(affected), cell_col, "left_anti"
+    )
+    return untouched.unionByName(refreshed)
+
+
 def write_tiles(
     df: DataFrame,
     path: str,

@@ -1,0 +1,96 @@
+"""URL canonicalization + crawl dedup — the web-corpus front door.
+
+A Common-Crawl-style pages table arrives with the SAME logical page
+under many raw spellings (scheme/host case, default ports, fragment
+anchors, query-parameter order, trailing slashes) and under many
+crawl timestamps. `canonicalize_url` folds the spelling variance as
+a single pure-Catalyst expression (RFC 3986 §6 normalizations that
+never change dereference semantics); `url_dedup_latest` keeps the
+newest crawl per canonical URL.
+
+Scale: canonicalization is stringops inside whole-stage codegen —
+no UDF, no shuffle. The dedup is one hash-shuffle groupBy on the
+canonical URL whose map-side partial aggregation collapses each
+partition's re-crawls before the exchange; hot hosts don't skew it
+because the key is the full URL, not the host.
+
+Role parity: the reference engine's last-version-wins object merge
+(osmconvert.c o5m merge, SURVEY.md A5) applied to the web-page key
+space instead of OSM object ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """RFC 3986 §6.2 semantics-preserving normal form:
+
+    - scheme and host lowercased
+    - default port dropped (https:443, http:80); other ports kept
+    - fragment dropped (never sent to the server)
+    - query parameters sorted bytewise (order is not semantic for
+      the overwhelming majority of endpoints; this is the standard
+      crawler normalization)
+    - empty path -> "/", trailing slashes stripped off non-root
+      paths
+
+    Pure Catalyst (regexp_extract / array_sort / concat) — stays in
+    codegen, usable in filters and groupBy keys with pushdown.
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.regexp_extract(url, _AUTH_RE, 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default_port = (
+        F.when(scheme == "https", F.lit("443"))
+        .when(scheme == "http", F.lit("80"))
+        .otherwise(F.lit(""))
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.regexp_extract(url, _PATH_RE, 1)
+    stripped = F.regexp_replace(raw_path, "/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    q_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(
+            F.lit("?"),
+            F.array_join(F.array_sort(F.split(query, "&")), "&"),
+        )
+    )
+    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+
+
+def url_dedup_latest(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    out_url: str = "url_canon",
+) -> DataFrame:
+    """Latest-crawl-wins per canonical URL: one partial-aggregating
+    groupBy. Keeps every non-key column of the winning row via a
+    single max_by struct (one pass, no self-join back)."""
+    payload = [c for c in df.columns if c != url_col]
+    canon = df.withColumn(out_url, canonicalize_url(F.col(url_col)))
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]), F.col(ts_col)
+    ).alias("_w")
+    agg = canon.groupBy(out_url).agg(
+        winner,
+        F.count("*").cast("long").alias("n_crawls"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    return agg.select(
+        out_url,
+        *[F.col(f"_w.{c}").alias(c) for c in payload if c != ts_col],
+        "n_crawls",
+        "last_ts",
+    )

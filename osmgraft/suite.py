@@ -766,6 +766,98 @@ def q54_tile_pyramid(spark, sf_dir):
     return tile_pyramid(doc_points(spark, sf_dir), levels=4)
 
 
+def q58_tile_incremental(spark, sf_dir):
+    """C1 x G11: incremental tile-view maintenance — apply a
+    changefile (mod-11 docs moved ~0.1 deg north, mod-17 docs
+    deleted, 40 new docs appended) and refresh the per-tile rollup
+    by recomputing ONLY affected tiles
+    (tiles.tile_rollup_incremental), the osmupdate daily-diff role
+    as Iceberg-style partition overwrite. The oracle recomputes the
+    post-change world from scratch; equality proves the affected-set
+    logic loses nothing."""
+    from .operators.tiles import tile_rollup_incremental
+
+    pts = with_cell(doc_points(spark, sf_dir))
+    base_tiles = pts.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    moved = pts.filter(
+        (F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 17 == 0)
+    ).select(
+        "doc_id",
+        (F.col("lat_i") + F.lit(1000000)).alias("lat_i"),
+        "lon_i",
+        (F.col("doc_id") % 17 == 0).alias("deleted"),
+    )
+    added = pts.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (F.col("lat_i") + F.lit(2000000)).alias("lat_i"),
+        (F.col("lon_i") + F.lit(1500000)).alias("lon_i"),
+        F.lit(False).alias("deleted"),
+    )
+    changes = with_cell(moved.unionByName(added))
+    return tile_rollup_incremental(base_tiles, pts, changes)
+
+
+def q59_url_dedup(spark, sf_dir):
+    """Web-corpus front door: URL canonicalization (RFC 3986 §6 —
+    case, default port, fragment, query order, trailing slash) +
+    latest-crawl-wins dedup (operators/urls.py), the reference's
+    last-version-wins object merge (A5) over the web-page key space.
+    Synthesizes a messy 3-generation crawl log from documents
+    (mod-7 docs re-crawled twice under different raw spellings);
+    canonicalization must collapse each doc's spellings to ONE url
+    and keep the newest crawl."""
+    from .operators.urls import url_dedup_latest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    crawls = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(2)).otherwise(
+                    F.lit(0)
+                ),
+            )
+        ).alias("g"),
+    )
+    d, g = F.col("doc_id"), F.col("g")
+    hostcase = (d + g) % 3 == 0
+    url = F.concat(
+        F.when((d + g) % 2 == 0, F.lit("HTTPS")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://"),
+        F.when(hostcase, F.lit("HoSt")).otherwise(F.lit("host")),
+        (d % 23).cast("string"),
+        F.when(hostcase, F.lit(".Example.COM")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.when((d + g) % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        d.cast("string"),
+        F.when((d + g) % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.when((d + g) % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+                F.lit("?a=1&b=2")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (d + g) % 6 == 0, F.concat(F.lit("#s"), g.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    pages = crawls.select(
+        "doc_id",
+        url.alias("url"),
+        (d * 3 + g * 1000000).cast("long").alias("warc_ts"),
+    )
+    return url_dedup_latest(pages)
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -900,6 +992,8 @@ QUERIES = {
     "q49_tile_raster": q49_tile_raster,
     "q50_tile_vector": q50_tile_vector,
     "q54_tile_pyramid": q54_tile_pyramid,
+    "q58_tile_incremental": q58_tile_incremental,
+    "q59_url_dedup": q59_url_dedup,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -926,6 +1020,63 @@ SELECT level, cell, COUNT(*) AS n_docs,
 FROM c GROUP BY level, cell
 """
 
+
+_Q59_ORACLE = r"""
+WITH crawls AS (
+  SELECT doc_id, g
+  FROM documents,
+       UNNEST(range(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 1 END)) AS t(g)
+),
+raw AS (
+  SELECT doc_id,
+    (CASE WHEN (doc_id+g)%2=0 THEN 'HTTPS' ELSE 'https' END) || '://'
+    || (CASE WHEN (doc_id+g)%3=0 THEN 'HoSt' ELSE 'host' END)
+    || CAST(doc_id%23 AS VARCHAR)
+    || (CASE WHEN (doc_id+g)%3=0 THEN '.Example.COM'
+        ELSE '.example.com' END)
+    || (CASE WHEN (doc_id+g)%5=0 THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN (doc_id+g)%4=0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id%3=0 THEN
+          (CASE WHEN (doc_id+g)%2=0 THEN '?b=2&a=1'
+           ELSE '?a=1&b=2' END) ELSE '' END)
+    || (CASE WHEN (doc_id+g)%6=0 THEN '#s' || CAST(g AS VARCHAR)
+        ELSE '' END) AS url,
+    doc_id*3 + g*1000000 AS warc_ts
+  FROM crawls
+),
+canon AS (
+  SELECT doc_id, warc_ts,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*):', 1))
+    || '://'
+    || lower(regexp_extract(regexp_extract(url,
+         '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '^([^:]*)', 1))
+    || (CASE WHEN regexp_extract(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+          ':([0-9]+)$', 1)
+        IN ('', CASE lower(regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.\-]*):', 1))
+            WHEN 'https' THEN '443' WHEN 'http' THEN '80'
+            ELSE '' END)
+        THEN '' ELSE ':' || regexp_extract(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+          ':([0-9]+)$', 1) END)
+    || (CASE WHEN regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', '') = ''
+        THEN '/' ELSE regexp_replace(regexp_extract(url,
+          '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', '') END)
+    || (CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = '' THEN ''
+        ELSE '?' || array_to_string(list_sort(string_split(
+          regexp_extract(url, '\?([^#]*)', 1), '&')), '&') END)
+    AS url_canon
+  FROM raw
+)
+SELECT url_canon, arg_max(doc_id, warc_ts) AS doc_id,
+       COUNT(*) AS n_crawls, MAX(warc_ts) AS last_ts
+FROM canon GROUP BY 1
+"""
 
 _Q56_ORACLE = """
 WITH corpus AS (
@@ -1013,6 +1164,28 @@ SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
 FROM pts GROUP BY 1
 """,
         "q54_tile_pyramid": _pyramid_oracle(),
+        "q58_tile_incremental": f"""
+WITH {_PTS_CTE},
+changes AS (
+  SELECT doc_id, lat_i + 1000000 AS lat_i, lon_i,
+         doc_id % 17 = 0 AS deleted
+  FROM pts WHERE doc_id % 11 = 0 OR doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, lat_i + 2000000, lon_i + 1500000, FALSE
+  FROM pts WHERE doc_id < 40
+),
+applied AS (
+  SELECT doc_id, lat_i, lon_i FROM pts
+  WHERE doc_id NOT IN (SELECT doc_id FROM changes)
+  UNION ALL
+  SELECT doc_id, lat_i, lon_i FROM changes WHERE NOT deleted
+)
+SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
+       + ((lon_i + {LON_OFFSET}) >> {shift}) AS cell,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM applied GROUP BY 1
+""",
         "q49_tile_raster": f"""
 WITH {_PTS_CTE},
 cp AS (
@@ -1213,6 +1386,7 @@ SELECT doc_id,
 FROM g
 """,
         "q56_chunk_dedup": _Q56_ORACLE,
+        "q59_url_dedup": _Q59_ORACLE,
         "q53_decontaminate": """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
