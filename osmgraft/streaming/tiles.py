@@ -1,0 +1,113 @@
+"""Continuous tile maintenance: a change stream (the osmupdate
+minutely/daily .osc cascade, osmupdate.c:585-605) drives the
+incremental tile refresh (operators/tiles.tile_rollup_incremental
+semantics) through the manifest commit protocol
+(manifest.refresh_committed) — the full north_rule loop: streaming
+ingest -> affected-bucket refresh -> lineage-stamped commits,
+resumable at every layer.
+
+Exactly-once across kills, by construction:
+
+- The file stream checkpoint marks a micro-batch done only after
+  the foreachBatch body returns, so a killed batch re-runs whole.
+- Inside the body the ORDER is load-bearing: tiles are refreshed
+  BEFORE the points snapshot is swapped. The affected-bucket set
+  needs the OLD positions of moved keys; refreshing first means a
+  re-run still sees them. After the swap, a re-run recomputes the
+  same post-change world (change_apply is idempotent) and
+  refresh_committed skips buckets already committed under the
+  batch's epoch — so every kill point converges to the same state.
+- Epoch = the micro-batch id: the stream checkpoint guarantees
+  batch ids are stable across restarts for the same input files.
+
+Scale: per batch, work is O(|changes| + rows-in-affected-buckets),
+never O(corpus); the tile store rewrite is partition-pruned by the
+manifest bucket filter exactly as in the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TILE_CHANGE_SCHEMA = (
+    "doc_id long, lat_i long, lon_i long, deleted boolean, seq long"
+)
+
+
+def tile_maintenance_stream(
+    spark: SparkSession,
+    pts_path: str,
+    tiles_out: str,
+    changes_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """Start the maintenance stream; returns the StreamingQuery.
+
+    `pts_path`: current points snapshot (doc_id, lat_i, lon_i).
+    `tiles_out`: manifest-committed tile store (seed it with
+    manifest.run_resumable over the initial rollup).
+    `changes_dir`: parquet change batches (TILE_CHANGE_SCHEMA),
+    later `seq` wins per key within a batch."""
+    from pyspark.sql import Window, functions as F
+
+    from ..manifest import refresh_committed, with_bucket
+    from ..operators.merge import change_apply
+    from ..operators.spatial import with_cell
+    from ..operators.tiles import tile_rollup
+
+    stream = (
+        spark.readStream.schema(TILE_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .option("recursiveFileLookup", "true")
+        .parquet(changes_dir)
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
+        latest = with_cell(
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "seq")
+        )
+        base = with_cell(sp.read.parquet(pts_path))
+        new_pts = change_apply(base, latest, ["doc_id"])
+
+        old_b = with_bucket(
+            base.join(
+                latest.select("doc_id"), "doc_id", "left_semi"
+            ),
+            "cell",
+            n_buckets,
+        ).select("bucket")
+        new_b = with_bucket(
+            latest.filter(~F.col("deleted")), "cell", n_buckets
+        ).select("bucket")
+        affected = sorted(
+            r.bucket
+            for r in old_b.unionByName(new_b).distinct().collect()
+        )
+
+        tiles = with_bucket(tile_rollup(new_pts), "cell", n_buckets)
+        # 1) refresh tiles (idempotent per epoch) ...
+        refresh_committed(
+            tiles, tiles_out, affected,
+            input_lineage=f"batch-{batch_id}",
+        )
+        # 2) ... THEN swap the points snapshot (see module
+        # docstring: this order makes every kill point convergent)
+        tmp = pts_path.rstrip("/") + f"__stage_{batch_id}"
+        new_pts.drop("cell").write.mode("overwrite").parquet(tmp)
+        sp.read.parquet(tmp).write.mode("overwrite").parquet(
+            pts_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
