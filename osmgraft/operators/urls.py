@@ -69,6 +69,64 @@ def canonicalize_url(url: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
 
 
+# PSL-lite: multi-label public suffixes an engine must recognize so
+# "a.co.uk" and "b.co.uk" are DIFFERENT registered domains. The real
+# Public Suffix List is ~9k rules and would ship as a broadcast
+# lookup table; semantics (longest-matching suffix + one label) are
+# identical. Kept as a literal so the whole expression stays in
+# codegen.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.mx",
+)
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 of a lowercase hostname: the last label plus its
+    public suffix (PSL-lite, MULTI_SUFFIXES). Pure Catalyst —
+    split/slice/concat_ws; IPs and single-label hosts pass through
+    unchanged."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), 2))
+    multi = F.array(*[F.lit(s) for s in MULTI_SUFFIXES])
+    return (
+        F.when(host.rlike(r"^[0-9.]+$"), host)  # dotted IPv4
+        .when(n <= 2, host)
+        .when(
+            F.array_contains(multi, last2),
+            F.concat_ws(".", F.slice(parts, n - 2, 3)),
+        )
+        .otherwise(last2)
+    )
+
+
+def host_stats(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Per-registered-domain corpus profile: page count, distinct
+    host count, id span — the crawl-frontier/politeness view every
+    web pipeline maintains. Host extraction + eTLD+1 are codegen
+    expressions; the aggregate is one partial-agg shuffle on
+    reg_domain (count_distinct(host) partial-aggregates its expand
+    map-side, so megadomain skew costs O(#partitions x #hosts),
+    not O(#pages))."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)", 1
+        )
+    )
+    with_host = df.withColumn("host", host).withColumn(
+        "reg_domain", registered_domain(F.col("host"))
+    )
+    return with_host.groupBy("reg_domain").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+    )
+
+
 def url_dedup_latest(
     df: DataFrame,
     url_col: str = "url",

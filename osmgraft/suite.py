@@ -858,6 +858,46 @@ def q59_url_dedup(spark, sf_dir):
     return url_dedup_latest(pages)
 
 
+def q60_host_stats(spark, sf_dir):
+    """Registered-domain (eTLD+1, PSL-lite) corpus profile: pages +
+    distinct hosts per registered domain (operators/urls.py
+    host_stats) — the crawl-frontier/politeness view. Synthesis
+    mixes plain, www- and sub-prefixed hosts over .example.com /
+    .co.uk / .org / .com.au so the multi-label-suffix branch is
+    exercised both ways."""
+    from .operators.urls import host_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(
+            F.lit(".example.com"),
+            F.lit(".co.uk"),
+            F.lit(".org"),
+            F.lit(".com.au"),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    sub = (
+        F.when(d % 5 == 0, F.lit("www."))
+        .when(
+            d % 7 == 0,
+            F.concat(F.lit("sub"), (d % 3).cast("string"), F.lit(".")),
+        )
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.lit("host"),
+        (d % 23).cast("string"),
+        suffix,
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    return host_stats(docs.select("doc_id", url.alias("url")))
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -994,6 +1034,7 @@ QUERIES = {
     "q54_tile_pyramid": q54_tile_pyramid,
     "q58_tile_incremental": q58_tile_incremental,
     "q59_url_dedup": q59_url_dedup,
+    "q60_host_stats": q60_host_stats,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1076,6 +1117,42 @@ canon AS (
 SELECT url_canon, arg_max(doc_id, warc_ts) AS doc_id,
        COUNT(*) AS n_crawls, MAX(warc_ts) AS last_ts
 FROM canon GROUP BY 1
+"""
+
+_Q60_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id%5=0 THEN 'www.'
+          WHEN doc_id%7=0 THEN 'sub' || CAST(doc_id%3 AS VARCHAR)
+            || '.'
+          ELSE '' END)
+    || 'host' || CAST(doc_id%23 AS VARCHAR)
+    || (CASE doc_id%4 WHEN 0 THEN '.example.com'
+         WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org'
+         ELSE '.com.au' END) AS host
+  FROM documents
+),
+reg AS (
+  SELECT host,
+    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 1,
+             len(string_split(host, '.'))), '.')
+           IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+               'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+               'co.in','co.kr','com.mx')
+         THEN array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 2,
+             len(string_split(host, '.'))), '.')
+         ELSE array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 1,
+             len(string_split(host, '.'))), '.')
+    END AS reg_domain
+  FROM raw
+)
+SELECT reg_domain, COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts
+FROM reg GROUP BY 1
 """
 
 _Q56_ORACLE = """
@@ -1387,6 +1464,7 @@ FROM g
 """,
         "q56_chunk_dedup": _Q56_ORACLE,
         "q59_url_dedup": _Q59_ORACLE,
+        "q60_host_stats": _Q60_ORACLE,
         "q53_decontaminate": """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents

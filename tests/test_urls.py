@@ -46,6 +46,28 @@ def test_idempotent(spark):
     assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
 
 
+DOMAIN_CASES = [
+    ("host3.example.com", "example.com"),
+    ("www.host3.example.com", "example.com"),
+    ("host3.co.uk", "host3.co.uk"),
+    ("www.host3.co.uk", "host3.co.uk"),
+    ("deep.sub.host3.co.uk", "host3.co.uk"),
+    ("host3.org", "host3.org"),
+    ("localhost", "localhost"),
+    ("192.168.0.1", "192.168.0.1"),
+]
+
+
+def test_registered_domain(spark):
+    from osmgraft.operators.urls import registered_domain
+
+    df = spark.createDataFrame(DOMAIN_CASES, ["host", "expected"])
+    for row in df.select(
+        "expected", registered_domain(F.col("host")).alias("got")
+    ).collect():
+        assert row.got == row.expected, row
+
+
 def test_latest_crawl_wins(spark):
     df = spark.createDataFrame(
         [
