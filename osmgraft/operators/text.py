@@ -58,6 +58,71 @@ def repetition_score(
     )
 
 
+def corpus_filter_verdict(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 300,
+    max_dup_frac: float = 0.2,
+    lang: str = "en",
+) -> DataFrame:
+    """FineWeb/CCNet-style composed corpus filter: one keep/drop
+    verdict per document from language-ID, length, repetition, and
+    exact-dedup keeper status — the end-to-end decision a
+    training-data pipeline feeds its writer, with per-rule booleans
+    kept so drops are attributable.
+
+    Plan shape: every heuristic is a map-only expression computed
+    in a SINGLE pass over text (the gram array materialized once —
+    see _with_word_grams on the HOF re-evaluation trap); the only
+    shuffle is the min-doc_id-over-fingerprint window for dedup.
+    At corpus scale that is one exchange on a 16-byte key — the
+    same cost as exact dedup alone; the other three rules are free
+    riders on the scan."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    tp = F.concat(F.lit(" "), t, F.lit(" "))
+    tpl = F.length(tp)
+
+    def score(word):
+        return tpl - F.length(
+            F.replace(tp, F.lit(f" {word} "), F.lit(" "))
+        )
+
+    en, de, fr = score("the"), score("der"), score("le")
+    lang_pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    grams = F.col("_grams")
+    n_grams = F.size(grams)
+    dup_frac = F.when(
+        n_grams > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams,
+    ).otherwise(F.lit(0.0))
+    base = _with_word_grams(df, text_col, 3).select(
+        "doc_id",
+        (lang_pred == lang).alias("lang_ok"),
+        (F.length(t) >= min_len).alias("len_ok"),
+        (dup_frac <= max_dup_frac).alias("rep_ok"),
+        F.md5(F.substring(t, 1, 40)).alias("_fp"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("_fp"))
+    return (
+        base.withColumn("dedup_ok", F.col("doc_id") == keeper)
+        .withColumn(
+            "keep",
+            F.col("lang_ok")
+            & F.col("len_ok")
+            & F.col("rep_ok")
+            & F.col("dedup_ok"),
+        )
+        .drop("_fp")
+    )
+
+
 def _with_word_grams(
     df: DataFrame, text_col: str, n: int, out_col: str = "_grams"
 ) -> DataFrame:

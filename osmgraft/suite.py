@@ -898,6 +898,17 @@ def q60_host_stats(spark, sf_dir):
     return host_stats(docs.select("doc_id", url.alias("url")))
 
 
+def q61_corpus_filter(spark, sf_dir):
+    """Composed corpus filter (FineWeb/CCNet shape): per-document
+    keep verdict = lang=='en' AND len>=300 AND dup_frac<=0.2 AND
+    exact-dedup keeper, with per-rule booleans kept for drop
+    attribution (operators/text.corpus_filter_verdict). One scan
+    pass + one fingerprint shuffle."""
+    from .operators.text import corpus_filter_verdict
+
+    return corpus_filter_verdict(load(spark, sf_dir, "documents"))
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1035,6 +1046,7 @@ QUERIES = {
     "q58_tile_incremental": q58_tile_incremental,
     "q59_url_dedup": q59_url_dedup,
     "q60_host_stats": q60_host_stats,
+    "q61_corpus_filter": q61_corpus_filter,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1117,6 +1129,50 @@ canon AS (
 SELECT url_canon, arg_max(doc_id, warc_ts) AS doc_id,
        COUNT(*) AS n_crawls, MAX(warc_ts) AS last_ts
 FROM canon GROUP BY 1
+"""
+
+_Q61_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_transform(
+      range(1, len(t) - 1),
+      i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])
+    ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM t
+),
+sc AS (
+  SELECT doc_id,
+    length(' ' || text || ' ')
+      - length(replace(' ' || text || ' ', ' the ', ' ')) AS s_en,
+    length(' ' || text || ' ')
+      - length(replace(' ' || text || ' ', ' der ', ' ')) AS s_de,
+    length(' ' || text || ' ')
+      - length(replace(' ' || text || ' ', ' le ', ' ')) AS s_fr,
+    length(text) AS tl,
+    md5(substr(text, 1, 40)) AS fp
+  FROM documents
+),
+m AS (
+  SELECT sc.doc_id,
+    (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+          WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+          WHEN s_fr > 0 THEN 'fr' ELSE 'und' END) = 'en' AS lang_ok,
+    tl >= 300 AS len_ok,
+    (CASE WHEN len(g.g) > 0
+          THEN 1.0 - len(list_distinct(g.g)) / len(g.g)
+          ELSE 0.0 END) <= 0.2 AS rep_ok,
+    fp
+  FROM sc JOIN g ON sc.doc_id = g.doc_id
+),
+k AS (SELECT fp, MIN(doc_id) AS keeper FROM m GROUP BY 1)
+SELECT m.doc_id, lang_ok, len_ok, rep_ok,
+       m.doc_id = k.keeper AS dedup_ok,
+       lang_ok AND len_ok AND rep_ok AND (m.doc_id = k.keeper)
+         AS keep
+FROM m JOIN k USING (fp)
 """
 
 _Q60_ORACLE = """
@@ -1465,6 +1521,7 @@ FROM g
         "q56_chunk_dedup": _Q56_ORACLE,
         "q59_url_dedup": _Q59_ORACLE,
         "q60_host_stats": _Q60_ORACLE,
+        "q61_corpus_filter": _Q61_ORACLE,
         "q53_decontaminate": """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
