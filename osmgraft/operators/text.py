@@ -58,6 +58,40 @@ def repetition_score(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fracs: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-mixing
+    primitive (per-language / per-source keep rates when
+    assembling a training mix). Keep iff
+    hash(key, seed) / 2^32 < frac[stratum].
+
+    Unlike df.sample(), membership is a PURE function of the row
+    key: reproducible across runs, cluster sizes, and partitioning
+    — re-running the pipeline (or resuming it from a manifest
+    checkpoint) selects the identical subset, and a changed row
+    set never reshuffles survivors of unchanged rows. The hash is
+    a Knuth multiplicative hash in plain integer arithmetic so the
+    exact membership is reproducible in ANSI SQL (the oracle twin);
+    swap in xxhash64 for better avalanche when oracle parity is
+    not needed. Map-only — no shuffle, no sample() RNG state."""
+    k = F.col(key_col).cast("long")
+    h = F.pmod(
+        (k + F.lit(seed)) * F.lit(2654435761), F.lit(4294967296)
+    )
+    frac = F.lit(default_frac)
+    for value, f in fracs.items():
+        frac = F.when(
+            F.col(strata_col) == value, F.lit(float(f))
+        ).otherwise(frac)
+    return df.filter(h < frac * F.lit(4294967296.0))
+
+
 def corpus_filter_verdict(
     df: DataFrame,
     text_col: str = "text",

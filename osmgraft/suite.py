@@ -909,6 +909,23 @@ def q61_corpus_filter(spark, sf_dir):
     return corpus_filter_verdict(load(spark, sf_dir, "documents"))
 
 
+def q62_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (corpus-mix assembly):
+    per-language keep rates en=0.5/de=0.25/fr=0.25/other=0.1 via a
+    pure hash of doc_id (operators/text.stratified_sample) —
+    membership reproducible across runs, partitionings, and
+    resumes, unlike df.sample()."""
+    from .operators.text import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs,
+        {"en": 0.5, "de": 0.25, "fr": 0.25},
+        seed=7,
+        default_frac=0.1,
+    )
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1047,6 +1064,7 @@ QUERIES = {
     "q59_url_dedup": q59_url_dedup,
     "q60_host_stats": q60_host_stats,
     "q61_corpus_filter": q61_corpus_filter,
+    "q62_stratified_sample": q62_stratified_sample,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1522,6 +1540,12 @@ FROM g
         "q59_url_dedup": _Q59_ORACLE,
         "q60_host_stats": _Q60_ORACLE,
         "q61_corpus_filter": _Q61_ORACLE,
+        "q62_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id + 7) * 2654435761) % 4294967296 <
+  (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+        WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 4294967296
+""",
         "q53_decontaminate": """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
