@@ -24,6 +24,67 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
+def with_running_total(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: the INCLUSIVE running total of
+    `value_col` over the total order `order_cols` — the scale-safe
+    replacement for `SUM(v) OVER (ORDER BY ...)`, whose unbounded
+    frame funnels every row through one task. Same three-pass shape
+    as with_global_index: range-partition on the order, collect one
+    partial sum per partition (a manifest, not data), then a
+    mapInPandas cumsum seeded with each partition's offset.
+
+    Feeds sequence packing (q63): which fixed-token training window
+    each document starts in is pure arithmetic on this column."""
+    parts = (
+        df.repartitionByRange(
+            *([num_partitions] if num_partitions else []),
+            *[F.col(c) for c in order_cols],
+        )
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=False)
+    )
+    sums = {
+        r._pid: r._s
+        for r in parts.groupBy(
+            F.spark_partition_id().alias("_pid")
+        )
+        .agg(F.sum(value_col).alias("_s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(parts.schema.fields)
+        + [StructField(out_col, LongType())]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            cs = pdf[value_col].cumsum() + base
+            pdf[out_col] = cs
+            if len(cs):
+                base = int(cs.iloc[-1])
+            yield pdf
+
+    return parts.mapInPandas(gen, schema)
+
+
 def with_global_index(
     df: DataFrame,
     order_cols: list[str],

@@ -926,6 +926,32 @@ def q62_stratified_sample(spark, sf_dir):
     )
 
 
+def q63_pack_plan(spark, sf_dir):
+    """Sequence-packing plan: assign each document its starting
+    512-token training window from the inclusive running token
+    total over doc_id order — SUM() OVER (ORDER BY) computed as a
+    distributed prefix sum (operators/indexing.with_running_total),
+    not a one-task global window."""
+    from .operators.indexing import with_running_total
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    out = with_running_total(
+        docs, order_cols=["doc_id"], value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr("(cum_tokens - n_tokens) div 512").alias("bin"),
+        F.pmod(start, F.lit(512)).alias("bin_offset"),
+    )
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1065,6 +1091,7 @@ QUERIES = {
     "q60_host_stats": q60_host_stats,
     "q61_corpus_filter": q61_corpus_filter,
     "q62_stratified_sample": q62_stratified_sample,
+    "q63_pack_plan": q63_pack_plan,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1545,6 +1572,22 @@ SELECT doc_id, lang FROM documents
 WHERE ((doc_id + 7) * 2654435761) % 4294967296 <
   (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
         WHEN 'fr' THEN 0.25 ELSE 0.1 END) * 4294967296
+""",
+        "q63_pack_plan": """
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens,
+  (cum_tokens - n_tokens) // 512 AS bin,
+  (cum_tokens - n_tokens) % 512 AS bin_offset
+FROM c
 """,
         "q53_decontaminate": """
 WITH t AS (
