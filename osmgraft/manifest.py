@@ -201,6 +201,52 @@ def _write_groups(
     return commits
 
 
+def compact_committed(
+    spark: SparkSession,
+    out_dir: str,
+    buckets_per_pass: int = 16,
+) -> int:
+    """Small-file compaction — the lakehouse maintenance action a
+    long-lived incrementally-refreshed table needs (many refresh
+    epochs -> many small files per bucket; at 10^12 rows the
+    file-count tax hits planning and open() overhead before data
+    size does). Rewrites each committed bucket's data partition
+    coalesced to ~one file per bucket, `buckets_per_pass` buckets
+    per job.
+
+    CONTENT is unchanged by construction, so the manifest needs no
+    new rows and `verify_manifest` must still pass — the existing
+    audit doubles as the compaction correctness check. On Iceberg
+    this is rewrite_data_files; on the parquet stand-in each pass
+    is the same dynamic partition overwrite the writers use (crash
+    mid-pass leaves replaced-on-retry orphans, invisible to
+    read_committed until rewritten). Returns passes executed."""
+    done = sorted(committed_buckets(spark, out_dir))
+    if not done:
+        return 0
+    data_dir = os.path.join(out_dir, "data")
+    passes = 0
+    for g in range(0, len(done), buckets_per_pass):
+        group = done[g : g + buckets_per_pass]
+        # materialize the group before overwriting its source files
+        # (Spark refuses a lazy read-from-overwrite-target); bounded:
+        # one bucket group per pass
+        part = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("bucket").isin(group))
+            .localCheckpoint(eager=True)
+        )
+        (
+            part.repartition(len(group), F.col("bucket"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(data_dir)
+        )
+        passes += 1
+    return passes
+
+
 def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read back only COMMITTED data: data partitions semi-joined
     with the manifest (orphan partitions from a killed write are
