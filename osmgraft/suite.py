@@ -952,6 +952,32 @@ def q63_pack_plan(spark, sf_dir):
     )
 
 
+def q64_tile_quality(spark, sf_dir):
+    """The two graft axes joined: per-TILE corpus quality — each
+    document's composed keep verdict (q61) aggregated over its tile
+    cell (q04). One co-keyed join on doc_id, then the algebraic
+    cell rollup; the per-tile keep rate is the map a
+    crawl-prioritization loop feeds back into the frontier."""
+    from .operators.text import corpus_filter_verdict
+
+    pts = with_cell(doc_points(spark, sf_dir))
+    verdict = corpus_filter_verdict(
+        load(spark, sf_dir, "documents")
+    ).select("doc_id", "keep")
+    return (
+        pts.join(verdict, "doc_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("n_keep") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1092,6 +1118,7 @@ QUERIES = {
     "q61_corpus_filter": q61_corpus_filter,
     "q62_stratified_sample": q62_stratified_sample,
     "q63_pack_plan": q63_pack_plan,
+    "q64_tile_quality": q64_tile_quality,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1363,6 +1390,22 @@ SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
        COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM applied GROUP BY 1
+""",
+        "q64_tile_quality": f"""
+WITH {_PTS_CTE},
+v AS ({_Q61_ORACLE}),
+c AS (
+  SELECT p.doc_id,
+    ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
+    + ((lon_i + {LON_OFFSET}) >> {shift}) AS cell,
+    v.keep
+  FROM pts p JOIN v ON p.doc_id = v.doc_id
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+    AS keep_rate
+FROM c GROUP BY 1
 """,
         "q49_tile_raster": f"""
 WITH {_PTS_CTE},
