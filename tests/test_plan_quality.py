@@ -194,3 +194,31 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     # exactly one exchange bringing per-doc partial counts together
     # (plus the broadcast exchange); no SortMergeJoin anywhere
     assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """q62: deterministic sampling must stay a pushdown-friendly
+    filter — no Exchange, no Python stage."""
+    from osmgraft.operators.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    plan = _plan(stratified_sample(docs, {"en": 0.5}, seed=1))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_corpus_filter_single_exchange(spark):
+    """q61: all heuristics ride the scan; the fingerprint window is
+    the only exchange and there is no Python stage."""
+    from osmgraft.operators.text import corpus_filter_verdict
+
+    docs = spark.createDataFrame(
+        [(i, f"the w{i} x{i} " * 30) for i in range(200)],
+        "doc_id long, text string",
+    )
+    plan = _plan(corpus_filter_verdict(docs))
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
