@@ -222,3 +222,40 @@ def test_corpus_filter_single_exchange(spark):
     plan = _plan(corpus_filter_verdict(docs))
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+def test_running_total_no_global_window(spark):
+    """q63: the prefix sum must stay a range shuffle + mapInPandas;
+    a SUM() OVER (ORDER BY) would funnel every row through one
+    task (Window + Exchange SinglePartition)."""
+    from osmgraft.operators.indexing import with_running_total
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    plan = _plan(
+        with_running_total(df, ["k"], "v", num_partitions=8)
+    )
+    # the lazy localCheckpoint truncates the plan at the range
+    # shuffle (test_running_total covers the distribution); what
+    # must never appear downstream is a global Window
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_tile_quality_one_equi_join_partial_agg(spark):
+    """q64: one co-keyed equi-join on doc_id feeding an algebraic
+    cell rollup — no nested-loop/cartesian join, and the count/sum
+    aggregate map-side (partial) before the cell shuffle."""
+    from osmgraft.suite import q64_tile_quality
+
+    plan = _plan(q64_tile_quality(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert joins == 1, plan
+    assert "partial_count" in plan or "partial" in plan
