@@ -341,6 +341,56 @@ def fingerprint(
     )
 
 
+# PII patterns shared with the DuckDB oracle: RE2 ∩ java.util.regex
+# syntax only (no backreferences, no lookaround), so the SAME source
+# string produces the SAME matches in both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """PII redaction (the release gate every public corpus runs):
+    emails, dotted IPv4s, and NNN-NNN-NNNN phone numbers replaced by
+    typed placeholders, with per-category match counts kept for drop
+    attribution / audit.
+
+    Pure Catalyst — three regexp_replace + three
+    size(regexp_extract_all) expressions in one projection, inside
+    whole-stage codegen: no UDF, no shuffle, column pruning reaches
+    the scan. At 100 TB this is the cheapest kind of operator — a
+    map-only pass whose cost is one scan.
+
+    Replacement is ordered email -> IPv4 -> phone so an address
+    inside an already-redacted span is never double-counted; counts
+    are measured on the ORIGINAL text."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        scrubbed.alias(out_col),
+    )
+
+
 def dedup_exact(
     df: DataFrame, text_col: str = "text", prefix: int | None = None
 ) -> DataFrame:

@@ -152,3 +152,39 @@ def url_dedup_latest(
         "n_crawls",
         "last_ts",
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-blocklist filtering (the crawl-hygiene front gate:
+    spam/adult/malware domain lists): drop every page whose
+    registered domain (eTLD+1) appears in the blocklist table.
+
+    The blocklist is a TABLE, not a literal — real lists run to
+    millions of rows and are maintained independently of the job.
+    Even at that size they are megabytes, so the plan is a
+    broadcast LEFT ANTI hash join: pages never shuffle, the list
+    ships once per executor, and the probe runs inside the scan
+    stage. Host extraction + eTLD+1 are the same codegen
+    expressions as host_stats, so the whole filter is map-only
+    over the pages side."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col),
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)",
+            1,
+        )
+    )
+    with_rd = df.withColumn("_reg_domain", registered_domain(host))
+    bl = F.broadcast(
+        blocklist.select(
+            F.lower(F.col(domain_col)).alias("_reg_domain")
+        ).distinct()
+    )
+    return with_rd.join(bl, "_reg_domain", "left_anti").drop(
+        "_reg_domain"
+    )

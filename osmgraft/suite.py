@@ -978,6 +978,110 @@ def q64_tile_quality(spark, sf_dir):
     )
 
 
+def q65_pii_scrub(spark, sf_dir):
+    """PII redaction audit (operators/text.pii_scrub): emails,
+    dotted IPv4s, and NNN-NNN-NNNN phones replaced by typed
+    placeholders; per-category counts on the original text; md5 of
+    the scrubbed text proves byte-identical redaction vs the
+    oracle. The synthetic documents carry no organic PII, so the
+    query plants a deterministic PII tail per doc (same expression
+    on both sides): every doc one email + one IP, mod-3 docs a
+    second email, mod-4 docs a phone."""
+    from .operators.text import pii_scrub
+
+    d = F.col("doc_id")
+    tail = F.concat(
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail"),
+        (d % 5).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" cc admin"),
+                (d % 97).cast("string"),
+                F.lit("@example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10."),
+        (d % 256).cast("string"),
+        F.lit(".0.1"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" tel 555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 60), tail).alias("text"),
+    )
+    out = pii_scrub(planted)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_md5"),
+    )
+
+
+def q66_blocklist(spark, sf_dir):
+    """Domain-blocklist crawl hygiene (operators/urls.
+    blocklist_filter): drop pages whose registered domain (eTLD+1,
+    PSL-lite) is on a blocklist TABLE — broadcast LEFT ANTI join,
+    pages never shuffle. Reuses q60's host synthesis; the blocklist
+    holds 'example.com' (a registered domain that collapses every
+    www./sub-prefixed .example.com host — the PSL point), two
+    specific hosts under multi-label suffixes, and a never-matching
+    row."""
+    from .operators.urls import blocklist_filter
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(
+            F.lit(".example.com"),
+            F.lit(".co.uk"),
+            F.lit(".org"),
+            F.lit(".com.au"),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    sub = (
+        F.when(d % 5 == 0, F.lit("www."))
+        .when(
+            d % 7 == 0,
+            F.concat(F.lit("sub"), (d % 3).cast("string"), F.lit(".")),
+        )
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.lit("host"),
+        (d % 23).cast("string"),
+        suffix,
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [
+            ("example.com",),
+            ("host3.co.uk",),
+            ("host7.org",),
+            ("never.example.net",),
+        ],
+        "domain string",
+    )
+    return blocklist_filter(pages, bl)
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1119,6 +1223,8 @@ QUERIES = {
     "q62_stratified_sample": q62_stratified_sample,
     "q63_pack_plan": q63_pack_plan,
     "q64_tile_quality": q64_tile_quality,
+    "q65_pii_scrub": q65_pii_scrub,
+    "q66_blocklist": q66_blocklist,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1609,6 +1715,77 @@ FROM g
         "q56_chunk_dedup": _Q56_ORACLE,
         "q59_url_dedup": _Q59_ORACLE,
         "q60_host_stats": _Q60_ORACLE,
+        "q65_pii_scrub": r"""
+WITH planted AS (
+  SELECT doc_id,
+    substr(text, 1, 60)
+    || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' cc admin' || CAST(doc_id % 97 AS VARCHAR)
+           || '@example.org' ELSE '' END
+    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' tel 555-'
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           || '-0199' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+    AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+    '<EMAIL>', 'g'),
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+FROM planted
+""",
+        "q66_blocklist": """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id%5=0 THEN 'www.'
+          WHEN doc_id%7=0 THEN 'sub' || CAST(doc_id%3 AS VARCHAR)
+            || '.'
+          ELSE '' END)
+    || 'host' || CAST(doc_id%23 AS VARCHAR)
+    || (CASE doc_id%4 WHEN 0 THEN '.example.com'
+         WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org'
+         ELSE '.com.au' END) AS host
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, host,
+    'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM raw
+),
+reg AS (
+  SELECT doc_id, url,
+    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 1,
+             len(string_split(host, '.'))), '.')
+           IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+               'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+               'co.in','co.kr','com.mx')
+         THEN array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 2,
+             len(string_split(host, '.'))), '.')
+         ELSE array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 1,
+             len(string_split(host, '.'))), '.')
+    END AS reg_domain
+  FROM pages
+)
+SELECT doc_id, url FROM reg
+WHERE reg_domain NOT IN
+  ('example.com', 'host3.co.uk', 'host7.org', 'never.example.net')
+""",
         "q61_corpus_filter": _Q61_ORACLE,
         "q62_stratified_sample": """
 SELECT doc_id, lang FROM documents
