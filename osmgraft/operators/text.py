@@ -467,3 +467,88 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "jaccard")
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_frac: float = 0.05,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: a LINE that appears in more
+    than `doc_frac` of all documents (nav menus, cookie banners,
+    copyright footers) is corpus boilerplate; every document is
+    rebuilt from its remaining lines in original order.
+
+    Distributed shape (all Catalyst, no UDF):
+      1. posexplode(split(text, '\\n')) — one row per (doc, pos,
+         line);
+      2. per-line document frequency: one hash-shuffle groupBy with
+         map-side partial count(DISTINCT doc_id) collapsed to
+         count(*) on pre-deduped (doc,line) pairs;
+      3. the corpus size is a 1-row aggregate cross-joined in
+         (broadcast nested loop of one row — a scalar, not data);
+      4. LEFT ANTI join lines against the boilerplate set. The
+         boilerplate table is SMALL by construction (lines crossing
+         a corpus-frequency floor are few), but it is derived data,
+         so the join stays a shuffle join — scale-safe without
+         assuming the skew-prone case away; Spark's AQE converts it
+         to broadcast at runtime when it measures small;
+      5. groupBy(doc) + array_sort(collect_list(struct(pos,line)))
+         rebuilds each text; a final left join back to the doc list
+         keeps all-boilerplate docs with empty output.
+
+    Cost: two shuffles of the exploded lines (frequency + rebuild)
+    plus the doc-list join — each keyed, partial-aggregated, and
+    skew-tolerant (the hot key of step 2 is exactly the boilerplate
+    being removed; counting it is a partial-agg sum, never a
+    collect_list)."""
+    d = F.col("doc_id")
+    lines = df.select(
+        d,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    # (doc, line) dedup first so the frequency is DOCUMENT
+    # frequency; partial aggregation halves both shuffles
+    doc_lines = lines.select("doc_id", "line").distinct()
+    freq = doc_lines.groupBy("line").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    total = df.select(
+        F.count("*").cast("double").alias("_total")
+    )
+    boiler = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("n_docs") > F.col("_total") * doc_frac)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), "\n"))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+            "n_kept"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias(
+            "clean_text"
+        ),
+    )

@@ -1082,6 +1082,32 @@ def q66_blocklist(spark, sf_dir):
     return blocklist_filter(pages, bl)
 
 
+def q67_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate-line removal (operators/text.
+    boilerplate_strip): lines appearing in >30% of the corpus (nav
+    menu on every doc, a copyright footer on half) are stripped;
+    each document is rebuilt from its remaining lines in order.
+    Line structure is planted deterministically (same concat_ws on
+    the oracle side): every doc gets a nav line + its body + a
+    unique tail; mod-2 docs a copyright footer; mod-10 docs a
+    share bar (10% — below threshold, must survive)."""
+    from .operators.text import boilerplate_strip
+
+    d = F.col("doc_id")
+    text2 = F.concat_ws(
+        "\n",
+        F.lit("NAV HOME ABOUT CONTACT"),
+        F.substring("text", 1, 60),
+        F.when(d % 2 == 0, F.lit("COPYRIGHT 2026 EXAMPLE CORP")),
+        F.when(d % 10 == 0, F.lit("SHARE LIKE SUBSCRIBE")),
+        F.concat(F.lit("tail "), d.cast("string")),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text2.alias("text")
+    )
+    return boilerplate_strip(docs, doc_frac=0.3)
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1225,6 +1251,7 @@ QUERIES = {
     "q64_tile_quality": q64_tile_quality,
     "q65_pii_scrub": q65_pii_scrub,
     "q66_blocklist": q66_blocklist,
+    "q67_boilerplate": q67_boilerplate,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1745,6 +1772,47 @@ SELECT doc_id,
     '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
 FROM planted
+""",
+        "q67_boilerplate": """
+WITH docs2 AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'NAV HOME ABOUT CONTACT',
+    substr(text, 1, 60),
+    CASE WHEN doc_id % 2 = 0 THEN 'COPYRIGHT 2026 EXAMPLE CORP' END,
+    CASE WHEN doc_id % 10 = 0 THEN 'SHARE LIKE SUBSCRIBE' END,
+    'tail ' || CAST(doc_id AS VARCHAR)) AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2
+),
+lines AS (
+  SELECT doc_id, unnest(l) AS line,
+         generate_subscripts(l, 1) AS pos
+  FROM split
+),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY 1
+),
+boiler AS (
+  SELECT line FROM freq
+  WHERE n_docs > (SELECT COUNT(*) FROM documents) * 0.3
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM boiler)
+),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+  COALESCE(r.n_kept, 0) AS n_kept,
+  COALESCE(r.clean_text, '') AS clean_text
+FROM docs2 d LEFT JOIN reb r ON d.doc_id = r.doc_id
 """,
         "q66_blocklist": """
 WITH raw AS (
