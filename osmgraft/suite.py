@@ -1108,6 +1108,38 @@ def q67_boilerplate(spark, sf_dir):
     return boilerplate_strip(docs, doc_frac=0.3)
 
 
+def q68_host_pagerank(spark, sf_dir):
+    """Crawl-frontier host PageRank (operators/linkgraph.
+    host_pagerank): 3 synchronous iterations, damping 85/100, over
+    a deterministic host link graph. Every mod-3 doc links its host
+    (doc%23) to a Knuth-hashed destination host, so out-degrees
+    vary host to host (any dst derived from doc%23 alone would
+    collapse to a rank-preserving permutation). All-integer
+    fixed-point arithmetic makes the ranks bit-identical to the
+    unrolled SQL oracle — no float aggregation-order drift."""
+    from .operators.linkgraph import host_pagerank
+
+    d = F.col("doc_id")
+    dst_idx = F.pmod(
+        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
+    )
+    edges = (
+        load(spark, sf_dir, "documents")
+        .filter(d % 3 == 0)
+        .select(
+            F.concat(F.lit("host"), (d % 23).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return host_pagerank(edges, iters=3)
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1252,6 +1284,7 @@ QUERIES = {
     "q65_pii_scrub": q65_pii_scrub,
     "q66_blocklist": q66_blocklist,
     "q67_boilerplate": q67_boilerplate,
+    "q68_host_pagerank": q68_host_pagerank,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1772,6 +1805,51 @@ SELECT doc_id,
     '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
 FROM planted
+""",
+        # 3 unrolled integer-PageRank iterations (bit-exact vs
+        # Spark because every step is long add/mul/integer-divide)
+        "q68_host_pagerank": """
+WITH edges AS (
+  SELECT DISTINCT
+    'host' || CAST(doc_id % 23 AS VARCHAR) AS src,
+    'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
+      AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 3 = 0
+    AND doc_id % 23 <> ((doc_id * 2654435761) % 4294967296) % 23
+),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS rank FROM hosts),
+s1 AS (
+  SELECT e.dst AS host, SUM(r.rank // d.out_deg) AS s
+  FROM edges e JOIN r0 r ON e.src = r.host
+  JOIN deg d ON e.src = d.src GROUP BY 1),
+r1 AS (
+  SELECT h.host,
+    CAST(150000000000 + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT)
+      AS rank
+  FROM hosts h LEFT JOIN s1 ON h.host = s1.host),
+s2 AS (
+  SELECT e.dst AS host, SUM(r.rank // d.out_deg) AS s
+  FROM edges e JOIN r1 r ON e.src = r.host
+  JOIN deg d ON e.src = d.src GROUP BY 1),
+r2 AS (
+  SELECT h.host,
+    CAST(150000000000 + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT)
+      AS rank
+  FROM hosts h LEFT JOIN s2 ON h.host = s2.host),
+s3 AS (
+  SELECT e.dst AS host, SUM(r.rank // d.out_deg) AS s
+  FROM edges e JOIN r2 r ON e.src = r.host
+  JOIN deg d ON e.src = d.src GROUP BY 1),
+r3 AS (
+  SELECT h.host,
+    CAST(150000000000 + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT)
+      AS rank
+  FROM hosts h LEFT JOIN s3 ON h.host = s3.host)
+SELECT host, rank FROM r3
 """,
         "q67_boilerplate": """
 WITH docs2 AS (
