@@ -1,0 +1,135 @@
+"""The composed corpus-build pipeline — every webtext stage of the
+engine chained into the single job a training-data team would
+actually run over a 100-TB crawl:
+
+    raw docs
+      -> boilerplate-line removal        (text.boilerplate_strip)
+      -> PII redaction                   (text.pii_scrub)
+      -> corpus filter verdict + keep    (text.corpus_filter_verdict)
+      -> deterministic stratified mix    (text.stratified_sample)
+      -> sequence-packing prefix sum     (indexing.with_running_total)
+      [-> manifest-committed bucketed write (manifest.run_resumable)]
+
+Composition notes (what the fused plan looks like):
+- boilerplate needs two keyed shuffles of the exploded lines and a
+  doc-list join; PII scrubbing and token counting then ride the
+  same projection (map-only) — no extra pass;
+- the filter verdict adds exactly one fingerprint-window shuffle;
+- the stratified mix is a pushdown-friendly hash filter (free);
+- packing range-partitions the SURVIVORS only (the small end of
+  the funnel) for the distributed prefix sum.
+Net: ~6 keyed exchanges end to end at any scale, each
+partial-aggregated, none SinglePartition over data.
+
+Resumability: `corpus_build_resumable` buckets the packed output
+by training-window bin and writes through the checkpoint manifest
+(manifest.py) — a killed job resumes from the last committed
+bucket group, and per-bucket lineage + row counts are auditable
+(north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.indexing import with_running_total
+from .operators.text import (
+    boilerplate_strip,
+    corpus_filter_verdict,
+    pii_scrub,
+    stratified_sample,
+)
+
+
+def corpus_build(
+    docs: DataFrame,
+    *,
+    boiler_frac: float = 0.3,
+    min_len: int = 100,
+    max_dup_frac: float = 0.2,
+    lang: str = "en",
+    mix: dict[str, float] | None = None,
+    mix_seed: int = 11,
+    default_frac: float = 0.5,
+    pack_tokens: int = 512,
+) -> DataFrame:
+    """docs(doc_id, text, lang) -> packed training-window plan
+    (doc_id, lang, n_tokens, cum_tokens, bin) for the documents
+    that survive cleaning, filtering, and mixing.
+
+    Every stage is an already-oracle-tested operator; this function
+    only owns the composition order: cleaning BEFORE the verdict
+    (quality heuristics must see the text a model would train on),
+    mixing AFTER the verdict (keep rates apply to the kept pool),
+    packing last (windows are assigned over the final corpus)."""
+    clean = boilerplate_strip(docs, doc_frac=boiler_frac).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scrub = pii_scrub(clean).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    verdict = corpus_filter_verdict(
+        scrub,
+        min_len=min_len,
+        max_dup_frac=max_dup_frac,
+        lang=lang,
+    )
+    kept = (
+        scrub.join(
+            verdict.filter(F.col("keep")).select("doc_id"),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    mixed = stratified_sample(
+        kept,
+        mix or {},
+        seed=mix_seed,
+        default_frac=default_frac,
+    )
+    toks = mixed.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = with_running_total(
+        toks,
+        order_cols=["doc_id"],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {pack_tokens}").alias(
+            "bin"
+        ),
+    )
+
+
+def corpus_build_resumable(
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    buckets_per_commit: int = 16,
+    input_lineage: str = "",
+    max_commits: int | None = None,
+    **kwargs,
+) -> int:
+    """corpus_build written through the checkpoint manifest,
+    bucketed by training-window bin — resume-safe like
+    flagship_resumable. Returns commit groups executed."""
+    from .manifest import run_resumable, with_bucket
+
+    packed = corpus_build(docs, **kwargs)
+    bucketed = with_bucket(packed, "bin", n_buckets)
+    return run_resumable(
+        bucketed,
+        out_dir,
+        n_buckets=n_buckets,
+        buckets_per_commit=buckets_per_commit,
+        input_lineage=input_lineage,
+        max_commits=max_commits,
+    )

@@ -1140,6 +1140,45 @@ def q68_host_pagerank(spark, sf_dir):
     return host_pagerank(edges, iters=3)
 
 
+def q69_corpus_build(spark, sf_dir):
+    """The composed corpus-build pipeline (pipeline.corpus_build):
+    boilerplate strip -> PII scrub -> filter verdict -> stratified
+    mix -> sequence packing, end to end over planted multi-line
+    docs (q67's nav/copyright/share lines plus a per-doc email in
+    the unique tail, so every stage does real work). The oracle
+    recomposes the same stages in SQL, reusing the parameterized
+    q61 verdict over the cleaned+scrubbed text."""
+    from .pipeline import corpus_build
+
+    d = F.col("doc_id")
+    text2 = F.concat_ws(
+        "\n",
+        F.lit("NAV HOME ABOUT CONTACT"),
+        F.substring("text", 1, 60),
+        F.when(d % 2 == 0, F.lit("COPYRIGHT 2026 EXAMPLE CORP")),
+        F.when(d % 10 == 0, F.lit("SHARE LIKE SUBSCRIBE")),
+        F.concat(
+            F.lit("tail "),
+            d.cast("string"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail"),
+            (d % 5).cast("string"),
+            F.lit(".example.com"),
+        ),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text2.alias("text"), "lang"
+    )
+    return corpus_build(
+        docs,
+        min_len=80,
+        mix={"en": 0.9, "de": 0.6},
+        mix_seed=11,
+        default_frac=0.5,
+    )
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1285,6 +1324,7 @@ QUERIES = {
     "q66_blocklist": q66_blocklist,
     "q67_boilerplate": q67_boilerplate,
     "q68_host_pagerank": q68_host_pagerank,
+    "q69_corpus_build": q69_corpus_build,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1369,9 +1409,18 @@ SELECT url_canon, arg_max(doc_id, warc_ts) AS doc_id,
 FROM canon GROUP BY 1
 """
 
-_Q61_ORACLE = """
+def _q61_sql(
+    src: str = "documents",
+    min_len: int = 300,
+    max_dup: float = 0.2,
+    lang: str = "en",
+) -> str:
+    """The corpus-filter-verdict oracle over an arbitrary source
+    CTE/table `src` (so the composed pipeline oracle q69 can apply
+    it to cleaned+scrubbed text, not just raw documents)."""
+    return f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(text, ' ') AS t FROM {src}
 ),
 g AS (
   SELECT doc_id,
@@ -1391,17 +1440,18 @@ sc AS (
       - length(replace(' ' || text || ' ', ' le ', ' ')) AS s_fr,
     length(text) AS tl,
     md5(substr(text, 1, 40)) AS fp
-  FROM documents
+  FROM {src}
 ),
 m AS (
   SELECT sc.doc_id,
     (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
           WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-          WHEN s_fr > 0 THEN 'fr' ELSE 'und' END) = 'en' AS lang_ok,
-    tl >= 300 AS len_ok,
+          WHEN s_fr > 0 THEN 'fr' ELSE 'und' END) = '{lang}'
+      AS lang_ok,
+    tl >= {min_len} AS len_ok,
     (CASE WHEN len(g.g) > 0
           THEN 1.0 - len(list_distinct(g.g)) / len(g.g)
-          ELSE 0.0 END) <= 0.2 AS rep_ok,
+          ELSE 0.0 END) <= {max_dup} AS rep_ok,
     fp
   FROM sc JOIN g ON sc.doc_id = g.doc_id
 ),
@@ -1412,6 +1462,98 @@ SELECT m.doc_id, lang_ok, len_ok, rep_ok,
          AS keep
 FROM m JOIN k USING (fp)
 """
+
+
+_Q61_ORACLE = _q61_sql()
+
+# the composed corpus-build oracle: q67's cleaning + q65's scrub +
+# the parameterized q61 verdict + q62's hash mix + q63's prefix sum
+_Q69_ORACLE = (
+    """
+WITH docs2 AS (
+  SELECT doc_id, lang, concat_ws(chr(10),
+    'NAV HOME ABOUT CONTACT',
+    substr(text, 1, 60),
+    CASE WHEN doc_id % 2 = 0 THEN 'COPYRIGHT 2026 EXAMPLE CORP' END,
+    CASE WHEN doc_id % 10 = 0 THEN 'SHARE LIKE SUBSCRIBE' END,
+    'tail ' || CAST(doc_id AS VARCHAR) || ' contact user'
+      || CAST(doc_id AS VARCHAR) || '@mail'
+      || CAST(doc_id % 5 AS VARCHAR) || '.example.com') AS text
+  FROM documents
+),
+split_l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2
+),
+lines AS (
+  SELECT doc_id, unnest(l) AS line,
+         generate_subscripts(l, 1) AS pos
+  FROM split_l
+),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY 1
+),
+boiler AS (
+  SELECT line FROM freq
+  WHERE n_docs > (SELECT COUNT(*) FROM documents) * 0.3
+),
+keptl AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM boiler)
+),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+    AS clean_text
+  FROM keptl GROUP BY 1
+),
+cleaned AS (
+  SELECT d.doc_id, COALESCE(r.clean_text, '') AS text
+  FROM docs2 d LEFT JOIN reb r ON d.doc_id = r.doc_id
+),
+scrubbed AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+      '<EMAIL>', 'g'),
+      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+      '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text
+  FROM cleaned
+),
+verdict AS (
+"""
+    + _q61_sql("scrubbed", 80, 0.2, "en")
+    + """
+),
+kept AS (
+  SELECT s.doc_id, s.text, d.lang
+  FROM scrubbed s
+  JOIN verdict v ON s.doc_id = v.doc_id
+  JOIN documents d ON s.doc_id = d.doc_id
+  WHERE v.keep
+),
+mixed AS (
+  SELECT * FROM kept
+  WHERE ((doc_id + 11) * 2654435761) % 4294967296
+      < (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.6
+          ELSE 0.5 END) * 4294967296
+),
+toks AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM mixed
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+      AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+  (cum_tokens - n_tokens) // 512 AS bin
+FROM packed
+"""
+)
+
 
 _Q60_ORACLE = """
 WITH raw AS (
@@ -1775,6 +1917,7 @@ FROM g
         "q56_chunk_dedup": _Q56_ORACLE,
         "q59_url_dedup": _Q59_ORACLE,
         "q60_host_stats": _Q60_ORACLE,
+        "q69_corpus_build": _Q69_ORACLE,
         "q65_pii_scrub": r"""
 WITH planted AS (
   SELECT doc_id,
