@@ -133,3 +133,96 @@ def corpus_build_resumable(
         input_lineage=input_lineage,
         max_commits=max_commits,
     )
+
+
+def funnel_report(
+    docs: DataFrame,
+    *,
+    boiler_frac: float = 0.3,
+    min_len: int = 100,
+    max_dup_frac: float = 0.2,
+    lang: str = "en",
+    mix: dict[str, float] | None = None,
+    mix_seed: int = 11,
+    default_frac: float = 0.5,
+    pack_tokens: int = 512,
+) -> DataFrame:
+    """One-row observability report for the corpus-build funnel —
+    the numbers a pipeline owner actually watches: input size,
+    boilerplate lines stripped, PII redactions, per-rule verdict
+    failure attribution, mix survivors, packed token total and
+    training-window count.
+
+    Each stage aggregates its OWN branch to one row (map-side
+    partials + a 1-row final agg — the legitimate SinglePartition
+    funnel class from PLANS.md); the twelve scalars then cross-join
+    (broadcast nested loop of single rows, not data). Cost is the
+    same scans the build itself performs."""
+    clean_full = boilerplate_strip(docs, doc_frac=boiler_frac)
+    clean = clean_full.select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scrub_full = pii_scrub(clean)
+    scrub = scrub_full.select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    verdict = corpus_filter_verdict(
+        scrub, min_len=min_len, max_dup_frac=max_dup_frac,
+        lang=lang,
+    )
+    kept = (
+        scrub.join(
+            verdict.filter(F.col("keep")).select("doc_id"),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    mixed = stratified_sample(
+        kept, mix or {}, seed=mix_seed, default_frac=default_frac
+    )
+    toks = mixed.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = with_running_total(
+        toks, order_cols=["doc_id"], value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+
+    def _zero(c):
+        return F.coalesce(c, F.lit(0)).cast("long")
+
+    a_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    a_lines = clean_full.agg(
+        _zero(F.sum("n_lines")).alias("n_lines"),
+        _zero(F.sum("n_kept")).alias("n_lines_kept"),
+    )
+    a_pii = scrub_full.agg(
+        _zero(F.sum("n_emails")).alias("n_emails")
+    )
+    a_verdict = verdict.agg(
+        _zero(F.sum(F.col("keep").cast("long"))).alias("n_keep"),
+        _zero(
+            F.sum((~F.col("lang_ok")).cast("long"))
+        ).alias("n_fail_lang"),
+        _zero(
+            F.sum((~F.col("len_ok")).cast("long"))
+        ).alias("n_fail_len"),
+        _zero(
+            F.sum((~F.col("rep_ok")).cast("long"))
+        ).alias("n_fail_rep"),
+        _zero(
+            F.sum((~F.col("dedup_ok")).cast("long"))
+        ).alias("n_fail_dedup"),
+    )
+    a_mixed = mixed.agg(F.count("*").cast("long").alias("n_mixed"))
+    a_packed = packed.agg(
+        _zero(F.sum("n_tokens")).alias("total_tokens"),
+        F.countDistinct(
+            F.expr(f"(cum_tokens - n_tokens) div {pack_tokens}")
+        ).cast("long").alias("n_bins"),
+    )
+    out = a_docs
+    for a in (a_lines, a_pii, a_verdict, a_mixed, a_packed):
+        out = out.crossJoin(a)
+    return out

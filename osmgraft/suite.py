@@ -1179,6 +1179,44 @@ def q69_corpus_build(spark, sf_dir):
     )
 
 
+def q70_funnel_report(spark, sf_dir):
+    """One-row corpus-build observability report (pipeline.
+    funnel_report) over the same planted docs as q69: input size,
+    line counts before/after boilerplate strip, email redactions,
+    keep count + per-rule failure attribution, mix survivors,
+    packed token total and training-window count — twelve exact
+    scalars, every one independently recomputed by the oracle."""
+    from .pipeline import funnel_report
+
+    d = F.col("doc_id")
+    text2 = F.concat_ws(
+        "\n",
+        F.lit("NAV HOME ABOUT CONTACT"),
+        F.substring("text", 1, 60),
+        F.when(d % 2 == 0, F.lit("COPYRIGHT 2026 EXAMPLE CORP")),
+        F.when(d % 10 == 0, F.lit("SHARE LIKE SUBSCRIBE")),
+        F.concat(
+            F.lit("tail "),
+            d.cast("string"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail"),
+            (d % 5).cast("string"),
+            F.lit(".example.com"),
+        ),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text2.alias("text"), "lang"
+    )
+    return funnel_report(
+        docs,
+        min_len=80,
+        mix={"en": 0.9, "de": 0.6},
+        mix_seed=11,
+        default_frac=0.5,
+    )
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1325,6 +1363,7 @@ QUERIES = {
     "q67_boilerplate": q67_boilerplate,
     "q68_host_pagerank": q68_host_pagerank,
     "q69_corpus_build": q69_corpus_build,
+    "q70_funnel_report": q70_funnel_report,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1468,7 +1507,7 @@ _Q61_ORACLE = _q61_sql()
 
 # the composed corpus-build oracle: q67's cleaning + q65's scrub +
 # the parameterized q61 verdict + q62's hash mix + q63's prefix sum
-_Q69_ORACLE = (
+_Q69_STACK = (
     """
 WITH docs2 AS (
   SELECT doc_id, lang, concat_ws(chr(10),
@@ -1548,9 +1587,45 @@ packed AS (
       AS cum_tokens
   FROM toks
 )
+"""
+)
+
+_Q69_ORACLE = (
+    _Q69_STACK
+    + """
 SELECT doc_id, lang, n_tokens, cum_tokens,
   (cum_tokens - n_tokens) // 512 AS bin
 FROM packed
+"""
+)
+
+
+# the funnel-report oracle: same stack, twelve scalar subqueries
+_Q70_ORACLE = (
+    _Q69_STACK
+    + """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs2) AS n_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lines) AS n_lines,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM keptl) AS n_lines_kept,
+  (SELECT CAST(COALESCE(SUM(len(regexp_extract_all(text,
+     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))), 0)
+     AS BIGINT) FROM cleaned) AS n_emails,
+  (SELECT CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT)
+     FROM verdict) AS n_keep,
+  (SELECT CAST(COUNT(*) FILTER (WHERE NOT lang_ok) AS BIGINT)
+     FROM verdict) AS n_fail_lang,
+  (SELECT CAST(COUNT(*) FILTER (WHERE NOT len_ok) AS BIGINT)
+     FROM verdict) AS n_fail_len,
+  (SELECT CAST(COUNT(*) FILTER (WHERE NOT rep_ok) AS BIGINT)
+     FROM verdict) AS n_fail_rep,
+  (SELECT CAST(COUNT(*) FILTER (WHERE NOT dedup_ok) AS BIGINT)
+     FROM verdict) AS n_fail_dedup,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM mixed) AS n_mixed,
+  (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM toks)
+     AS total_tokens,
+  (SELECT CAST(COUNT(DISTINCT (cum_tokens - n_tokens) // 512)
+     AS BIGINT) FROM packed) AS n_bins
 """
 )
 
@@ -1918,6 +1993,7 @@ FROM g
         "q59_url_dedup": _Q59_ORACLE,
         "q60_host_stats": _Q60_ORACLE,
         "q69_corpus_build": _Q69_ORACLE,
+        "q70_funnel_report": _Q70_ORACLE,
         "q65_pii_scrub": r"""
 WITH planted AS (
   SELECT doc_id,

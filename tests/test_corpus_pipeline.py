@@ -104,3 +104,28 @@ def test_kill_and_resume_matches_single_shot(spark, tmp_path):
         .collect()
     }
     assert final == single
+
+
+def test_funnel_report_consistent_with_build(spark):
+    from osmgraft.pipeline import funnel_report
+
+    docs = _docs(spark)
+    kw = dict(min_len=80, mix={"en": 1.0, "de": 1.0},
+              default_frac=1.0)
+    rep = funnel_report(docs, **kw).collect()[0]
+    built = corpus_build(docs, **kw).collect()
+    assert rep.n_docs == 400
+    assert rep.n_lines_kept <= rep.n_lines
+    # every doc has one email in its tail line and tails survive
+    assert rep.n_emails == 400
+    assert rep.n_mixed == len(built)
+    assert rep.total_tokens == sum(r.n_tokens for r in built)
+    assert rep.n_bins == len({r.bin for r in built})
+    # failure attribution covers the non-kept docs (rules overlap,
+    # so the sum of failures is >= the number of dropped docs)
+    dropped = rep.n_docs - rep.n_keep
+    assert (
+        rep.n_fail_lang + rep.n_fail_len + rep.n_fail_rep
+        + rep.n_fail_dedup
+        >= dropped
+    )
