@@ -192,3 +192,142 @@ def resample_audio_real(payload: bytes, rate: int):
         "audio libraries not available; metadata decode uses the "
         "deterministic FAUD fake (see module docstring)"
     )
+
+
+def resize_images(
+    media: DataFrame, max_dim: int = 64
+) -> DataFrame:
+    """Batched image resize plumbing: FIMG payloads whose longest
+    side exceeds `max_dim` get aspect-preserving integer-scaled
+    dimensions (new = old * max_dim div longest, floor, min 1);
+    smaller images and non-images pass through untouched. The fake
+    format makes "resize" a header rewrite; a real path swaps the
+    body transform for PIL.Image.thumbnail — batch shape, binary
+    schema, and pass-through semantics stay identical.
+
+    Map-only mapInPandas: payloads stream through Arrow once, no
+    shuffle, and column pruning still protects metadata-only
+    readers downstream."""
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for p in b["payload"]:
+                if p[:4] != b"FIMG":
+                    out.append(p)
+                    continue
+                w, h = struct.unpack(">II", p[4:12])
+                m = max(w, h)
+                if m <= max_dim:
+                    out.append(p)
+                    continue
+                nw = max(1, w * max_dim // m)
+                nh = max(1, h * max_dim // m)
+                out.append(
+                    b"FIMG" + struct.pack(">II", nw, nh) + p[12:]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "kind": b["kind"],
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(rz, MEDIA_SCHEMA)
+
+
+VIDEO_SCHEMA = MEDIA_SCHEMA
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def _video_payload(doc_id: int) -> bytes:
+    """Fake video: b"FVID" + n_frames:u32be + frame_len:u32be +
+    n_frames frames of frame_len bytes; frame i is filled with
+    byte (doc_id + i) % 256. Pure function of doc_id (the SQL
+    oracle recomputes frame lengths and fill bytes
+    arithmetically)."""
+    n_frames = 4 + (doc_id * 3) % 28
+    frame_len = 8 + doc_id % 16
+    body = b"".join(
+        bytes([(doc_id + i) % 256]) * frame_len
+        for i in range(n_frames)
+    )
+    return (
+        b"FVID" + struct.pack(">II", n_frames, frame_len) + body
+    )
+
+
+def synth_video(
+    spark: SparkSession, n: int, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic video table (same distributed synthesis shape
+    as synth_media)."""
+    if partitions is None:
+        partitions = max(
+            2,
+            min(
+                spark.sparkContext.defaultParallelism,
+                n // 20_000 + 1,
+            ),
+        )
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": ["video"] * len(ids),
+                    "payload": [
+                        _video_payload(int(i)) for i in ids
+                    ],
+                }
+            )
+
+    return rng.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+def sample_frames(
+    video: DataFrame, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling plumbing: one video row fans out to rows for
+    frames 0, every_n, 2*every_n, ... — the one-to-many Arrow batch
+    shape a pyav/ffmpeg keyframe sampler plugs into (swap the
+    header-math slicing for the codec call; the explode contract is
+    the transferable part).
+
+    Map-only: each input batch yields one output batch of sampled
+    frames; no shuffle, and the fan-out factor is bounded by
+    n_frames/every_n so batch memory stays proportional to input
+    payload size."""
+
+    def smp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(b["doc_id"], b["payload"]):
+                if p[:4] != b"FVID":
+                    continue
+                n_frames, frame_len = struct.unpack(">II", p[4:12])
+                for i in range(0, n_frames, every_n):
+                    off = 12 + i * frame_len
+                    ids.append(did)
+                    idxs.append(i)
+                    frames.append(p[off:off + frame_len])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return video.mapInPandas(smp, FRAME_SCHEMA)

@@ -1217,6 +1217,52 @@ def q70_funnel_report(spark, sf_dir):
     )
 
 
+def q71_image_resize(spark, sf_dir):
+    """Batched image-resize plumbing (multimodal.resize_images):
+    synthesize payloads, resize to max dim 64 (aspect-preserving
+    integer scaling inside the fake header), re-decode metadata.
+    The oracle recomputes the scaled dimensions arithmetically from
+    doc_id — validating synthesis, resize, and decode together."""
+    from .operators.multimodal import (
+        decode_metadata,
+        resize_images,
+        synth_media,
+    )
+
+    n = load(spark, sf_dir, "documents").count()
+    resized = resize_images(synth_media(spark, n), max_dim=64)
+    return (
+        decode_metadata(resized)
+        .filter(F.col("kind") == "image")
+        .select(
+            "doc_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+        )
+    )
+
+
+def q72_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (multimodal.sample_frames): fake
+    videos fan out to every-4th-frame rows; the query reports each
+    sampled frame's length and fill byte READ FROM THE SLICED
+    BYTES, which the oracle recomputes arithmetically from doc_id
+    and frame index — validating the offset math end to end."""
+    from .operators.multimodal import sample_frames, synth_video
+
+    n = load(spark, sf_dir, "documents").count()
+    frames = sample_frames(synth_video(spark, n), every_n=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_len"),
+        F.expr(
+            "cast(conv(hex(substring(frame, 1, 1)), 16, 10)"
+            " as bigint)"
+        ).alias("byte_val"),
+    )
+
+
 def q41_bpe_tokens(spark, sf_dir):
     """BPE-ish token counting: word + single-punctuation tokens via
     a portable regex ([A-Za-z0-9]+ | single non-space symbol) —
@@ -1364,6 +1410,8 @@ QUERIES = {
     "q68_host_pagerank": q68_host_pagerank,
     "q69_corpus_build": q69_corpus_build,
     "q70_funnel_report": q70_funnel_report,
+    "q71_image_resize": q71_image_resize,
+    "q72_frame_sample": q72_frame_sample,
     "q41_bpe_tokens": q41_bpe_tokens,
     "q42_stats_argmax": q42_stats_argmax,
     "q43_geocode_rank": q43_geocode_rank,
@@ -1742,6 +1790,36 @@ SELECT doc_id,
        THEN 1000 + (doc_id * 31) % 50000 END AS n_samples,
   12 + doc_id % 32 AS n_bytes
 FROM documents
+""",
+        "q71_image_resize": """
+WITH dims AS (
+  SELECT doc_id,
+    16 + (doc_id * 7) % 240 AS w,
+    16 + (doc_id * 13) % 240 AS h
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id,
+  CAST(CASE WHEN GREATEST(w, h) <= 64 THEN w
+       ELSE GREATEST(1, w * 64 // GREATEST(w, h)) END AS BIGINT)
+    AS width,
+  CAST(CASE WHEN GREATEST(w, h) <= 64 THEN h
+       ELSE GREATEST(1, h * 64 // GREATEST(w, h)) END AS BIGINT)
+    AS height
+FROM dims
+""",
+        "q72_frame_sample": """
+WITH vids AS (
+  SELECT doc_id,
+    4 + (doc_id * 3) % 28 AS n_frames,
+    8 + doc_id % 16 AS frame_len
+  FROM documents
+)
+SELECT doc_id,
+  CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx,
+  CAST(frame_len AS BIGINT) AS frame_len,
+  CAST((doc_id + unnest(range(0, n_frames, 4))) % 256 AS BIGINT)
+    AS byte_val
+FROM vids
 """,
         "q40_tile_doc_lists": f"""
 WITH {_PTS_CTE}
