@@ -1070,14 +1070,18 @@ def q66_blocklist(spark, sf_dir):
         d.cast("string"),
     )
     pages = docs.select("doc_id", url.alias("url"))
-    bl = spark.createDataFrame(
-        [
-            ("example.com",),
-            ("host3.co.uk",),
-            ("host7.org",),
-            ("never.example.net",),
-        ],
-        "domain string",
+    # LocalRelation blocklist (explode of a literal array) — a
+    # Python-RDD-backed createDataFrame costs a driver roundtrip
+    # per construction; this stays JVM-side
+    bl = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit("example.com"),
+                F.lit("host3.co.uk"),
+                F.lit("host7.org"),
+                F.lit("never.example.net"),
+            )
+        ).alias("domain")
     )
     return blocklist_filter(pages, bl)
 
