@@ -92,6 +92,61 @@ def stratified_sample(
     return df.filter(h < frac * F.lit(4294967296.0))
 
 
+def mix_plan(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    target_tokens: int = 100_000,
+) -> DataFrame:
+    """Temperature-based corpus-mixing plan (the data-mixture step
+    of multilingual / multi-source training pipelines, e.g. the
+    alpha-sampling of public multilingual-LM recipes): per stratum,
+    weight proportional to n_tokens^0.5, the normalized mixture
+    weight, and the per-stratum sampling rate that hits a
+    `target_tokens` budget (upsampling capped at 1.0). Feed the
+    rates into stratified_sample to materialize the mix.
+
+    Determinism note: the weight is floor(sqrt(n_tokens)) as an
+    INTEGER, so the normalizer is an exact integer sum —
+    order-independent across partitions and engines (a float
+    n_tokens^tau sum would round differently per partition order,
+    breaking oracle parity at the 1e-6 boundary). sqrt itself is
+    IEEE-correctly-rounded, identical on JVM and the oracle.
+
+    Plan: one algebraic groupBy over the corpus, then a broadcast
+    of the ONE-row normalizer onto the (tiny) strata table —
+    broadcast nested loop, never a shuffle of the corpus."""
+    per = df.groupBy(*strata_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "_w", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = per.select(F.sum("_w").cast("long").alias("_z"))
+    t = F.lit(float(target_tokens))
+    rate = F.least(
+        F.lit(1.0),
+        (t * F.col("_w"))
+        / (F.col("_z").cast("double") * F.col("n_tokens")),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            *strata_cols,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("_w") / F.col("_z"), 6).alias("mix_weight"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.floor(rate * F.col("n_tokens"))
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+    )
+
+
 def corpus_filter_verdict(
     df: DataFrame,
     text_col: str = "text",
@@ -278,6 +333,86 @@ def decontaminate_flags(
     )
 
 
+def dsir_lean(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    n: int = 2,
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """DSIR-style data selection signal (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling",
+    public arXiv paper), integer-exact variant: hash word n-grams
+    into 16^bucket_hex buckets, learn which buckets are
+    TARGET-LEANING (over-represented in the target slice relative
+    to the full corpus, decided by the exact integer cross product
+    t_b * R > r_b * T), and score every document by the fraction
+    of its n-grams landing in target-leaning buckets. High
+    lean_ratio docs are the ones importance resampling would keep.
+
+    Integer-exactness: buckets are md5-hex PREFIXES (identical
+    string in any engine), counts and the leaning decision are pure
+    integer arithmetic — no log-likelihood floats, so the score is
+    bit-reproducible across engines and partition orders (the same
+    oracle-parity discipline as stratified_sample / mix_plan).
+
+    Scale plan: bucket frequency tables are algebraic groupBys onto
+    <= 16^bucket_hex keys (tiny, map-side combined); the 1-row
+    totals and the bucket-verdict table BROADCAST back onto the
+    exploded corpus, so the only corpus-sized shuffle is the final
+    per-doc aggregate."""
+    grams = F.col("_grams")
+    with_b = (
+        _with_word_grams(df, text_col, n)
+        .select(
+            "doc_id",
+            target_pred.alias("_is_target"),
+            F.explode(grams).alias("g"),
+        )
+        .withColumn(
+            "b",
+            F.substring(
+                F.md5(F.col("g").cast("binary")), 1, bucket_hex
+            ),
+        )
+        .drop("g")
+    )
+    per_bucket = with_b.groupBy("b").agg(
+        F.count("*").cast("long").alias("r_b"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("t_b"),
+    )
+    totals = per_bucket.agg(
+        F.sum("r_b").cast("long").alias("_r"),
+        F.sum("t_b").cast("long").alias("_t"),
+    )
+    verdict = (
+        per_bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.col("t_b") * F.col("_r")
+                > F.col("r_b") * F.col("_t")
+            ).alias("_lean"),
+        )
+    )
+    return (
+        with_b.join(F.broadcast(verdict), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_lean"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaning"),
+        )
+        .withColumn(
+            "lean_ratio",
+            F.round(F.col("n_leaning") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """cheap quality heuristics: length, space/period densities,
     long/short bucket."""
@@ -415,6 +550,126 @@ def dedup_exact(
 # in operators/dedup.py (minhash_lsh_pairs / simhash16_col), and the
 # Python-loop variants were the exact anti-pattern this engine
 # forbids in hot paths. See VERDICT.md round 1, "What's wrong" #1.
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (the substring-dedup signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", adapted from suffix arrays to distributed
+    shingling): a token is *duplicated* when it is covered by any
+    `n`-token shingle occurring >= min_count times corpus-wide
+    (within-doc repeats included, as in the paper's ExactSubstr).
+    Returns per document: token count, duplicated-token count, the
+    number of MAXIMAL duplicated runs (spans a trimmer would cut),
+    and the duplicated fraction.
+
+    Scale plan (no suffix array needed):
+    1. in-row shingling (split once -> transform; Catalyst only);
+    2. shingle frequency = algebraic groupBy with map-side partial
+       aggregation; the >= min_count survivors join back on the
+       shingle key — hot boilerplate shingles are exactly the skew
+       case AQE skew-join splits (a window count over the shingle
+       would put every occurrence of a hot shingle in ONE task,
+       which is why this is a groupBy + join, not a window);
+    3. per-doc span merge is ONE groupBy(doc_id) collecting the
+       (bounded by tokens-per-doc) duplicate-position array, merged
+       into maximal runs by an in-row F.aggregate fold — no token
+       explode, no distinct, no window.
+    Three shuffles total, each on a key with map-side reduction.
+    """
+    k = F.lit(n)
+    sh = _with_word_grams(df, text_col, n).select(
+        "doc_id", F.posexplode(F.col("_grams")).alias("pos", "s")
+    )
+    dup = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("s")
+    )
+    occ = sh.join(dup, "s")
+    agg = occ.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+
+    def _step(acc, p):
+        pl = p.cast("long")
+        keep = F.struct(
+            acc.spans.alias("spans"),
+            acc.cov.alias("cov"),
+            acc.cs.alias("cs"),
+            (pl + k).alias("ce"),
+        )
+        return (
+            F.when(
+                acc.ce < 0,
+                F.struct(
+                    acc.spans.alias("spans"),
+                    acc.cov.alias("cov"),
+                    pl.alias("cs"),
+                    (pl + k).alias("ce"),
+                ),
+            )
+            .when(pl <= acc.ce, keep)
+            .otherwise(
+                F.struct(
+                    (acc.spans + 1).alias("spans"),
+                    (acc.cov + acc.ce - acc.cs).alias("cov"),
+                    pl.alias("cs"),
+                    (pl + k).alias("ce"),
+                )
+            )
+        )
+
+    def _fin(acc):
+        closed = acc.ce >= 0
+        return F.struct(
+            F.when(closed, acc.spans + 1).otherwise(acc.spans).alias(
+                "spans"
+            ),
+            F.when(closed, acc.cov + acc.ce - acc.cs)
+            .otherwise(acc.cov)
+            .alias("cov"),
+        )
+
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("spans"),
+        zero.alias("cov"),
+        F.lit(-1).cast("long").alias("cs"),
+        F.lit(-1).cast("long").alias("ce"),
+    )
+    st = agg.select(
+        "doc_id", F.aggregate(F.col("_ps"), init, _step, _fin).alias("_st")
+    )
+    base = df.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        base.join(st, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("_st.cov"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("_st.spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6),
+        )
+    )
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,242 @@
+"""Tokenizer-induction operators: distributed BPE statistics.
+
+Byte-pair encoding (Sennrich et al. 2016, public algorithm) trains
+on corpus-wide symbol-pair frequencies. At 100 TB the expensive part
+is exactly one distributed primitive — a weighted pair count over
+the corpus vocabulary — while the merge-table itself is tiny and
+lives on the driver. This module keeps that split explicit:
+
+- `word_counts`:   corpus -> (word, count). One shuffle with
+                   map-side partial aggregation; the result is the
+                   vocabulary table every BPE iteration reuses (it
+                   is orders of magnitude smaller than the corpus —
+                   Heaps' law — so iterating over it, not the
+                   corpus, is the standard scale plan).
+- `bpe_pair_counts`: adjacent-symbol pair frequencies weighted by
+                   word count, pure Catalyst (transform over a
+                   sequence; no UDF, no explode of the corpus).
+- `bpe_train`:     N merge iterations. Each iteration is ONE
+                   distributed job over the (cached) vocabulary:
+                   count pairs, take the argmax on the driver
+                   (collect of a single row), apply the merge to
+                   the symbol arrays with an in-row F.aggregate
+                   fold. No Python loop ever touches row data.
+
+Reference note: the reference engine (osmctools) has no tokenizer;
+this is part of the training-data-pipeline surface the task brief
+adds on top of reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SEP = "\x1f"
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, count) over whitespace tokens. Empty tokens dropped.
+    Algebraic groupBy — partial counts combine map-side, so the
+    shuffle carries one row per distinct word per task."""
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _pairs_expr(syms):
+    """adjacent-pair array over a symbol array (in-row, Catalyst)."""
+    cnt = F.size(syms)
+    return F.when(
+        cnt >= 2,
+        F.transform(
+            F.sequence(F.lit(1), cnt - 1),
+            lambda i: F.concat_ws(
+                _SEP, F.element_at(syms, i), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _chars_expr(word):
+    """split a word into single-character symbols (in-row)."""
+    return F.filter(F.split(word, ""), lambda c: c != "")
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top: int | None = None,
+) -> DataFrame:
+    """Initial BPE statistics: adjacent CHARACTER-pair frequencies
+    over the corpus, weighted by word frequency. Returns
+    (left, right, pair_count) ordered by (count desc, pair asc)
+    when `top` is set (deterministic total order, so a LIMIT is
+    reproducible and oracle-checkable).
+
+    Plan: corpus -> word_counts (one shuffle) -> in-row pair
+    transform + explode of the VOCABULARY (small) -> one more
+    algebraic groupBy. The corpus itself is touched exactly once.
+    """
+    wc = word_counts(df, text_col)
+    pairs = wc.select(
+        F.explode(_pairs_expr(_chars_expr(F.col("word")))).alias(
+            "pair"
+        ),
+        F.col("n"),
+    )
+    out = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("pair_count"))
+        .select(
+            F.split(F.col("pair"), _SEP).getItem(0).alias("left"),
+            F.split(F.col("pair"), _SEP).getItem(1).alias("right"),
+            "pair_count",
+        )
+    )
+    if top is not None:
+        out = out.orderBy(
+            F.col("pair_count").desc(), F.col("left"), F.col("right")
+        ).limit(top)
+    return out
+
+
+def _merge_expr(syms, left: str, right: str):
+    """apply ONE BPE merge (left,right) -> left||right to a symbol
+    array, left-to-right non-overlapping, as an in-row fold.
+
+    The fold carries (acc_array, pending_prev_symbol); a match of
+    (pending, current) == (left, right) emits the merged symbol and
+    clears pending, exactly the sequential semantics of the
+    reference algorithm (so "a a a" under merge (a,a) -> ["aa","a"]).
+    """
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(st, s):
+        match = (
+            st.pend.isNotNull()
+            & (st.pend == F.lit(left))
+            & (s == F.lit(right))
+        )
+        return (
+            F.when(
+                match,
+                F.struct(
+                    F.concat(
+                        st.acc, F.array(F.lit(left + right))
+                    ).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .when(
+                st.pend.isNull(),
+                F.struct(st.acc.alias("acc"), s.alias("pend")),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st.acc, F.array(st.pend)).alias("acc"),
+                    s.alias("pend"),
+                )
+            )
+        )
+
+    def fin(st):
+        return F.when(
+            st.pend.isNotNull(), F.concat(st.acc, F.array(st.pend))
+        ).otherwise(st.acc)
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus. Returns the
+    merge list in order.
+
+    Per iteration: one distributed pair-count over the cached
+    vocabulary (the ONLY job), a 1-row collect for the argmax
+    (count desc, then lexicographic pair for determinism), and an
+    in-row fold applying the merge. The vocabulary DataFrame is
+    re-cached every iteration and the corpus is scanned once total.
+    """
+    vocab = word_counts(df, text_col).select(
+        _chars_expr(F.col("word")).alias("syms"), "n"
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            vocab.select(
+                F.explode(_pairs_expr(F.col("syms"))).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["pair"].split(_SEP)
+        merges.append((left, right))
+        nxt = vocab.select(
+            _merge_expr(F.col("syms"), left, right).alias("syms"),
+            "n",
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to the corpus: per document, the
+    BPE token count after segmentation (plus the whitespace token
+    count for the compression view). Merges are applied in order,
+    in-row, over each word's symbol array — a map-only pass.
+
+    Expression-depth note: each merge nests one more F.aggregate,
+    so the codegen unit grows linearly with len(merges) — fine for
+    the handful used here; a production segmenter with hundreds of
+    merges belongs in an Arrow-batched pandas UDF instead (the
+    repo-wide giant-codegen-unit finding, BASELINE.md round 3)."""
+    toks = F.col("_toks")
+    out = df.withColumn("_toks", F.split(F.col(text_col), " "))
+
+    def seg_word(w):
+        syms = _chars_expr(w)
+        for left, right in merges:
+            syms = _merge_expr(syms, left, right)
+        return F.size(syms).cast("long")
+
+    per_word = F.transform(
+        F.filter(toks, lambda t: t != ""), seg_word
+    )
+    return out.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != ""))
+        .cast("long")
+        .alias("n_words"),
+        F.aggregate(
+            per_word,
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c,
+        ).alias("n_bpe_symbols"),
+    )

@@ -414,6 +414,52 @@ def q56_chunk_dedup(spark, sf_dir):
     return chunk_dedup_stats(corpus)
 
 
+def q73_dup_spans(spark, sf_dir):
+    """Exact duplicate-span stats (Lee et al. 2022 ExactSubstr
+    signal, operators/text.dup_span_stats): tokens covered by any
+    5-token shingle occurring >= 2 times corpus-wide, merged into
+    maximal spans per document."""
+    from .operators.text import dup_span_stats
+
+    return dup_span_stats(load(spark, sf_dir, "documents"), n=5)
+
+
+def q74_bpe_pairs(spark, sf_dir):
+    """Distributed BPE statistics (Sennrich et al. 2016,
+    operators/tokenizer.bpe_pair_counts): top-50 adjacent
+    character-pair frequencies weighted by word count — the
+    per-iteration primitive of tokenizer training at corpus scale
+    (the corpus is scanned once; iterations run on the vocabulary).
+    """
+    from .operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(
+        load(spark, sf_dir, "documents"), top=50
+    )
+
+
+def q75_mix_plan(spark, sf_dir):
+    """Temperature-based corpus-mixing plan over (lang, source)
+    strata (operators/text.mix_plan): sqrt-weighted mixture with a
+    100k-token budget — the data-mixture step before
+    stratified_sample (q62) materializes the training mix."""
+    from .operators.text import mix_plan
+
+    return mix_plan(load(spark, sf_dir, "documents"))
+
+
+def q76_dsir_lean(spark, sf_dir):
+    """DSIR-style importance signal (operators/text.dsir_lean):
+    hashed-bigram buckets over-represented in the lang='en' target
+    slice, per-doc fraction of target-leaning bigrams — integer-
+    exact (md5-prefix buckets, cross-product comparison)."""
+    from .operators.text import dsir_lean
+
+    return dsir_lean(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
 def q13_lang_id(spark, sf_dir):
     return lang_id(load(spark, sf_dir, "documents"))
 
@@ -1379,6 +1425,10 @@ QUERIES = {
     "q52_repetition": q52_repetition,
     "q53_decontaminate": q53_decontaminate,
     "q56_chunk_dedup": q56_chunk_dedup,
+    "q73_dup_spans": q73_dup_spans,
+    "q74_bpe_pairs": q74_bpe_pairs,
+    "q75_mix_plan": q75_mix_plan,
+    "q76_dsir_lean": q76_dsir_lean,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -1716,6 +1766,44 @@ reg AS (
 SELECT reg_domain, COUNT(*) AS n_pages,
        COUNT(DISTINCT host) AS n_hosts
 FROM reg GROUP BY 1
+"""
+
+_Q73_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(w) >= 5 THEN range(0, len(w) - 4)
+           ELSE CAST([] AS BIGINT[]) END) AS pos,
+    unnest(CASE WHEN len(w) >= 5 THEN list_transform(
+             range(0, len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], chr(31)))
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM t
+),
+d AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+occ AS (SELECT doc_id, pos FROM sh JOIN d USING (s)),
+cov AS (
+  SELECT DISTINCT doc_id, pos + u.j AS tok
+  FROM occ CROSS JOIN (SELECT unnest(range(0, 5)) AS j) u
+),
+isl AS (
+  SELECT doc_id, tok,
+    tok - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tok) AS g
+  FROM cov
+),
+st AS (
+  SELECT doc_id, COUNT(*) AS dup_tokens,
+         COUNT(DISTINCT g) AS n_dup_spans
+  FROM isl GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.w) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(st.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(COALESCE(st.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  ROUND(COALESCE(st.dup_tokens, 0) / len(t.w), 6) AS dup_ratio
+FROM t LEFT JOIN st USING (doc_id)
 """
 
 _Q56_ORACLE = """
@@ -2072,6 +2160,84 @@ SELECT doc_id,
 FROM g
 """,
         "q56_chunk_dedup": _Q56_ORACLE,
+        "q73_dup_spans": _Q73_ORACLE,
+        "q74_bpe_pairs": """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word
+),
+p AS (
+  SELECT unnest(CASE WHEN length(word) >= 2 THEN list_transform(
+           range(1, length(word)), i -> substr(word, i, 2))
+         ELSE CAST([] AS VARCHAR[]) END) AS pair, n
+  FROM wc
+),
+agg AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM p GROUP BY pair
+)
+SELECT substr(pair, 1, 1) AS "left",
+       substr(pair, 2, 1) AS "right",
+       pair_count
+FROM agg
+ORDER BY pair_count DESC, "left", "right"
+LIMIT 50
+""",
+        "q75_mix_plan": """
+WITH per AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+w AS (
+  SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wt FROM per
+),
+z AS (SELECT CAST(SUM(wt) AS BIGINT) AS z FROM w)
+SELECT lang, source, n_docs, n_tokens,
+  ROUND(wt / z, 6) AS mix_weight,
+  ROUND(LEAST(1.0, (100000.0 * wt) /
+        (CAST(z AS DOUBLE) * n_tokens)), 6) AS sample_rate,
+  CAST(FLOOR(LEAST(1.0, (100000.0 * wt) /
+        (CAST(z AS DOUBLE) * n_tokens)) * n_tokens) AS BIGINT)
+    AS expected_tokens
+FROM w, z
+""",
+        "q76_dsir_lean": """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+    unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+      range(1, len(w)), i -> w[i] || chr(31) || w[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM t
+),
+gb AS (SELECT doc_id, is_t, substr(md5(g), 1, 2) AS b FROM g),
+pb AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS r_b,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+           AS t_b
+  FROM gb GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(r_b) AS BIGINT) AS r,
+         CAST(SUM(t_b) AS BIGINT) AS t FROM pb
+),
+v AS (SELECT b, (t_b * r > r_b * t) AS lean FROM pb, tot)
+SELECT gb.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN lean THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_leaning,
+  ROUND(SUM(CASE WHEN lean THEN 1 ELSE 0 END) / COUNT(*), 6)
+    AS lean_ratio
+FROM gb JOIN v USING (b)
+GROUP BY gb.doc_id
+""",
         "q59_url_dedup": _Q59_ORACLE,
         "q60_host_stats": _Q60_ORACLE,
         "q69_corpus_build": _Q69_ORACLE,
