@@ -356,13 +356,16 @@ def dsir_lean(
     bit-reproducible across engines and partition orders (the same
     oracle-parity discipline as stratified_sample / mix_plan).
 
-    Scale plan: bucket frequency tables are algebraic groupBys onto
-    <= 16^bucket_hex keys (tiny, map-side combined); the 1-row
-    totals and the bucket-verdict table BROADCAST back onto the
-    exploded corpus, so the only corpus-sized shuffle is the final
-    per-doc aggregate."""
+    Scale plan: the corpus is scanned ONCE — the per-gram explode
+    collapses immediately into a per-(doc, bucket) histogram
+    (<= 16^bucket_hex rows per doc, map-side combined), and BOTH
+    consumers (the bucket frequency table and the per-doc score)
+    hang off that identical aggregate subtree, so Catalyst's
+    ReuseExchange materializes its shuffle once. Bucket stats, the
+    1-row totals, and the verdict table are tiny and BROADCAST
+    back; no shuffle ever carries per-gram rows."""
     grams = F.col("_grams")
-    with_b = (
+    per_doc_bucket = (
         _with_word_grams(df, text_col, n)
         .select(
             "doc_id",
@@ -375,11 +378,19 @@ def dsir_lean(
                 F.md5(F.col("g").cast("binary")), 1, bucket_hex
             ),
         )
-        .drop("g")
+        .groupBy("doc_id", "_is_target", "b")
+        .agg(F.count("*").cast("long").alias("_n"))
+        # one-scan barrier: three consumers (bucket stats, totals,
+        # scoring join) hang off this histogram; without the pin
+        # each branch re-runs the corpus explode+md5 (3 scans, and
+        # exchange reuse does not dedup across the broadcast
+        # subqueries). The histogram is <= 16^bucket_hex rows per
+        # doc — orders of magnitude smaller than the corpus.
+        .localCheckpoint(eager=False)
     )
-    per_bucket = with_b.groupBy("b").agg(
-        F.count("*").cast("long").alias("r_b"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+    per_bucket = per_doc_bucket.groupBy("b").agg(
+        F.sum("_n").cast("long").alias("r_b"),
+        F.sum(F.when(F.col("_is_target"), F.col("_n")).otherwise(0))
         .cast("long")
         .alias("t_b"),
     )
@@ -398,11 +409,11 @@ def dsir_lean(
         )
     )
     return (
-        with_b.join(F.broadcast(verdict), "b")
+        per_doc_bucket.join(F.broadcast(verdict), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("_lean"), 1).otherwise(0))
+            F.sum("_n").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_lean"), F.col("_n")).otherwise(0))
             .cast("long")
             .alias("n_leaning"),
         )

@@ -38,6 +38,23 @@ def get_spark(
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate clones the generator's CHILD
+        # EXPRESSION into a Filter below the Generate. For a scan
+        # column that enables pushdown, but for computed arrays
+        # (split->transform n-grams, minhash signatures, chunk
+        # shingles) it duplicates the whole expression tree into an
+        # interpreted (non-codegen) Filter that re-evaluates the
+        # HOF lambda per element — measured 6x on the DSIR bigram
+        # query (11.4s -> 1.9s at sf0.1) and 2-5x on every other
+        # explode-of-computed-array query. Generate already skips
+        # empty arrays; the only loss is row-group pruning for
+        # explode of a *stored* array column, which no registered
+        # query relies on.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -98,7 +98,28 @@ def doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("tags", m)
 
 
+_INFER_GEN = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def _tune(spark: SparkSession) -> None:
+    """Merge the InferFiltersFromGenerate exclusion into the
+    session (see osmgraft.session for the 6x rationale). Runs here
+    because the driver harness calls the registered queries with
+    ITS OWN SparkSession, not ours; idempotent, preserves any rules
+    the caller already excluded."""
+    cur = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _INFER_GEN)
+    elif _INFER_GEN not in cur:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", cur + "," + _INFER_GEN
+        )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
