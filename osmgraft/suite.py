@@ -459,6 +459,69 @@ def q74_bpe_pairs(spark, sf_dir):
     )
 
 
+# Fixed literal merge table for q77 — the apply-side twin of q74's
+# training statistics. Being a constant (not learned from the data
+# at hand) is what makes the segmentation oracle-expressible: the
+# oracle replays each merge as one boundary-safe string replace.
+# Order matters; later merges build on earlier outputs (th+e, an+d,
+# ou+r) so the oracle exercises the sequential-apply semantics.
+_BPE_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "u"),
+    ("ou", "r"),
+]
+
+
+def q77_bpe_segment(spark, sf_dir):
+    """BPE segmentation applied at corpus scale
+    (operators/tokenizer.bpe_segment): per document, the symbol
+    count after applying the fixed 8-merge table left-to-right
+    non-overlapping per word — a map-only in-row fold, the apply
+    half of q74's train half."""
+    from .operators.tokenizer import bpe_segment
+
+    return bpe_segment(
+        load(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
+def _q77_oracle() -> str:
+    """Oracle twin: each word becomes a marker-bracketed symbol
+    string (chr(31) sym chr(30) per char), each merge is ONE
+    replace() — left-to-right non-overlapping, exactly the fold's
+    semantics; symbol count = count of chr(31) markers."""
+
+    def mark(x: str) -> str:
+        return f"chr(31)||'{x}'||chr(30)"
+
+    s = "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g')"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, {mark(a)}||{mark(b)}, {mark(a + b)})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, len(ws) AS n_words,
+         list_transform(ws, w -> {s}) AS segs
+  FROM t
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(coalesce(list_sum(list_transform(segs,
+    s -> length(s) - length(replace(s, chr(31), '')))), 0)
+    AS BIGINT) AS n_bpe_symbols
+FROM seg
+"""
+
+
 def q75_mix_plan(spark, sf_dir):
     """Temperature-based corpus-mixing plan over (lang, source)
     strata (operators/text.mix_plan): sqrt-weighted mixture with a
@@ -1450,6 +1513,7 @@ QUERIES = {
     "q74_bpe_pairs": q74_bpe_pairs,
     "q75_mix_plan": q75_mix_plan,
     "q76_dsir_lean": q76_dsir_lean,
+    "q77_bpe_segment": q77_bpe_segment,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2227,6 +2291,7 @@ SELECT lang, source, n_docs, n_tokens,
     AS expected_tokens
 FROM w, z
 """,
+        "q77_bpe_segment": _q77_oracle(),
         "q76_dsir_lean": """
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
