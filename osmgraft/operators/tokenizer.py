@@ -202,41 +202,63 @@ def bpe_train(
     return merges
 
 
+def _mark(sym: str) -> str:
+    """marker-bracketed symbol: \\x1f<sym>\\x1e. The brackets make
+    every symbol self-delimiting inside a flat string, so one
+    literal replace() of mark(a)+mark(b) -> mark(a+b) is exactly
+    one BPE merge pass: replace scans left-to-right and continues
+    AFTER each replacement — the same non-overlapping greedy
+    semantics as _merge_expr's fold (proved against it in
+    tests/test_tokenizer.py), and a match can never start or end
+    mid-symbol or cross the unwrapped space between words."""
+    return "\x1f" + sym + "\x1e"
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
 ) -> DataFrame:
     """Apply a learned merge list to the corpus: per document, the
-    BPE token count after segmentation (plus the whitespace token
-    count for the compression view). Merges are applied in order,
-    in-row, over each word's symbol array — a map-only pass.
+    BPE symbol count after segmentation (plus the whitespace word
+    count for the compression view). Map-only pass.
 
-    Expression-depth note: each merge nests one more F.aggregate,
-    so the codegen unit grows linearly with len(merges) — fine for
-    the handful used here; a production segmenter with hundreds of
-    merges belongs in an Arrow-batched pandas UDF instead (the
-    repo-wide giant-codegen-unit finding, BASELINE.md round 3)."""
-    toks = F.col("_toks")
-    out = df.withColumn("_toks", F.split(F.col(text_col), " "))
+    Plan: flat string ops, NOT a per-word fold. Every non-space
+    character is marker-wrapped in one regexp_replace, each merge
+    is one literal replace(), and the symbol count is a length
+    difference. The first cut nested one F.aggregate fold per merge
+    inside a transform lambda — a giant whole-stage-codegen unit
+    whose ~10s Janino compile was re-paid every bench round as the
+    generated-class cache rotated (16.1s min-of-3 vs 0.6s warm; the
+    q66 finding, BASELINE.md round 3). The string plan's codegen
+    unit is tiny and the per-merge cost is one vectorized scan.
+    _merge_expr's fold remains the engine for bpe_train, which
+    needs real symbol ARRAYS over the vocabulary table.
 
-    def seg_word(w):
-        syms = _chars_expr(w)
-        for left, right in merges:
-            syms = _merge_expr(syms, left, right)
-        return F.size(syms).cast("long")
-
-    per_word = F.transform(
-        F.filter(toks, lambda t: t != ""), seg_word
-    )
+    Caveat (shared with every \\x1f-separator operator here): texts
+    containing U+001F/U+001E would corrupt the marker encoding."""
+    toks = F.split(F.col(text_col), " ")
+    seg = F.regexp_replace(F.col(text_col), "([^ ])", "\x1f$1\x1e")
+    for left, right in merges:
+        seg = F.replace(
+            seg,
+            F.lit(_mark(left) + _mark(right)),
+            F.lit(_mark(left + right)),
+        )
+    # staged projection: _seg is referenced twice below; the
+    # boundary keeps the replace chain evaluated once.
+    out = df.withColumn("_seg", seg)
     return out.select(
         "doc_id",
         F.size(F.filter(toks, lambda t: t != ""))
         .cast("long")
         .alias("n_words"),
-        F.aggregate(
-            per_word,
-            F.lit(0).cast("long"),
-            lambda acc, c: acc + c,
-        ).alias("n_bpe_symbols"),
+        (
+            F.length("_seg")
+            - F.length(
+                F.replace(F.col("_seg"), F.lit("\x1f"), F.lit(""))
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_symbols"),
     )
