@@ -1,0 +1,81 @@
+"""Event-stream sessionization — the batch twin of the streaming
+session-window role (osmupdate's minutely diffs are an event
+stream over object ids; a web-analytics pipeline's clickstream is
+the same shape over user ids).
+
+Gaps-and-islands at scale: ONE shuffle keyed by `user_id` (the
+window partition), then everything — lag, session flags, running
+sum, the per-session aggregate — happens inside that partition.
+No global sort, no driver state; per-key state is bounded by one
+user's history exactly like Flink/Structured-Streaming keyed
+session windows. The same-key groupBy after the window reuses the
+partitioning, so the executed plan carries a single Exchange.
+
+Determinism: ordering ties broken by `event_id`; gap arithmetic on
+floor-epoch seconds (Spark's `unix_timestamp` floors; the oracle
+must use `floor(epoch(ts))`, NOT a bare `CAST(... AS BIGINT)`
+which rounds in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame, gap_s: int = 1800
+) -> DataFrame:
+    """Split each user's event stream into sessions separated by
+    more than `gap_s` seconds of inactivity.
+
+    Returns one row per session: (user_id, session_idx 1-based in
+    time order, start_epoch, end_epoch, n_events, n_types).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    te = F.unix_timestamp("ts")
+    # The first event of a user (lag NULL) starts session 1.
+    is_new = F.coalesce(
+        F.when(te - F.lag(te).over(w) > F.lit(gap_s), F.lit(1)),
+        F.when(F.lag(te).over(w).isNull(), F.lit(1)),
+        F.lit(0),
+    )
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        te.alias("te"),
+        is_new.alias("is_new"),
+    ).withColumn("session_idx", F.sum("is_new").over(wrun))
+    return (
+        marked.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("te").alias("start_epoch"),
+            F.max("te").alias("end_epoch"),
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "start_epoch",
+            "end_epoch",
+            "n_events",
+            "n_types",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Per-user session summary over :func:`sessionize`: how many
+    sessions, the longest session (events), and total active span
+    (sum of per-session durations in seconds)."""
+    s = sessionize(events, gap_s=gap_s)
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum(F.col("end_epoch") - F.col("start_epoch"))
+        .cast("long")
+        .alias("active_span_s"),
+    )

@@ -544,6 +544,43 @@ def q76_dsir_lean(spark, sf_dir):
     )
 
 
+def q78_sessionize(spark, sf_dir):
+    """Event sessionization (operators/events.sessionize):
+    gaps-and-islands with a 30-minute inactivity gap over the
+    user-keyed event stream — one user-keyed shuffle, no global
+    sort; the batch twin of a streaming session window."""
+    from .operators.events import sessionize
+
+    return sessionize(load(spark, sf_dir, "events"), gap_s=1800)
+
+
+def q79_bloom_seen(spark, sf_dir):
+    """Bloom-filter crawl dedup (operators/bloom.py): the even
+    doc_id half of the corpus is the committed seen-set, the odd
+    half the incoming crawl; the filter is 32 longs (1024 bits —
+    32 used per word so shifts stay checked-safe cross-engine —
+    k=4, deliberately small so the deterministic false-positive
+    set is non-empty at this SF), built by one bit_or aggregation
+    and broadcast to a map-only probe. Exact ground truth attached
+    so FPs are visible; `maybe_seen=false` rows are guaranteed
+    unseen (no false negatives)."""
+    from .operators.bloom import bloom_seen_report
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+    )
+    committed = (
+        d.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    )
+    incoming = (
+        d.filter(F.col("doc_id") % 2 == 1).select("fp").distinct()
+    )
+    return bloom_seen_report(
+        committed, incoming, key="fp", n_words=32, k=4
+    )
+
+
 def q13_lang_id(spark, sf_dir):
     return lang_id(load(spark, sf_dir, "documents"))
 
@@ -1514,6 +1551,8 @@ QUERIES = {
     "q75_mix_plan": q75_mix_plan,
     "q76_dsir_lean": q76_dsir_lean,
     "q77_bpe_segment": q77_bpe_segment,
+    "q78_sessionize": q78_sessionize,
+    "q79_bloom_seen": q79_bloom_seen,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2177,8 +2216,8 @@ SELECT doc_id, neighbor, dist2, rank FROM d WHERE rank <= 3
 SELECT COUNT(*) AS n_events,
        MIN(event_id) AS min_event_id,
        MAX(event_id) AS max_event_id,
-       MIN(CAST(epoch(ts) AS BIGINT)) AS min_ts_epoch,
-       MAX(CAST(epoch(ts) AS BIGINT)) AS max_ts_epoch,
+       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts_epoch,
+       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts_epoch,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events
@@ -2292,6 +2331,75 @@ SELECT lang, source, n_docs, n_tokens,
 FROM w, z
 """,
         "q77_bpe_segment": _q77_oracle(),
+        "q78_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS te
+  FROM events
+),
+f AS (
+  SELECT *,
+    CASE WHEN lag(te) OVER w IS NULL THEN 1
+         WHEN te - lag(te) OVER w > 1800 THEN 1
+         ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(te) AS start_epoch,
+       MAX(te) AS end_epoch,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM g GROUP BY 1, 2
+""",
+        "q79_bloom_seen": """
+WITH d AS (
+  SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents
+),
+c AS (SELECT DISTINCT fp FROM d WHERE doc_id % 2 = 0),
+p AS (SELECT DISTINCT fp FROM d WHERE doc_id % 2 = 1),
+ks AS (SELECT i FROM (VALUES (0), (1), (2), (3)) AS t(i)),
+cb AS (
+  SELECT CAST(CAST(('0x' || substr(
+           md5(CAST(i AS VARCHAR) || ':' || fp), 1, 12))
+         AS BIGINT) % 1024 AS BIGINT) AS bit
+  FROM c CROSS JOIN ks
+),
+words AS (
+  SELECT bit // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER))
+           AS bits
+  FROM cb GROUP BY 1
+),
+pb AS (
+  SELECT fp,
+         CAST(CAST(('0x' || substr(
+           md5(CAST(i AS VARCHAR) || ':' || fp), 1, 12))
+         AS BIGINT) % 1024 AS BIGINT) AS bit
+  FROM p CROSS JOIN ks
+),
+hits AS (
+  SELECT pb.fp,
+         CASE WHEN (coalesce(w.bits, 0)
+              & (CAST(1 AS BIGINT)
+                 << CAST(pb.bit % 32 AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pb LEFT JOIN words w ON pb.bit // 32 = w.word_idx
+)
+SELECT h.fp AS fp,
+       (MIN(h.hit) = 1) AS maybe_seen,
+       (MAX(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) = 1)
+         AS seen
+FROM hits h LEFT JOIN c ON h.fp = c.fp
+GROUP BY 1
+""",
         "q76_dsir_lean": """
 WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
