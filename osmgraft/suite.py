@@ -581,6 +581,36 @@ def q79_bloom_seen(spark, sf_dir):
     )
 
 
+def q80_lm_fluency(spark, sf_dir):
+    """KenLM-style n-gram LM fluency gate (operators/lm.lm_score),
+    integer-exact: bigram counts over the lang='en' reference
+    slice, every document scored by the mean floor-log2 count of
+    its bigrams (binary digit count — exact in any engine) plus
+    its OOV rate. One corpus scan; the model and the scoring join
+    share the per-(doc, gram) histogram."""
+    from .operators.lm import lm_score
+
+    return lm_score(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def q81_classifier_gate(spark, sf_dir):
+    """fastText-shaped quality-classifier inference
+    (operators/lm.classify): tokens hash into 4096 buckets, the
+    per-doc bucket histogram dot-products against a broadcast
+    weight table (deterministic synthetic weights — the trained
+    model would arrive as a parquet read), keep = logit > 0.
+    Map-only over the corpus + one (doc, bucket) partial agg."""
+    from .operators.lm import classify, hashed_weights
+
+    return classify(
+        load(spark, sf_dir, "documents"),
+        hashed_weights(spark, n_buckets=4096),
+        n_buckets=4096,
+    )
+
+
 def q13_lang_id(spark, sf_dir):
     return lang_id(load(spark, sf_dir, "documents"))
 
@@ -1553,6 +1583,8 @@ QUERIES = {
     "q77_bpe_segment": q77_bpe_segment,
     "q78_sessionize": q78_sessionize,
     "q79_bloom_seen": q79_bloom_seen,
+    "q80_lm_fluency": q80_lm_fluency,
+    "q81_classifier_gate": q81_classifier_gate,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2398,6 +2430,74 @@ SELECT h.fp AS fp,
        (MAX(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) = 1)
          AS seen
 FROM hits h LEFT JOIN c ON h.fp = c.fp
+GROUP BY 1
+""",
+        "q80_lm_fluency": """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, (lang = 'en') AS is_ref,
+         w[i] || chr(31) || w[i + 1] AS g
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+),
+pg AS (
+  SELECT doc_id, is_ref, g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM g GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT g,
+         CAST(length(printf('%b', CAST(SUM(n) AS BIGINT)))
+              AS BIGINT) AS bits
+  FROM pg WHERE is_ref GROUP BY 1
+),
+s AS (
+  SELECT pg.doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN m.g IS NULL THEN n ELSE 0 END)
+              AS BIGINT) AS n_oov,
+         CAST(SUM(n * COALESCE(m.bits, 0)) AS BIGINT) AS bits_sum
+  FROM pg LEFT JOIN m ON pg.g = m.g GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_oov, 0) AS n_oov,
+       COALESCE(bits_sum, 0) AS bits_sum,
+       CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN (1000 * bits_sum) // n_grams
+            ELSE 0 END AS BIGINT) AS fluency_milli,
+       CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+            THEN (1000 * n_oov) // n_grams
+            ELSE 0 END AS BIGINT) AS oov_milli
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+""",
+        "q81_classifier_gate": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT)
+              % 4096 AS BIGINT) AS bucket
+  FROM tok
+),
+hist AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+),
+w AS (
+  SELECT CAST(i AS BIGINT) AS bucket,
+         CAST(CAST(('0x' || substr(
+                md5('w:' || CAST(i AS VARCHAR)), 1, 12))
+              AS BIGINT) % 2001 - 1000 AS BIGINT) AS weight_milli
+  FROM range(4096) r(i)
+)
+SELECT h.doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(n * w.weight_milli) AS BIGINT) AS dot_milli,
+       (SUM(n * w.weight_milli) > 0) AS keep
+FROM hist h JOIN w USING (bucket)
 GROUP BY 1
 """,
         "q76_dsir_lean": """
