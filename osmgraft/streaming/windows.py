@@ -53,6 +53,67 @@ def windowed_cell_activity(
     )
 
 
+SESSION_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long,"
+    " event_type string, value double, props string"
+)
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming session windows — the continuous twin of the batch
+    gaps-and-islands sessionizer (operators/events.sessionize,
+    q78): per-user sessions close after `gap` of inactivity, state
+    is one open session per active user, and a session is emitted
+    exactly once when the watermark passes its close (append mode).
+
+    Uses Spark's native `session_window` — per-key merging session
+    state inside the streaming aggregation, the
+    applyInPandasWithState-free way to express this. Boundary
+    semantics differ from the batch operator by the open/closed
+    edge: session_window merges events strictly closer than `gap`
+    (an exactly-`gap` quiet period starts a NEW session), while the
+    batch sessionizer splits only on strictly-greater gaps; off-
+    boundary data sessionizes identically (asserted in tests).
+
+    Output schema matches q78 minus the per-user ordinal (a global
+    per-key running index is meaningless on an infinite stream):
+    (user_id, start_epoch, end_epoch = last event, n_events,
+    n_types). `session_window.end` is last-event + gap, so the
+    batch-comparable end is `end - gap`."""
+    stream = (
+        spark.readStream.schema(SESSION_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id", F.session_window("ts", gap).alias("sw")
+        )
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("start_epoch"),
+            F.max(F.unix_timestamp("ts")).alias("end_epoch"),
+            F.count("*").cast("long").alias("n_events"),
+            F.size(F.collect_set("event_type"))
+            .cast("long")
+            .alias("n_types"),
+        )
+        .select(
+            "user_id",
+            "start_epoch",
+            "end_epoch",
+            "n_events",
+            "n_types",
+        )
+    )
+
+
 def run_to_sink(
     agg: DataFrame, out_dir: str, checkpoint_dir: str
 ):
