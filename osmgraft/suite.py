@@ -611,6 +611,77 @@ def q81_classifier_gate(spark, sf_dir):
     )
 
 
+def q82_kmeans_ivf_train(spark, sf_dir):
+    """Distributed Lloyd k-means over embeddings
+    (operators/clustering.kmeans_assign) — the IVF coarse-quantizer
+    trainer, integer-exact (fixed-point vectors, bigint distances,
+    truncating-div centroid means) so the post-2-pass assignment
+    is bit-reproducible and the oracle replays the passes unrolled
+    in pure SQL. Per pass: broadcast K-row centroids, map-only
+    assignment, one groupBy(cluster) update."""
+    from .operators.clustering import kmeans_assign
+
+    return kmeans_assign(
+        load(spark, sf_dir, "embeddings"), k=8, n_iter=2
+    )
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled-iteration SQL twin of clustering.kmeans_assign:
+    quantize -> (assign -> update) x n_iter -> final assign.
+    Truncating `//` == Spark `div`; `range(1, dim+1)` lambdas give
+    exact integer dist2."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (q[i]-cv[i])*(q[i]-cv[i])))"
+    )
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                AS BIGINT)) AS q
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id < {k})"""
+    ]
+    for it in range(1, n_iter + 2):
+        parts.append(
+            f"""d{it} AS (
+  SELECT e.vec_id, e.q, c.cid, {d2} AS d2
+  FROM e CROSS JOIN c{it - 1} c
+),
+a{it} AS (
+  SELECT vec_id, q, cid AS cluster, d2
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d{it})
+  WHERE rk = 1
+)"""
+        )
+        if it <= n_iter:
+            parts.append(
+                f"""u{it} AS (
+  SELECT cluster, i, CAST(SUM(q[i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{it}, UNNEST(range(1, {dim + 1})) AS r(i)
+  GROUP BY 1, 2
+),
+c{it} AS (
+  SELECT cluster AS cid,
+         list(CAST(s // n AS BIGINT) ORDER BY i) AS cv
+  FROM u{it} GROUP BY 1
+)"""
+            )
+    last = n_iter + 1
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(d2 AS BIGINT) AS dist2
+FROM a{last}"""
+    )
+
+
 def q13_lang_id(spark, sf_dir):
     return lang_id(load(spark, sf_dir, "documents"))
 
@@ -1585,6 +1656,7 @@ QUERIES = {
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
+    "q82_kmeans_ivf_train": q82_kmeans_ivf_train,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2363,6 +2435,7 @@ SELECT lang, source, n_docs, n_tokens,
 FROM w, z
 """,
         "q77_bpe_segment": _q77_oracle(),
+        "q82_kmeans_ivf_train": _kmeans_oracle(),
         "q78_sessionize": """
 WITH e AS (
   SELECT user_id, event_id, ts, event_type,
