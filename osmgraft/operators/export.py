@@ -1,0 +1,79 @@
+"""Training-data export: deterministic corpus shuffle + sharding.
+
+The last step of a webtext pipeline before the trainer reads it:
+give every document a pseudo-random but REPRODUCIBLE position in a
+fixed number of shards. The permutation is a keyed hash, not a
+`rand()` — so it is invariant under partitioning, retries, and
+resume (the same discipline as text.stratified_sample), and any
+two engines agree on it bit-for-bit.
+
+Scale shape: shard membership is a pure hash of the key (map-only,
+no global pass); the within-shard position is a rank over the same
+hash, one keyed shuffle on `shard` — each shard sorts
+independently, so parallelism equals n_shards and there is no
+global sort / SinglePartition funnel. Size n_shards to the
+trainer's reader parallelism (thousands at 100 TB), not to the
+cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shuf",
+) -> DataFrame:
+    """(doc_id, shard, pos, n_tokens): shard = md5-prefix of the
+    salted key mod n_shards; pos = 1-based rank of the hash within
+    the shard (md5 strings are unique per key, doc_id breaks the
+    impossible tie deterministically anyway). Reordering epochs =
+    changing `salt` — a free re-shuffle, no data movement until
+    the export itself."""
+    hx = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    s = df.select(
+        F.col(key_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " "))
+        .cast("long")
+        .alias("n_tokens"),
+        hx.alias("_hx"),
+    ).withColumn(
+        "shard",
+        (
+            F.conv(F.substring("_hx", 1, 12), 16, 10).cast("long")
+            % n_shards
+        ).cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("_hx", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "n_tokens",
+    )
+
+
+def shard_summary(
+    df: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shuf",
+) -> DataFrame:
+    """Per-shard balance audit: (shard, n_docs, n_tokens_total).
+    Hash sharding balances docs to ~N/n_shards without any
+    planning pass; the token skew this reports is what a
+    token-aware packer (q63) would smooth."""
+    return (
+        shard_plan(df, n_shards, key_col, text_col, salt)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        )
+    )

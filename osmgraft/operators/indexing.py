@@ -139,3 +139,52 @@ def with_global_index(
             yield pdf
 
     return parts.mapInPandas(gen, schema)
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT order statistics at corpus scale — the honest version
+    of approx_percentile (whose sketch-merge result depends on
+    partition order, so it can never be oracle-checked).
+
+    Two-phase: (1) one map-side-combined groupBy(value) collapses
+    the corpus into a histogram bounded by the number of DISTINCT
+    values — for integer token/length columns that is thousands of
+    rows regardless of corpus size; (2) a running cumulative over
+    that tiny histogram (the SinglePartition exchange here carries
+    the histogram, not the corpus — audited in PLANS.md) picks the
+    classic ceil-rank statistic with pure integer arithmetic:
+
+        p-th percentile = min value whose cumulative count
+                          >= ceil(p * N / 100)  =  (p*N + 99) div 100
+
+    Returns ONE row: (n_rows, p50, p90, ... per requested p)."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    hist = df.groupBy(v.alias("_v")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tot = df.agg(F.count("*").cast("long").alias("n_rows"))
+    joined = cum.crossJoin(F.broadcast(tot))
+    return joined.groupBy("n_rows").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum")
+                    >= F.expr(f"({p} * n_rows + 99) div 100"),
+                    F.col("_v"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}")
+            for p in ps
+        ]
+    )

@@ -626,6 +626,34 @@ def q82_kmeans_ivf_train(spark, sf_dir):
     )
 
 
+def q83_export_shards(spark, sf_dir):
+    """Training-export shard plan (operators/export.shard_plan):
+    deterministic keyed-hash corpus shuffle into 8 shards —
+    membership map-only, within-shard position one keyed shuffle,
+    no global sort. Reproducible across partitionings/retries;
+    epoch reshuffle = change the salt."""
+    from .operators.export import shard_plan
+
+    return shard_plan(
+        load(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
+def q84_token_percentiles(spark, sf_dir):
+    """Exact corpus order statistics
+    (operators/indexing.exact_percentiles): p50/p90/p99 of
+    tokens-per-document via a distinct-value histogram + integer
+    ceil-rank — the oracle-checkable replacement for
+    approx_percentile, whose sketch merge is partition-order
+    dependent."""
+    from .operators.indexing import exact_percentiles
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return exact_percentiles(docs, "n_tokens")
+
+
 def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """Unrolled-iteration SQL twin of clustering.kmeans_assign:
     quantize -> (assign -> update) x n_iter -> final assign.
@@ -1657,6 +1685,8 @@ QUERIES = {
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
     "q82_kmeans_ivf_train": q82_kmeans_ivf_train,
+    "q83_export_shards": q83_export_shards,
+    "q84_token_percentiles": q84_token_percentiles,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2436,6 +2466,46 @@ FROM w, z
 """,
         "q77_bpe_segment": _q77_oracle(),
         "q82_kmeans_ivf_train": _kmeans_oracle(),
+        "q83_export_shards": """
+WITH h AS (
+  SELECT doc_id,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hx,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, hx,
+         CAST(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT) % 8
+              AS BIGINT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos,
+       n_tokens
+FROM s
+""",
+        "q84_token_percentiles": """
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+c AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+r AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM t)
+SELECT n_rows,
+  CAST((SELECT MIN(v) FROM r
+        WHERE cum >= (50 * n_rows + 99) // 100) AS BIGINT) AS p50,
+  CAST((SELECT MIN(v) FROM r
+        WHERE cum >= (90 * n_rows + 99) // 100) AS BIGINT) AS p90,
+  CAST((SELECT MIN(v) FROM r
+        WHERE cum >= (99 * n_rows + 99) // 100) AS BIGINT) AS p99
+FROM tot
+""",
         "q78_sessionize": """
 WITH e AS (
   SELECT user_id, event_id, ts, event_type,
