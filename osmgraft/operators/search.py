@@ -1,0 +1,113 @@
+"""Text search primitives over the corpus: inverted-index build
+and per-document distinctive terms (integer-exact TF-IDF rank).
+
+The geobase build (wire/ogb.py, q36) already constructs posting
+lists over ADDRESS keys; this is the same structure over free
+text — the index a corpus-search / decontamination-lookup service
+would serve.
+
+Scale shapes:
+- inverted_index: hot terms ("the") have corpus-sized posting
+  lists — a holistic aggregate with built-in skew, so stage 1
+  collects per (term, salt) exactly like tiles.tile_doc_lists'
+  megacity handling, stage 2 merges per term. min_df/max_df gate
+  the stopword class out of the index entirely (the standard
+  production dodge: the full-corpus posting list of "the" is
+  useless AND quadratic to serve).
+- distinctive_terms: per-(doc, term) tf is one map-side-combined
+  shuffle; the document-frequency join keys on the term (AQE skew
+  territory); the top-k window partitions by doc — never global.
+  Ranking is (tf desc, df asc, term asc): a pure integer TF-IDF —
+  monotone in tf * idf for fixed tf because idf is monotone
+  decreasing in df — with no float log, so oracle-exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _doc_terms(df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) — per-document term frequencies, one
+    explode + one map-side-combined groupBy."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(term, doc_freq, postings) with postings the SORTED doc-id
+    list. Salted two-stage holistic aggregate (stage 1 per
+    (term, salt) so a hot term spreads over salt_buckets reducers,
+    stage 2 merges+sorts per term); df-band filters prune after
+    the cheap count, before any list is served."""
+    terms = _doc_terms(df, text_col).withColumn(
+        "_salt", F.pmod(F.col("doc_id"), F.lit(salt_buckets))
+    )
+    partial = terms.groupBy("term", "_salt").agg(
+        F.collect_list("doc_id").alias("_ids"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    idx = partial.groupBy("term").agg(
+        F.array_sort(F.flatten(F.collect_list("_ids"))).alias(
+            "postings"
+        ),
+        F.sum("_n").cast("long").alias("doc_freq"),
+    )
+    idx = idx.filter(F.col("doc_freq") >= min_df)
+    if max_df is not None:
+        idx = idx.filter(F.col("doc_freq") <= max_df)
+    return idx.select("term", "doc_freq", "postings")
+
+
+def distinctive_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Top-k most distinctive terms per document — the integer
+    TF-IDF: rank by (tf desc, doc_freq asc, term asc), take k.
+    Returns (doc_id, term, tf, doc_freq, rank)."""
+    tf = _doc_terms(df, text_col)
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("doc_freq")
+    )
+    joined = tf.join(dfreq, "term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("term")
+    )
+    return (
+        joined.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "rank")
+    )
+
+
+def search_and(
+    index: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Conjunctive posting-list intersection: docs containing ALL
+    `terms`, served from the index — explode each requested term's
+    postings and keep doc_ids hit by every term (count == number
+    of requested terms; postings are per-term distinct by
+    construction). The requested-terms filter prunes the index
+    scan; only the handful of needed lists ever explode."""
+    n = len(terms)
+    hits = (
+        index.filter(F.col("term").isin(terms))
+        .select(F.explode("postings").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return hits.filter(F.col("_hits") == n).select("doc_id")

@@ -654,6 +654,38 @@ def q84_token_percentiles(spark, sf_dir):
     return exact_percentiles(docs, "n_tokens")
 
 
+def q85_inverted_index(spark, sf_dir):
+    """Corpus inverted index (operators/search.inverted_index):
+    salted two-stage holistic posting-list build (hot terms spread
+    over 16 salt reducers — the tile_doc_lists megacity pattern),
+    df-banded to drop hapaxes and the stopword class. Postings
+    canonicalized as a joined string for the oracle compare."""
+    from .operators.search import inverted_index
+
+    idx = inverted_index(
+        load(spark, sf_dir, "documents"), min_df=2, max_df=400
+    )
+    return idx.select(
+        "term",
+        "doc_freq",
+        F.array_join(
+            F.transform("postings", lambda d: d.cast("string")),
+            ",",
+        ).alias("postings_str"),
+    )
+
+
+def q86_distinctive_terms(spark, sf_dir):
+    """Per-document top-3 distinctive terms
+    (operators/search.distinctive_terms): integer TF-IDF — rank by
+    (tf desc, doc_freq asc, term asc), no float log so the ranking
+    is engine-exact. One tf shuffle, one term-keyed df join (AQE
+    skew), one per-doc window."""
+    from .operators.search import distinctive_terms
+
+    return distinctive_terms(load(spark, sf_dir, "documents"), k=3)
+
+
 def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """Unrolled-iteration SQL twin of clustering.kmeans_assign:
     quantize -> (assign -> update) x n_iter -> final assign.
@@ -1687,6 +1719,8 @@ QUERIES = {
     "q82_kmeans_ivf_train": q82_kmeans_ivf_train,
     "q83_export_shards": q83_export_shards,
     "q84_token_percentiles": q84_token_percentiles,
+    "q85_inverted_index": q85_inverted_index,
+    "q86_distinctive_terms": q86_distinctive_terms,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2484,6 +2518,43 @@ SELECT doc_id, shard,
          PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos,
        n_tokens
 FROM s
+""",
+        "q85_inverted_index": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY 1, 2
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       string_agg(CAST(doc_id AS VARCHAR), ','
+                  ORDER BY doc_id) AS postings_str
+FROM tf GROUP BY 1
+HAVING COUNT(*) >= 2 AND COUNT(*) <= 400
+""",
+        "q86_distinctive_terms": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM tf GROUP BY 1
+),
+r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC)
+         AS BIGINT) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, doc_freq, rank FROM r WHERE rank <= 3
 """,
         "q84_token_percentiles": """
 WITH t AS (
