@@ -80,7 +80,7 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
     n_iter: int = 2,
@@ -88,19 +88,12 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's k-means, `n_iter` full passes, integer-exact.
-
-    Init: the quantized vectors of the `k` lowest vec_ids (the
-    deterministic first-K seeding — swap for k-means|| sampling at
-    real scale; the pass structure is unchanged). Each pass:
-    assign (broadcast K-row table, map-only) then update (one
-    groupBy(cluster) with per-dimension integer-sum columns,
-    truncating-div means). A cluster that loses all members
-    disappears — identical in the SQL replay.
-
-    Returns the final assignment: (vec_id, cluster, dist2) where
-    dist2 is the exact squared fixed-point distance to the final
-    centroid the vector was assigned to."""
+    """The trained coarse quantizer after `n_iter` Lloyd passes:
+    (cid, cv: array<long>) in fixed-point. Init: the quantized
+    vectors of the `k` lowest vec_ids (deterministic first-K
+    seeding — swap for k-means|| sampling at real scale; the pass
+    structure is unchanged). A cluster that loses all members
+    disappears — identical in the SQL replay."""
     vecs = quantize(emb, id_col, vec_col)
     cents = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cv")
@@ -125,6 +118,50 @@ def kmeans_assign(
                 ]
             ).alias("cv"),
         ).localCheckpoint(eager=False)
+    return cents
+
+
+def kmeans_centroid_vectors(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Trained centroids de-quantized to double vectors — the
+    (cid, cv) table dedup.embed_ann_ivf consumes directly (long /
+    1e6 -> double is exact; the probe cosines then agree
+    bit-for-bit with an oracle replaying the same chain)."""
+    return kmeans_centroids(
+        emb, k, n_iter, dim, id_col, vec_col
+    ).select(
+        "cid",
+        F.transform(
+            "cv",
+            lambda x: x.cast("double") / F.lit(float(QUANT)),
+        ).alias("cv"),
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, `n_iter` full passes, integer-exact: each
+    pass assigns (broadcast K-row table, map-only) then updates
+    (one groupBy(cluster) with per-dimension integer-sum columns,
+    truncating-div means) — see kmeans_centroids.
+
+    Returns the final assignment: (vec_id, cluster, dist2) where
+    dist2 is the exact squared fixed-point distance to the final
+    centroid the vector was assigned to."""
+    vecs = quantize(emb, id_col, vec_col)
+    cents = kmeans_centroids(emb, k, n_iter, dim, id_col, vec_col)
     return _assign(vecs, cents).select(
         "vec_id", "cluster", "dist2"
     )

@@ -614,12 +614,13 @@ def _banded_pairs(
 
 def embed_ann_ivf(
     emb: DataFrame,
-    centroid_filter: Column,
-    query_filter: Column,
+    centroid_filter: Column = None,
+    query_filter: Column = None,
     n_probe: int = 2,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
     (highest cosine; ties -> lowest centroid id), then answer each
@@ -640,13 +641,20 @@ def embed_ann_ivf(
         F.col(vec_col).alias("v"),
         F.col("_n2").alias("n2"),
     )
-    cents = base.filter(
-        centroid_filter
-    ).select(
-        F.col("vid").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("n2").alias("cn2"),
-    )
+    if centroids is not None:
+        # externally trained coarse quantizer (e.g.
+        # clustering.kmeans_centroid_vectors): (cid, cv) rows
+        cents = with_norm2(centroids, "cv").select(
+            "cid", "cv", F.col("_n2").alias("cn2")
+        )
+    else:
+        cents = base.filter(
+            centroid_filter
+        ).select(
+            F.col("vid").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("n2").alias("cn2"),
+        )
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vid",
         "cid",

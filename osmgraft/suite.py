@@ -654,6 +654,26 @@ def q84_token_percentiles(spark, sf_dir):
     return exact_percentiles(docs, "n_tokens")
 
 
+def q87_ivf_trained(spark, sf_dir):
+    """The full vector-index build: Lloyd-trained coarse quantizer
+    (q82's clustering.kmeans_centroid_vectors) feeding the IVF
+    probe plan (q47's dedup.embed_ann_ivf via its `centroids`
+    table input) — train and serve composed in one lineage. The
+    centroid table is K rows, broadcast everywhere it appears."""
+    from .operators.clustering import kmeans_centroid_vectors
+    from .operators.dedup import embed_ann_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_centroid_vectors(emb, k=8, n_iter=2)
+    return embed_ann_ivf(
+        emb,
+        query_filter=F.col("vec_id") % 50 == 0,
+        n_probe=2,
+        k=3,
+        centroids=cents,
+    )
+
+
 def q85_inverted_index(spark, sf_dir):
     """Corpus inverted index (operators/search.inverted_index):
     salted two-stage holistic posting-list build (hot terms spread
@@ -686,11 +706,18 @@ def q86_distinctive_terms(spark, sf_dir):
     return distinctive_terms(load(spark, sf_dir, "documents"), k=3)
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
-    """Unrolled-iteration SQL twin of clustering.kmeans_assign:
-    quantize -> (assign -> update) x n_iter -> final assign.
-    Truncating `//` == Spark `div`; `range(1, dim+1)` lambdas give
-    exact integer dist2."""
+def _kmeans_ctes(
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    final_assign: bool = True,
+) -> tuple[list[str], str]:
+    """Shared CTE chain for the unrolled-iteration k-means oracles:
+    quantize -> (assign -> update) x n_iter [-> final assign].
+    Returns (parts, last_cte_name) — a{n_iter+1} when final_assign,
+    else the trained centroid table c{n_iter}. Truncating `//` ==
+    Spark `div`; `range(1, dim+1)` lambdas give exact integer
+    dist2."""
     d2 = (
         f"list_sum(list_transform(range(1, {dim + 1}),"
         " i -> (q[i]-cv[i])*(q[i]-cv[i])))"
@@ -705,7 +732,8 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
 ),
 c0 AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id < {k})"""
     ]
-    for it in range(1, n_iter + 2):
+    last_it = n_iter + 1 if final_assign else n_iter
+    for it in range(1, last_it + 1):
         parts.append(
             f"""d{it} AS (
   SELECT e.vec_id, e.q, c.cid, {d2} AS d2
@@ -731,14 +759,106 @@ c{it} AS (
   FROM u{it} GROUP BY 1
 )"""
             )
-    last = n_iter + 1
+    return parts, (
+        f"a{last_it}" if final_assign else f"c{n_iter}"
+    )
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    parts, last = _kmeans_ctes(k, n_iter, dim, final_assign=True)
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
        CAST(d2 AS BIGINT) AS dist2
-FROM a{last}"""
+FROM {last}"""
+    )
+
+
+def _ivf_trained_oracle(
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 3,
+) -> str:
+    """IVF probe (the q47 plan) over kmeans-TRAINED centroids:
+    the _kmeans_ctes chain yields the fixed-point centroid table,
+    de-quantized to doubles; cosines then follow the exact q47
+    operation order so doubles agree bit-for-bit."""
+    parts, cent = _kmeans_ctes(k, n_iter, dim, final_assign=False)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+cf AS (
+  SELECT cid,
+         list_transform(cv,
+           x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+  FROM {cent}
+),
+cents AS (
+  SELECT cid, cv, list_dot_product(cv, cv) AS cn2 FROM cf
+),
+e2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+nn AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e2
+),
+scored AS (
+  SELECT nn.vec_id, c.cid,
+    list_dot_product(nn.v, c.cv) / sqrt(nn.n2) / sqrt(c.cn2) AS cc
+  FROM nn CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cc DESC, cid ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+qq AS (
+  SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM nn
+  WHERE vec_id % 50 = 0
+),
+qs AS (
+  SELECT qq.query_id, qq.qv, qq.qn2, c.cid,
+    list_dot_product(qq.qv, c.cv) / sqrt(qq.qn2) / sqrt(c.cn2)
+      AS cc
+  FROM qq CROSS JOIN cents c
+),
+probes AS (
+  SELECT query_id, qv, qn2, cid AS cluster FROM (
+    SELECT *,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cc DESC, cid ASC) AS r
+    FROM qs
+  ) WHERE r <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, p.qv, p.qn2, nn.vec_id, nn.v, nn.n2
+  FROM probes p
+  JOIN assign a ON a.cluster = p.cluster
+  JOIN nn ON nn.vec_id = a.vec_id
+  WHERE nn.vec_id <> p.query_id
+),
+sc AS (
+  SELECT query_id, vec_id AS neighbor_id,
+    list_dot_product(qv, v) / sqrt(qn2) / sqrt(n2) AS c
+  FROM cand
+),
+rk AS (
+  SELECT query_id, neighbor_id, c,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(c, 6) AS cos_r
+FROM rk WHERE rank <= {topk}"""
     )
 
 
@@ -1721,6 +1841,7 @@ QUERIES = {
     "q84_token_percentiles": q84_token_percentiles,
     "q85_inverted_index": q85_inverted_index,
     "q86_distinctive_terms": q86_distinctive_terms,
+    "q87_ivf_trained": q87_ivf_trained,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2500,6 +2621,7 @@ FROM w, z
 """,
         "q77_bpe_segment": _q77_oracle(),
         "q82_kmeans_ivf_train": _kmeans_oracle(),
+        "q87_ivf_trained": _ivf_trained_oracle(),
         "q83_export_shards": """
 WITH h AS (
   SELECT doc_id,
