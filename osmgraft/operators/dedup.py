@@ -97,27 +97,28 @@ def with_gram_array(
 # ---------------------------------------------------------------
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     n_hashes: int = 12,
     band_rows: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) that share >= 1 LSH
-    band, with the number of shared bands. n_hashes/band_rows bands
-    of band_rows hashes each.
+    """The LSH index rows (doc, band_idx, band_val) — the
+    persistable form of a corpus's MinHash index. At real scale
+    this table is written once per snapshot (partitioned/bucketed
+    by band_val) and reused by every later batch
+    (incremental_near_dups) instead of re-signing the corpus.
 
-    Round-2 rewrite: signatures via explode(grams) -> hash-agg of
-    per-salt mins instead of n_hashes in-row array expressions. The
-    in-row form tokenized the text once PER HASH (higher-order
-    functions defeat Catalyst subexpression elimination across the
-    12 duplicated gram pipelines) — measured 2.5-5x slower and a
-    much larger codegen unit. Here tokenization runs once, the 12
-    salted md5s run once per gram, and the min is a map-side
-    partial aggregation, so the agg shuffle carries only
-    (doc_id, 12 hex mins) per doc — the same order of traffic as
-    the band-join shuffle that follows."""
+    Round-2 rewrite (shared with minhash_lsh_pairs): signatures
+    via explode(grams) -> hash-agg of per-salt mins instead of
+    n_hashes in-row array expressions. The in-row form tokenized
+    the text once PER HASH (higher-order functions defeat Catalyst
+    subexpression elimination across the 12 duplicated gram
+    pipelines) — measured 2.5-5x slower and a much larger codegen
+    unit. Here tokenization runs once, the 12 salted md5s run once
+    per gram, and the min is a map-side partial aggregation, so
+    the agg shuffle carries only (doc_id, 12 hex mins) per doc."""
     n_bands = n_hashes // band_rows
     grams = with_gram_array(docs, text_col).select(
         F.col(id_col).alias("doc"),
@@ -143,9 +144,25 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         "doc",
         F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 12,
+    band_rows: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) that share >= 1 LSH
+    band, with the number of shared bands. n_hashes/band_rows bands
+    of band_rows hashes each; the band rows come from minhash_bands
+    (see its docstring for the signature-aggregation plan)."""
+    banded = minhash_bands(
+        docs, n_hashes, band_rows, id_col, text_col
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -218,6 +235,67 @@ def jaccard_on_candidates(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_hashes: int = 12,
+    band_rows: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedupe a NEW batch against an EXISTING corpus — the
+    snapshot-over-snapshot pattern (e.g. a monthly crawl against
+    the accumulated corpus) — without ever self-joining or
+    re-signing the corpus inside the batch job.
+
+    Plan: the corpus side is minhash_bands rows (at real scale a
+    stored index table, bucketed by band_val; here derived in the
+    same lineage so the oracle can replay it); the batch is signed
+    (linear in batch size), its band rows probe the index with one
+    equi-join keyed on (band_idx, band_val), and the surviving
+    candidates are verified with exact n-gram Jaccard via
+    jaccard_on_candidates — gram arrays are fetched only for docs
+    named in the candidate list. Nothing is quadratic in the
+    corpus, and corpus text is read only for candidate partners.
+    Ids must be disjoint across the two inputs (they name
+    different snapshots).
+
+    Returns (batch_doc, corpus_doc, inter, jaccard) with
+    jaccard >= threshold."""
+    idx = minhash_bands(
+        corpus, n_hashes, band_rows, id_col, text_col
+    )
+    probe = minhash_bands(
+        batch, n_hashes, band_rows, id_col, text_col
+    )
+    cand = (
+        probe.alias("n")
+        .join(
+            idx.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_val") == F.col("o.band_val")),
+        )
+        .select(
+            F.col("n.doc").alias("a"), F.col("o.doc").alias("b")
+        )
+        .distinct()
+    )
+    both = batch.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    return jaccard_on_candidates(
+        both, cand, n=n, threshold=threshold,
+        id_col=id_col, text_col=text_col,
+    ).select(
+        F.col("a").alias("batch_doc"),
+        F.col("b").alias("corpus_doc"),
+        "inter",
+        "jaccard",
     )
 
 

@@ -674,6 +674,106 @@ def q87_ivf_trained(spark, sf_dir):
     )
 
 
+def q88_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot near-dedup (dedup.incremental_near_dups):
+    a NEW batch (planted near-dups of corpus docs + fresh docs) is
+    deduped against the EXISTING corpus by probing the corpus's
+    stored LSH index (dedup.minhash_bands) with the batch's band
+    rows — one equi-join keyed on (band_idx, band_val) — then
+    verifying candidates with exact 3-gram Jaccard. The corpus is
+    never self-joined or re-signed: the monthly-crawl-vs-corpus
+    plan at 100 TB. Batch ids are offset so the two snapshots'
+    id spaces are disjoint."""
+    from .operators.dedup import incremental_near_dups
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 21 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("dup "), F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    return incremental_near_dups(corpus, batch, threshold=0.5)
+
+
+def _q88_oracle() -> str:
+    """Replay of the composed incremental plan: both snapshots'
+    band rows from the identical salted-md5 signature arithmetic
+    (q29/q17), candidates restricted to batch x corpus, exact
+    Jaccard on candidates only."""
+    n_hashes, band_rows = 12, 2
+    sig_aggs = ",\n    ".join(
+        f"MIN(md5('{i}:' || gram)) AS s{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"s{band_rows * b} || '|' || s{band_rows * b + 1} "
+        "AS band_val FROM sigs"
+        for b in range(n_hashes // band_rows)
+    )
+    return f"""
+WITH both_snaps AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'dup ' || text
+  FROM documents WHERE doc_id % 21 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text
+  FROM documents WHERE doc_id % 3 = 1
+),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM both_snaps
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(toks[CAST(i.i AS BIGINT):CAST(i.i + 2 AS BIGINT)],
+                    ' ') AS gram
+  FROM docs
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+  ) i
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_aggs}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+  WHERE x.doc_id >= 1000000 AND y.doc_id < 1000000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS inter
+  FROM cand c
+  JOIN grams g1 ON g1.doc_id = c.a
+  JOIN grams g2 ON g2.doc_id = c.b AND g2.gram = g1.gram
+  GROUP BY 1, 2
+)
+SELECT i.a AS batch_doc, i.b AS corpus_doc, i.inter,
+  i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+"""
+
+
 def q85_inverted_index(spark, sf_dir):
     """Corpus inverted index (operators/search.inverted_index):
     salted two-stage holistic posting-list build (hot terms spread
@@ -1842,6 +1942,7 @@ QUERIES = {
     "q85_inverted_index": q85_inverted_index,
     "q86_distinctive_terms": q86_distinctive_terms,
     "q87_ivf_trained": q87_ivf_trained,
+    "q88_incremental_dedup": q88_incremental_dedup,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2622,6 +2723,7 @@ FROM w, z
         "q77_bpe_segment": _q77_oracle(),
         "q82_kmeans_ivf_train": _kmeans_oracle(),
         "q87_ivf_trained": _ivf_trained_oracle(),
+        "q88_incremental_dedup": _q88_oracle(),
         "q83_export_shards": """
 WITH h AS (
   SELECT doc_id,
