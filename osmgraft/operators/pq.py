@@ -1,0 +1,222 @@
+"""Product quantization (PQ) over embedding vectors — the
+storage-bound vector path at 100 TB: a dim-64 float vector
+(256 B raw) compresses to m one-byte subspace codes (8 B at
+m = 8), and similarity search runs over the CODES table with
+asymmetric distance computation (ADC) — per query, one small
+lookup table of exact subspace distances, then an in-row fold
+over each candidate's codes. The corpus vectors are never read
+again after encoding.
+
+Reference parity: osmctools has no vector ops; this is the
+LLM-pipeline extension surface (SURVEY.md §2 extensions), the
+compression twin of the IVF route in dedup.embed_ann_ivf — at
+real scale the two compose (IVF routes a query to n_probe
+inverted lists, ADC scores the lists' codes).
+
+Integer-exact like clustering.py: subvectors quantize to
+fixed-point longs (clustering.quantize), the codebook entries are
+the quantized subvectors of the k lowest vec_ids (deterministic
+first-K seeding — swap for per-subspace k-means at real scale;
+clustering.kmeans_centroids trains exactly this shape), encoding
+is an exact integer argmin per subspace (ties -> lowest entry
+id), and ADC scores are exact bigint sums of per-subspace LUT
+distances — bit-reproducible across engines and partition orders,
+so a SQL oracle can replay the whole chain.
+
+Scale shape:
+  - pq_codebook: m*k tiny rows, broadcast everywhere it appears.
+  - pq_encode: map-only — posexplode into m subvector rows, one
+    broadcast join on the m-row grouped codebook, in-row argmin.
+    Zero data shuffles; the codes table is the artifact you
+    persist (8 B/vector instead of 256 B).
+  - pq_adc_topk: the per-query LUT is Q*m*k rows (built with one
+    broadcast join), broadcast to the codes side; scoring is an
+    in-row fold over each candidate's code array (no Q x N
+    shuffle); only the final per-query top-k window shuffles the
+    Q x N scored rows, keyed by query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window
+
+from .clustering import _dist2, quantize
+
+
+def _sub_slices(q, m: int, sub: int):
+    """array of m subvector slices of the quantized vector."""
+    return F.array(
+        *[F.slice(q, s * sub + 1, sub) for s in range(m)]
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(s, e, cv: array<long> of dim/m) — the per-subspace
+    codebook: entry e of subspace s is the s-th slice of the
+    quantized vector with the e-th lowest vec_id (vec_id < k, the
+    deterministic seeding; the replay in SQL is identical)."""
+    sub = dim // m
+    vecs = quantize(emb, id_col, vec_col).filter(
+        F.col("vec_id") < k
+    )
+    return vecs.select(
+        F.col("vec_id").alias("e"),
+        F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
+            "s", "cv"
+        ),
+    ).select("s", "e", "cv")
+
+
+def _grouped_codebook(cb: DataFrame) -> DataFrame:
+    """(s, entries: array<struct<e,cv>> sorted by e) — m rows, the
+    broadcastable form (struct sort orders by the leading field)."""
+    return cb.groupBy("s").agg(
+        F.sort_array(
+            F.collect_list(F.struct("e", "cv"))
+        ).alias("entries")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, s, code) — each vector's nearest codebook entry
+    per subspace, exact integer dist2, ties -> lowest entry id.
+    Map-only over the corpus: posexplode to m subvector rows, one
+    broadcast join on the m grouped codebook rows, in-row argmin
+    (min over (d2, e) structs). The argmin struct materializes as
+    its own projection first (the HOF-CSE rule: an inlined
+    aggregate-lambda referenced twice re-runs the fold twice)."""
+    sub = dim // m
+    cbg = _grouped_codebook(
+        pq_codebook(emb, m, k, dim, id_col, vec_col)
+    )
+    rows = quantize(emb, id_col, vec_col).select(
+        "vec_id",
+        F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
+            "s", "sv"
+        ),
+    )
+    scored = rows.join(F.broadcast(cbg), "s").withColumn(
+        "_best",
+        F.array_min(
+            F.transform(
+                "entries",
+                lambda ent: F.struct(
+                    _dist2(F.col("sv"), ent["cv"]).alias("d2"),
+                    ent["e"].alias("e"),
+                ),
+            )
+        ),
+    )
+    return scored.select(
+        "vec_id", "s", F.col("_best.e").alias("code")
+    )
+
+
+def pq_codes_wide(codes: DataFrame, m: int = 8) -> DataFrame:
+    """(vec_id, codes: array<long> of m) — the persisted PQ
+    artifact (one m-byte row per vector). One groupBy(vec_id)
+    shuffle carrying (vec_id, s, code) triples."""
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda sc: sc["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_filter,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: for each query vector (query_filter rows of
+    emb), the topk nearest OTHER vectors by approximate distance
+    = sum over subspaces of dist2(query subvector, codebook entry
+    of the candidate's code). Returns (qid, vec_id, adist2, rk),
+    rk 1..topk ordered (adist2 asc, vec_id asc).
+
+    The LUT (qid, s -> array of k dist2 longs, built by one
+    broadcast join of the exploded queries against the codebook)
+    is grouped per query and broadcast; candidates are scored
+    IN-ROW by folding their m-code array through the LUT — the
+    corpus-side plan is scan codes + broadcast hash join + fold,
+    with the only corpus-wide shuffles the codes-wide groupBy and
+    the final top-k window keyed by qid."""
+    sub = dim // m
+    cb = pq_codebook(emb, m, k, dim, id_col, vec_col)
+    qrows = quantize(
+        emb.filter(query_filter), id_col, vec_col
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
+            "s", "qsv"
+        ),
+    )
+    # (qid, s, d2s: array of k dist2, index e+1) -> grouped to
+    # (qid, luts: array of m arrays of k)
+    lut = (
+        qrows.join(F.broadcast(cb), "s")
+        .withColumn("_d2", _dist2(F.col("qsv"), F.col("cv")))
+        .groupBy("qid", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("e", "_d2"))),
+                lambda ed: ed["_d2"],
+            ).alias("d2s")
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "d2s"))),
+                lambda sd: sd["d2s"],
+            ).alias("luts")
+        )
+    )
+    wide = pq_codes_wide(
+        pq_encode(emb, m, k, dim, id_col, vec_col), m
+    )
+    scored = wide.crossJoin(F.broadcast(lut)).select(
+        "qid",
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at(F.col("luts"), s + 1),
+                (
+                    F.element_at(F.col("codes"), s + 1) + 1
+                ).cast("int"),
+            ),
+        ).alias("adist2"),
+    ).filter(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rk") <= topk)
+        .select("qid", "vec_id", "adist2", "rk")
+    )

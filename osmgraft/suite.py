@@ -774,6 +774,101 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
 """
 
 
+def q89_pq_codes(spark, sf_dir):
+    """Product-quantization encode (pq.pq_encode): every dim-64
+    embedding compresses to m=8 one-byte subspace codes against a
+    first-16-seeded integer codebook — map-only (posexplode +
+    broadcast codebook + in-row argmin), zero data shuffles; the
+    codes table is the 8-byte-per-vector artifact you persist at
+    100 TB instead of the 256-byte vectors."""
+    from .operators.pq import pq_encode
+
+    return pq_encode(load(spark, sf_dir, "embeddings"))
+
+
+def q90_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k search (pq.pq_adc_topk): each
+    query builds an m x k lookup table of exact subspace
+    distances (one broadcast join), candidates are scored by
+    folding their code arrays through the broadcast LUT in-row —
+    the corpus side never rereads vectors, only 8-byte code rows.
+    Integer-exact, ties -> lowest vec_id."""
+    from .operators.pq import pq_adc_topk
+
+    return pq_adc_topk(
+        load(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 50 == 0,
+        topk=3,
+    )
+
+
+def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
+    """Shared CTE chain replaying the PQ encode: quantize ->
+    subvector rows -> first-k codebook -> exact integer argmin.
+    Integer folds exactly as in _kmeans_ctes."""
+    sub = dim // m
+    return f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                AS BIGINT)) AS q
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, CAST(s.s AS BIGINT) AS s,
+         q[CAST(s.s * {sub} + 1 AS BIGINT):
+           CAST(s.s * {sub} + {sub} AS BIGINT)] AS sv
+  FROM e CROSS JOIN LATERAL (
+    SELECT unnest(range(0, {m})) AS s
+  ) s
+),
+cb AS (
+  SELECT s, vec_id AS e, sv AS cv FROM subs WHERE vec_id < {k}
+),
+scored AS (
+  SELECT v.vec_id, v.s, c.e,
+    list_sum(list_transform(range(1, {sub} + 1),
+      i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS d2
+  FROM subs v JOIN cb c ON c.s = v.s
+),
+codes AS (
+  SELECT vec_id, s, e AS code
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, e) AS rk
+        FROM scored)
+  WHERE rk = 1
+)"""
+
+
+def _pq_codes_oracle() -> str:
+    return f"""
+WITH {_pq_ctes()}
+SELECT vec_id, CAST(s AS BIGINT) AS s, code FROM codes
+"""
+
+
+def _pq_adc_oracle(topk: int = 3) -> str:
+    return f"""
+WITH {_pq_ctes()},
+lut AS (
+  SELECT vec_id AS qid, s, e, d2 FROM scored
+  WHERE vec_id % 50 = 0
+),
+adc AS (
+  SELECT l.qid, co.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adist2
+  FROM codes co
+  JOIN lut l ON l.s = co.s AND l.e = co.code
+  WHERE l.qid <> co.vec_id
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, adist2, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY adist2, vec_id) AS rk
+      FROM adc)
+WHERE rk <= {topk}
+"""
+
+
 def q85_inverted_index(spark, sf_dir):
     """Corpus inverted index (operators/search.inverted_index):
     salted two-stage holistic posting-list build (hot terms spread
@@ -1943,6 +2038,8 @@ QUERIES = {
     "q86_distinctive_terms": q86_distinctive_terms,
     "q87_ivf_trained": q87_ivf_trained,
     "q88_incremental_dedup": q88_incremental_dedup,
+    "q89_pq_codes": q89_pq_codes,
+    "q90_pq_adc_topk": q90_pq_adc_topk,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2724,6 +2821,8 @@ FROM w, z
         "q82_kmeans_ivf_train": _kmeans_oracle(),
         "q87_ivf_trained": _ivf_trained_oracle(),
         "q88_incremental_dedup": _q88_oracle(),
+        "q89_pq_codes": _pq_codes_oracle(),
+        "q90_pq_adc_topk": _pq_adc_oracle(),
         "q83_export_shards": """
 WITH h AS (
   SELECT doc_id,

@@ -1,0 +1,136 @@
+"""Product quantization (operators/pq.py): encode argmin
+correctness vs a numpy replay, seed self-coding, wide-codes
+round-trip, and ADC top-k equivalence with the brute-force
+LUT-sum ranking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.operators.pq import (
+    pq_adc_topk,
+    pq_codebook,
+    pq_codes_wide,
+    pq_encode,
+)
+
+DIM, M, K = 16, 4, 4
+SUB = DIM // M
+N = 24
+
+
+def _vectors() -> np.ndarray:
+    rng = np.random.RandomState(89)
+    return rng.uniform(-1.0, 1.0, size=(N, DIM)).astype("float64")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    v = _vectors()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v[i]]) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _np_quant(v: np.ndarray) -> np.ndarray:
+    return np.floor(v * 1_000_000).astype("int64")
+
+
+def _np_codes(v: np.ndarray) -> np.ndarray:
+    q = _np_quant(v)
+    cb = q[:K]  # entry e, subspace s = cb[e, s*SUB:(s+1)*SUB]
+    codes = np.zeros((N, M), dtype="int64")
+    for i in range(N):
+        for s in range(M):
+            sv = q[i, s * SUB : (s + 1) * SUB]
+            d2 = [
+                int(((sv - cb[e, s * SUB : (s + 1) * SUB]) ** 2).sum())
+                for e in range(K)
+            ]
+            codes[i, s] = int(np.argmin(d2))  # first min = lowest e
+    return codes
+
+
+def test_encode_matches_numpy(spark, emb):
+    want = _np_codes(_vectors())
+    got = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq_encode(emb, m=M, k=K, dim=DIM).collect()
+    }
+    assert len(got) == N * M
+    for i in range(N):
+        for s in range(M):
+            assert got[(i, s)] == want[i, s], (i, s)
+
+
+def test_seed_vectors_code_to_themselves(spark, emb):
+    rows = (
+        pq_encode(emb, m=M, k=K, dim=DIM)
+        .filter(F.col("vec_id") < K)
+        .collect()
+    )
+    for r in rows:
+        assert r["code"] == r["vec_id"]
+
+
+def test_codes_wide_roundtrip(spark, emb):
+    codes = pq_encode(emb, m=M, k=K, dim=DIM)
+    wide = {
+        r["vec_id"]: r["codes"]
+        for r in pq_codes_wide(codes, m=M).collect()
+    }
+    narrow = {
+        (r["vec_id"], r["s"]): r["code"] for r in codes.collect()
+    }
+    for i in range(N):
+        assert wide[i] == [narrow[(i, s)] for s in range(M)]
+
+
+def test_codebook_shape(spark, emb):
+    rows = pq_codebook(emb, m=M, k=K, dim=DIM).collect()
+    assert len(rows) == M * K
+    for r in rows:
+        assert len(r["cv"]) == SUB
+
+
+def test_adc_topk_matches_numpy(spark, emb):
+    v = _vectors()
+    q = _np_quant(v)
+    cb = q[:K]
+    codes = _np_codes(v)
+    topk = 3
+    want = {}
+    for qi in range(0, N, 8):  # query_filter: vec_id % 8 == 0
+        scores = []
+        for j in range(N):
+            if j == qi:
+                continue
+            ad = 0
+            for s in range(M):
+                e = codes[j, s]
+                ad += int(
+                    (
+                        (
+                            q[qi, s * SUB : (s + 1) * SUB]
+                            - cb[e, s * SUB : (s + 1) * SUB]
+                        )
+                        ** 2
+                    ).sum()
+                )
+            scores.append((ad, j))
+        scores.sort()
+        want[qi] = [
+            (j, ad, r + 1)
+            for r, (ad, j) in enumerate(scores[:topk])
+        ]
+    got = pq_adc_topk(
+        emb, F.col("vec_id") % 8 == 0, m=M, k=K, dim=DIM, topk=topk
+    ).collect()
+    assert len(got) == len(want) * topk
+    for r in got:
+        assert (r["vec_id"], r["adist2"], r["rk"]) in [
+            (j, ad, rk) for j, ad, rk in want[r["qid"]]
+        ], r
