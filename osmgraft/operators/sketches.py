@@ -1,0 +1,118 @@
+"""HyperLogLog-style distinct sketches as JOINABLE register rows —
+the mergeable twin of bloom.py's (word_idx, bits) filter.
+
+The 100-TB shape: counting distinct URLs per domain (frontier
+sizing, politeness budgets, per-source dedup ratios) with exact
+count_distinct shuffles every key; an HLL register table shrinks
+each group to m = 2^p longs via ONE map-side-combined groupBy
+(max per register — longs max-commute, so the result is
+bit-identical under any partitioning). Keeping the sketch AS A
+DATAFRAME (group, reg, rho) instead of Spark's opaque
+approx_count_distinct internal buffer makes it persistable next
+to the snapshot manifest, mergeable across snapshots with a
+union + max (hll_merge — sketch(A ∪ B) == merge exactly, tested),
+and oracle-checkable.
+
+Determinism: h = 48-bit md5-prefix integer (the bloom.py hash),
+register = h mod m, and rho = leading-zero count of the remaining
+(48-p)-bit word + 1 computed via the binary digit count
+(`length(bin(w))` in Spark, `length(printf('%b', w))` in DuckDB —
+the lm.py integer floor-log2 trick), so every register value is
+integer-exact in any engine. The estimator keeps the register
+fold integral too: sum(2^-rho) over registers is carried as the
+exact bigint numerator Z = sum(2^(R - rho)) with R = 48 - p + 1,
+absent registers contributing 2^R; the raw estimate
+alpha_m * m^2 * 2^R / Z then uses only IEEE-pinned double ops
+(multiply/divide — no ln), so the double agrees bit-for-bit with
+the SQL replay. The small-range linear-counting branch needs
+ln(), which is NOT IEEE-pinned — so instead of baking it in, the
+summary exposes the exact `zeros` count and callers apply their
+own correction."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _hash48(key) -> F.Column:
+    """48-bit md5-prefix integer of `key` (bloom.py arithmetic)."""
+    return F.conv(
+        F.substring(F.md5(key), 1, 12), 16, 10
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """(group, reg, rho) — the HLL sketch of distinct key_col per
+    group_col with m = 2^p registers. rho = leading-zero count of
+    the (48-p)-bit hash remainder + 1; one groupBy(group, reg)
+    with map-side-combined max. Registers no key hashed into are
+    simply absent (rho 0 by convention, supplied by the
+    estimator)."""
+    m = 1 << p
+    width = 48 - p
+    h = _hash48(F.col(key_col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1).cast("long")).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w)).cast("long")
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h % m).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two register tables (e.g. two snapshots' sketches):
+    union + per-register max. Exactly equals sketching the unioned
+    inputs (max is associative/commutative/idempotent)."""
+    return (
+        a.unionByName(b)
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_summary(regs: DataFrame, p: int = 6) -> DataFrame:
+    """Per-group summary of a register table:
+    (grp, zeros, z_num, raw_est) where zeros = empty registers,
+    z_num = the exact bigint numerator sum(2^(R - rho)) with
+    absent registers at rho 0, and raw_est = the HLL raw estimate
+    alpha_m * m^2 * 2^R / z_num (double multiply/divide only —
+    engine-exact). Callers apply linear counting below 2.5*m
+    using `zeros` if they need the corrected small-range value."""
+    m = 1 << p
+    big_r = 48 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    got = regs.groupBy("grp").agg(
+        F.count("*").alias("_n"),
+        F.sum(
+            F.expr(
+                "shiftleft(cast(1 as bigint),"
+                f" cast({big_r} - rho as int))"
+            )
+        ).alias("_z_present"),
+    )
+    zeros = (F.lit(m) - F.col("_n")).cast("long")
+    z_num = (
+        F.col("_z_present") + zeros * F.lit(1 << big_r)
+    ).cast("long")
+    return got.select(
+        "grp",
+        zeros.alias("zeros"),
+        z_num.alias("z_num"),
+        (
+            F.lit(alpha * m * m)
+            * F.lit(float(1 << big_r))
+            / z_num.cast("double")
+        ).alias("raw_est"),
+    )

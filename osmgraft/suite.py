@@ -869,6 +869,106 @@ WHERE rk <= {topk}
 """
 
 
+def _hll_pages(spark, sf_dir):
+    """Synthetic (domain, url) crawl rows: 23 domains, urls
+    repeat across ~3 docs (doc_id div 3) so distinct-per-domain
+    differs from row counts."""
+    d = F.col("doc_id")
+    return load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("host"),
+            (d % 23).cast("string"),
+            F.lit(".example.com"),
+        ).alias("grp"),
+        F.concat(
+            F.lit("https://host"),
+            (d % 23).cast("string"),
+            F.lit(".example.com/p/"),
+            F.expr("doc_id div 3").cast("string"),
+        ).alias("url"),
+    )
+
+
+def q91_hll_registers(spark, sf_dir):
+    """Distinct-URLs-per-domain HLL sketch as joinable register
+    rows (sketches.hll_registers): 64 integer registers per
+    domain via one map-side-combined groupBy max — the mergeable,
+    persistable alternative to an exact count_distinct shuffle at
+    100 TB (snapshots' sketches union with hll_merge)."""
+    from .operators.sketches import hll_registers
+
+    return hll_registers(
+        _hll_pages(spark, sf_dir), "grp", "url", p=6
+    )
+
+
+def q92_hll_summary(spark, sf_dir):
+    """Per-domain HLL summary over the q91 register table
+    (sketches.hll_summary): exact integer zeros / Z-numerator and
+    the raw estimate via IEEE-pinned double multiply/divide only
+    (no ln — the linear-counting branch is the caller's, fed by
+    `zeros`)."""
+    from .operators.sketches import hll_registers, hll_summary
+
+    return hll_summary(
+        hll_registers(_hll_pages(spark, sf_dir), "grp", "url", p=6),
+        p=6,
+    )
+
+
+_HLL_CTES = """pages AS (
+  SELECT 'host' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example.com' AS grp,
+         'https://host' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example.com/p/'
+           || CAST(doc_id // 3 AS VARCHAR) AS url
+  FROM documents
+),
+hashed AS (
+  SELECT grp,
+    CAST(('0x' || substr(md5(url), 1, 12)) AS BIGINT) AS h
+  FROM pages
+),
+rr AS (SELECT grp, h % 64 AS reg, h // 64 AS w FROM hashed),
+regs AS (
+  SELECT grp, reg,
+    CAST(MAX(CASE WHEN w = 0 THEN 43
+             ELSE 43 - length(printf('%b', w)) END)
+         AS BIGINT) AS rho
+  FROM rr GROUP BY 1, 2
+)"""
+
+
+def _hll_registers_oracle() -> str:
+    return f"""
+WITH {_HLL_CTES}
+SELECT grp, reg, rho FROM regs
+"""
+
+
+def _hll_summary_oracle() -> str:
+    m = 64
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    pow2r = float(1 << 43)
+    return f"""
+WITH {_HLL_CTES},
+agg AS (
+  SELECT grp, COUNT(*) AS n,
+    CAST(SUM(CAST(1 AS BIGINT) << CAST(43 - rho AS INTEGER))
+         AS BIGINT) AS z_present
+  FROM regs GROUP BY 1
+)
+SELECT grp,
+  CAST({m} - n AS BIGINT) AS zeros,
+  CAST(z_present + ({m} - n) * (CAST(1 AS BIGINT) << 43)
+       AS BIGINT) AS z_num,
+  CAST({alpha_m2!r} AS DOUBLE) * CAST({pow2r!r} AS DOUBLE)
+    / CAST(z_present + ({m} - n) * (CAST(1 AS BIGINT) << 43)
+           AS DOUBLE) AS raw_est
+FROM agg
+"""
+
+
 def q85_inverted_index(spark, sf_dir):
     """Corpus inverted index (operators/search.inverted_index):
     salted two-stage holistic posting-list build (hot terms spread
@@ -2040,6 +2140,8 @@ QUERIES = {
     "q88_incremental_dedup": q88_incremental_dedup,
     "q89_pq_codes": q89_pq_codes,
     "q90_pq_adc_topk": q90_pq_adc_topk,
+    "q91_hll_registers": q91_hll_registers,
+    "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -2823,6 +2925,8 @@ FROM w, z
         "q88_incremental_dedup": _q88_oracle(),
         "q89_pq_codes": _pq_codes_oracle(),
         "q90_pq_adc_topk": _pq_adc_oracle(),
+        "q91_hll_registers": _hll_registers_oracle(),
+        "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (
   SELECT doc_id,

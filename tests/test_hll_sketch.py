@@ -1,0 +1,103 @@
+"""HLL register sketches (operators/sketches.py): merge-equals-
+union exactness, partitioning invariance, register invariants,
+and estimator sanity at a cardinality where the raw estimate is
+in its calibrated range."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmgraft.operators.sketches import (
+    hll_merge,
+    hll_registers,
+    hll_summary,
+)
+
+
+def _keys(spark, lo: int, hi: int, grp: str = "g"):
+    return spark.range(lo, hi).select(
+        F.lit(grp).alias("grp"),
+        F.concat(F.lit("key-"), F.col("id")).alias("k"),
+    )
+
+
+def test_merge_equals_union_sketch(spark):
+    a = _keys(spark, 0, 3000)
+    b = _keys(spark, 2000, 6000)  # overlapping snapshots
+    merged = {
+        (r["grp"], r["reg"]): r["rho"]
+        for r in hll_merge(
+            hll_registers(a, "grp", "k"),
+            hll_registers(b, "grp", "k"),
+        ).collect()
+    }
+    direct = {
+        (r["grp"], r["reg"]): r["rho"]
+        for r in hll_registers(
+            a.unionByName(b), "grp", "k"
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_partitioning_invariance(spark):
+    a = _keys(spark, 0, 4000)
+    one = {
+        (r["reg"]): r["rho"]
+        for r in hll_registers(
+            a.repartition(1), "grp", "k"
+        ).collect()
+    }
+    many = {
+        (r["reg"]): r["rho"]
+        for r in hll_registers(
+            a.repartition(32), "grp", "k"
+        ).collect()
+    }
+    assert one == many
+
+
+def test_register_invariants(spark):
+    regs = hll_registers(_keys(spark, 0, 5000), "grp", "k", p=6)
+    rows = regs.collect()
+    assert len(rows) <= 64
+    for r in rows:
+        assert 0 <= r["reg"] < 64
+        assert 1 <= r["rho"] <= 43
+    s = hll_summary(regs, p=6).collect()
+    assert len(s) == 1
+    assert s[0]["zeros"] + len(rows) == 64
+
+
+def test_estimate_sanity(spark):
+    # 5000 distinct keys duplicated 3x: duplicates must not move
+    # the sketch; raw estimate within the HLL error envelope
+    # (~1.04/sqrt(64) ~ 13% stderr; allow 4 sigma).
+    base = _keys(spark, 0, 5000)
+    dup = base.unionByName(base).unionByName(base)
+    s = hll_summary(
+        hll_registers(dup, "grp", "k", p=6), p=6
+    ).collect()[0]
+    assert s["zeros"] == 0
+    assert abs(s["raw_est"] - 5000) / 5000 < 0.52
+    # and identical to the dedup'd sketch
+    s2 = hll_summary(
+        hll_registers(base, "grp", "k", p=6), p=6
+    ).collect()[0]
+    assert s["raw_est"] == s2["raw_est"]
+
+
+def test_groups_are_independent(spark):
+    a = _keys(spark, 0, 1000, "g1")
+    b = _keys(spark, 0, 1000, "g2")  # same keys, other group
+    regs = hll_registers(a.unionByName(b), "grp", "k")
+    g1 = {
+        (r["reg"], r["rho"])
+        for r in regs.filter(F.col("grp") == "g1").collect()
+    }
+    g2 = {
+        (r["reg"], r["rho"])
+        for r in regs.filter(F.col("grp") == "g2").collect()
+    }
+    assert g1 == g2  # same key set -> same registers per group
