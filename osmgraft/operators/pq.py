@@ -139,6 +139,58 @@ def pq_codes_wide(codes: DataFrame, m: int = 8) -> DataFrame:
     )
 
 
+def _query_luts(
+    queries: DataFrame,
+    m: int,
+    k: int,
+    dim: int,
+    cb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, luts: array of m arrays of k exact dist2 longs) —
+    each query's ADC lookup table, built with one broadcast join
+    of the exploded queries against the m*k codebook rows."""
+    sub = dim // m
+    qrows = quantize(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
+            "s", "qsv"
+        ),
+    )
+    return (
+        qrows.join(F.broadcast(cb), "s")
+        .withColumn("_d2", _dist2(F.col("qsv"), F.col("cv")))
+        .groupBy("qid", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("e", "_d2"))),
+                lambda ed: ed["_d2"],
+            ).alias("d2s")
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "d2s"))),
+                lambda sd: sd["d2s"],
+            ).alias("luts")
+        )
+    )
+
+
+def _adc_score(m: int):
+    """In-row ADC fold: sum over subspaces of luts[s][codes[s]]."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("luts"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        ),
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_filter,
@@ -162,35 +214,9 @@ def pq_adc_topk(
     corpus-side plan is scan codes + broadcast hash join + fold,
     with the only corpus-wide shuffles the codes-wide groupBy and
     the final top-k window keyed by qid."""
-    sub = dim // m
     cb = pq_codebook(emb, m, k, dim, id_col, vec_col)
-    qrows = quantize(
-        emb.filter(query_filter), id_col, vec_col
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
-            "s", "qsv"
-        ),
-    )
-    # (qid, s, d2s: array of k dist2, index e+1) -> grouped to
-    # (qid, luts: array of m arrays of k)
-    lut = (
-        qrows.join(F.broadcast(cb), "s")
-        .withColumn("_d2", _dist2(F.col("qsv"), F.col("cv")))
-        .groupBy("qid", "s")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("e", "_d2"))),
-                lambda ed: ed["_d2"],
-            ).alias("d2s")
-        )
-        .groupBy("qid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "d2s"))),
-                lambda sd: sd["d2s"],
-            ).alias("luts")
-        )
+    lut = _query_luts(
+        emb.filter(query_filter), m, k, dim, cb, id_col, vec_col
     )
     wide = pq_codes_wide(
         pq_encode(emb, m, k, dim, id_col, vec_col), m
@@ -198,17 +224,7 @@ def pq_adc_topk(
     scored = wide.crossJoin(F.broadcast(lut)).select(
         "qid",
         "vec_id",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, s: acc
-            + F.element_at(
-                F.element_at(F.col("luts"), s + 1),
-                (
-                    F.element_at(F.col("codes"), s + 1) + 1
-                ).cast("int"),
-            ),
-        ).alias("adist2"),
+        _adc_score(m).alias("adist2"),
     ).filter(F.col("qid") != F.col("vec_id"))
     w = Window.partitionBy("qid").orderBy(
         F.col("adist2").asc(), F.col("vec_id").asc()
@@ -219,4 +235,98 @@ def pq_adc_topk(
         )
         .filter(F.col("rk") <= topk)
         .select("qid", "vec_id", "adist2", "rk")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_filter,
+    kc: int = 8,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (no residual): the composed 100-TB vector-search
+    plan — IVF routes each query to its n_probe nearest coarse
+    centroids (dedup.embed_ann_ivf's routing, here in exact
+    fixed-point integer dist2 like clustering._assign, ties ->
+    lowest cid), then ADC scores ONLY the probed inverted lists'
+    8-byte code rows through the query's broadcast LUT. Per query
+    the work is n_probe/kc of the corpus' CODES (not vectors);
+    recall tunes via n_probe and kc independently of corpus size.
+
+    Coarse centroids are the quantized vectors of the kc lowest
+    vec_ids (deterministic seeding — at real scale feed
+    clustering.kmeans_centroids output instead; same shape).
+
+    Returns (qid, vec_id, cluster, adist2, rk), rk 1..topk by
+    (adist2 asc, vec_id asc), self excluded. Integer-exact."""
+    from pyspark.sql import Window as W
+
+    vecs = quantize(emb, id_col, vec_col)
+    cents = vecs.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cv")
+    )
+    assign = _ivf_assign(vecs, cents).select(
+        "vec_id", "cluster"
+    )
+    wide = pq_codes_wide(
+        pq_encode(emb, m, k, dim, id_col, vec_col), m
+    )
+    lists = wide.join(assign, "vec_id")
+
+    qv = quantize(emb.filter(query_filter), id_col, vec_col).select(
+        F.col("vec_id").alias("qid"), "q"
+    )
+    qc = qv.crossJoin(F.broadcast(cents)).select(
+        "qid", "cid", _dist2(F.col("q"), F.col("cv")).alias("_d2")
+    )
+    wp = W.partitionBy("qid").orderBy(
+        F.asc("_d2"), F.asc("cid")
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("qid", F.col("cid").alias("cluster"))
+    )
+    cb = pq_codebook(emb, m, k, dim, id_col, vec_col)
+    lut = _query_luts(
+        emb.filter(query_filter), m, k, dim, cb, id_col, vec_col
+    )
+    cand = probes.join(lists, "cluster").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = cand.join(F.broadcast(lut), "qid").select(
+        "qid", "vec_id", "cluster", _adc_score(m).alias("adist2")
+    )
+    wk = W.partitionBy("qid").orderBy(
+        F.asc("adist2"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(wk).cast("long")
+        )
+        .filter(F.col("rk") <= topk)
+        .select("qid", "vec_id", "cluster", "adist2", "rk")
+    )
+
+
+def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest coarse centroid per vector (exact integer dist2,
+    ties -> lowest cid): broadcast nested loop + per-vector
+    min-struct — clustering._assign's plan, kept local so pq.py
+    imports stay acyclic."""
+    scored = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", _dist2(F.col("q"), F.col("cv")))
+        .select("vec_id", "cid", "_d2")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("_d2", "cid")).alias("_b"))
+        .select("vec_id", F.col("_b.cid").alias("cluster"))
     )

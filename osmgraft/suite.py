@@ -802,6 +802,73 @@ def q90_pq_adc_topk(spark, sf_dir):
     )
 
 
+def q93_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed search (pq.ivf_pq_topk): coarse integer
+    centroids route each query to n_probe=2 inverted lists, ADC
+    scores only those lists' 8-byte code rows through the query's
+    broadcast LUT — the full compressed-and-routed 100-TB vector
+    plan (per query: n_probe/kc of the corpus' CODES, never the
+    vectors). Integer-exact end to end."""
+    from .operators.pq import ivf_pq_topk
+
+    return ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 50 == 0,
+        kc=8,
+        n_probe=2,
+        topk=3,
+    )
+
+
+def _ivf_pq_oracle(
+    kc: int = 8, n_probe: int = 2, topk: int = 3, dim: int = 64
+) -> str:
+    return f"""
+WITH {_pq_ctes()},
+cents AS (
+  SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id < {kc}
+),
+vdist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(range(1, {dim} + 1),
+      i -> (e.q[i] - c.cv[i]) * (e.q[i] - c.cv[i]))) AS d2
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM vdist)
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cluster
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM vdist WHERE vec_id % 50 = 0)
+  WHERE rk <= {n_probe}
+),
+lut AS (
+  SELECT vec_id AS qid, s, e, d2 FROM scored
+  WHERE vec_id % 50 = 0
+),
+adc AS (
+  SELECT p.qid, a.vec_id, a.cluster,
+         CAST(SUM(l.d2) AS BIGINT) AS adist2
+  FROM probes p
+  JOIN assign a ON a.cluster = p.cluster
+                AND a.vec_id <> p.qid
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN lut l ON l.qid = p.qid AND l.s = co.s AND l.e = co.code
+  GROUP BY 1, 2, 3
+)
+SELECT qid, vec_id, cluster, adist2, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY adist2, vec_id) AS rk
+      FROM adc)
+WHERE rk <= {topk}
+"""
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2141,6 +2208,7 @@ QUERIES = {
     "q89_pq_codes": q89_pq_codes,
     "q90_pq_adc_topk": q90_pq_adc_topk,
     "q91_hll_registers": q91_hll_registers,
+    "q93_ivf_pq_topk": q93_ivf_pq_topk,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -2926,6 +2994,7 @@ FROM w, z
         "q89_pq_codes": _pq_codes_oracle(),
         "q90_pq_adc_topk": _pq_adc_oracle(),
         "q91_hll_registers": _hll_registers_oracle(),
+        "q93_ivf_pq_topk": _ivf_pq_oracle(),
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (

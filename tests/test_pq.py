@@ -134,3 +134,49 @@ def test_adc_topk_matches_numpy(spark, emb):
         assert (r["vec_id"], r["adist2"], r["rk"]) in [
             (j, ad, rk) for j, ad, rk in want[r["qid"]]
         ], r
+
+
+def test_ivf_pq_full_probe_equals_brute_adc(spark, emb):
+    """With n_probe = kc (probe every list) IVF-PQ must return
+    exactly the brute-force ADC ranking — routing is a filter,
+    never a different scorer."""
+    from osmgraft.operators.pq import ivf_pq_topk
+
+    kc = 4
+    brute = {
+        (r["qid"], r["vec_id"], r["adist2"], r["rk"])
+        for r in pq_adc_topk(
+            emb, F.col("vec_id") % 8 == 0, m=M, k=K, dim=DIM,
+            topk=3,
+        ).collect()
+    }
+    routed = {
+        (r["qid"], r["vec_id"], r["adist2"], r["rk"])
+        for r in ivf_pq_topk(
+            emb, F.col("vec_id") % 8 == 0, kc=kc, m=M, k=K,
+            dim=DIM, n_probe=kc, topk=3,
+        ).collect()
+    }
+    assert routed == brute
+
+
+def test_ivf_pq_subset_of_probed_lists(spark, emb):
+    """Every returned neighbor must belong to one of its query's
+    probed clusters, and scores must match the brute ADC score."""
+    from osmgraft.operators.pq import ivf_pq_topk
+
+    rows = ivf_pq_topk(
+        emb, F.col("vec_id") % 8 == 0, kc=4, m=M, k=K, dim=DIM,
+        n_probe=2, topk=3,
+    ).collect()
+    assert len(rows) > 0
+    brute = {
+        (r["qid"], r["vec_id"]): r["adist2"]
+        for r in pq_adc_topk(
+            emb, F.col("vec_id") % 8 == 0, m=M, k=K, dim=DIM,
+            topk=N,
+        ).collect()
+    }
+    for r in rows:
+        assert r["adist2"] == brute[(r["qid"], r["vec_id"])]
+        assert r["rk"] >= 1 and r["qid"] != r["vec_id"]
