@@ -100,3 +100,112 @@ def streaming_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_near_dup_probe(
+    spark: SparkSession,
+    docs_dir: str,
+    corpus: DataFrame,
+    n_hashes: int = 12,
+    band_rows: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.incremental_near_dups
+    (q88): new documents ARRIVING AS A STREAM are near-dup-checked
+    against a STATIC corpus LSH index with stream-static joins —
+    the continuous form of the monthly-snapshot dedup.
+
+    Stateless by construction so it runs in append mode with no
+    watermark: the stream side computes its MinHash signature
+    IN-ROW (12 array_min folds over the materialized gram array —
+    the one place the in-row form is the right call, because a
+    streaming groupBy would make the probe a stateful aggregation;
+    the gram array is its own projection so the tokenize+shingle
+    pipeline still runs once per row), explodes into band rows,
+    and inner-joins the static index + static gram table. Exact
+    Jaccard verifies in-row on the joined gram arrays.
+
+    Emits ONE ROW PER (pair, shared band) — a pair sharing b bands
+    appears b times; downstream sinks dedup idempotently on
+    (batch_doc, corpus_doc), the manifest-upsert discipline. The
+    verified values match the batch operator exactly (tested).
+
+    Returns the append-mode stream of
+    (batch_doc, corpus_doc, band_idx, inter, jaccard)."""
+    from ..operators.dedup import minhash_bands, with_gram_array
+
+    n_bands = n_hashes // band_rows
+    idx = minhash_bands(
+        corpus, n_hashes, band_rows, "doc_id", "text"
+    )
+    corpus_grams = with_gram_array(corpus, "text", n).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("_g").alias("_gb"),
+    )
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    sg = with_gram_array(stream, "text", n)
+
+    def _salted(i: int):
+        # NOTE: must be a ONE-parameter lambda — F.transform
+        # introspects arity, and a second parameter (even a
+        # defaulted `i=i`) makes it pass (element, index) and
+        # bind the salt to the index Column.
+        return lambda g: F.md5(F.concat(F.lit(f"{i}:"), g))
+
+    sigs = sg.select(
+        "doc_id",
+        "_g",
+        *[
+            F.array_min(
+                F.transform("_g", _salted(i))
+            ).alias(f"_s{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"_s{b * band_rows + j}")
+                    for j in range(band_rows)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col("doc_id").alias("batch_doc"),
+        "_g",
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    cand = banded.join(idx, ["band_idx", "band_val"]).select(
+        "batch_doc",
+        "_g",
+        F.col("doc").alias("corpus_doc"),
+        "band_idx",
+    )
+    withg = cand.join(corpus_grams, "corpus_doc")
+    inter = F.size(F.array_intersect("_g", "_gb")).cast("long")
+    return (
+        withg.withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (
+                F.size("_g") + F.size("_gb") - F.col("inter")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "batch_doc", "corpus_doc", "band_idx",
+            "inter", "jaccard",
+        )
+    )

@@ -83,3 +83,88 @@ def test_streaming_keepers_match_batch_dedup(spark, tmp_path):
     batch_keepers = sorted(r.keeper for r in batch.collect())
     assert stream_keepers == batch_keepers == [0, 1, 2, 3, 4]
     assert len(got) == 20
+
+
+def test_streaming_probe_matches_batch_incremental(
+    spark, tmp_path
+):
+    """streaming_near_dup_probe drained over the same batch docs
+    must verify exactly the pairs/values of the batch
+    incremental_near_dups (q88) after idempotent pair-dedup, and
+    emit one row per shared band."""
+    from osmgraft.operators.dedup import incremental_near_dups
+    from osmgraft.streaming.dedup import streaming_near_dup_probe
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs "
+        "far away into the green forest tonight under the moon"
+    )
+    other = (
+        "completely different words describing unrelated topics "
+        "like databases query engines caching layers and formats"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    batch_rows = [
+        (101, "dup " + base),
+        (102, "fresh unseen content about sailing boats across "
+              "wide oceans with steady winds and bright stars"),
+        (103, other + " extra"),
+    ]
+    docs = tmp_path / "docs"
+    _write(spark, str(docs), batch_rows)
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def sink(b, _bid):
+        b.write.mode("append").parquet(str(out))
+
+    q = (
+        streaming_near_dup_probe(spark, str(docs), corpus)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.read.parquet(str(out)).collect()
+    assert len(got_rows) > 0
+    # one row per shared band; pairs dedup to the batch result
+    streamed = {
+        (
+            r["batch_doc"],
+            r["corpus_doc"],
+            r["inter"],
+            round(r["jaccard"], 9),
+        )
+        for r in got_rows
+    }
+    batch_df = spark.createDataFrame(
+        batch_rows, "doc_id long, text string"
+    )
+    want = {
+        (
+            r["batch_doc"],
+            r["corpus_doc"],
+            r["inter"],
+            round(r["jaccard"], 9),
+        )
+        for r in incremental_near_dups(corpus, batch_df).collect()
+    }
+    assert streamed == want
+    # duplicate-band rows are per-band distinct
+    bands_per_pair = {}
+    for r in got_rows:
+        key = (r["batch_doc"], r["corpus_doc"])
+        bands_per_pair.setdefault(key, set()).add(r["band_idx"])
+        assert r["jaccard"] >= 0.5
+    for key, bands in bands_per_pair.items():
+        n_rows = sum(
+            1
+            for r in got_rows
+            if (r["batch_doc"], r["corpus_doc"]) == key
+        )
+        assert n_rows == len(bands)  # no duplicated (pair, band)
