@@ -180,3 +180,30 @@ def test_ivf_pq_subset_of_probed_lists(spark, emb):
     for r in rows:
         assert r["adist2"] == brute[(r["qid"], r["vec_id"])]
         assert r["rk"] >= 1 and r["qid"] != r["vec_id"]
+
+
+def test_ivf_pq_recall_monotone_in_n_probe(spark, emb):
+    """The n_probe knob must be monotone: candidates found at
+    n_probe=p are a subset of those at p+1, so recall vs brute
+    ADC can only improve. (The 100-TB recall/cost dial.)"""
+    from osmgraft.operators.pq import ivf_pq_topk
+
+    brute = {
+        (r["qid"], r["vec_id"])
+        for r in pq_adc_topk(
+            emb, F.col("vec_id") % 8 == 0, m=M, k=K, dim=DIM,
+            topk=3,
+        ).collect()
+    }
+    recalls = []
+    for p in (1, 2, 4):
+        routed = {
+            (r["qid"], r["vec_id"])
+            for r in ivf_pq_topk(
+                emb, F.col("vec_id") % 8 == 0, kc=4, m=M, k=K,
+                dim=DIM, n_probe=p, topk=3,
+            ).collect()
+        }
+        recalls.append(len(routed & brute) / len(brute))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # n_probe = kc probes everything
