@@ -259,3 +259,91 @@ def test_tile_quality_one_equi_join_partial_agg(spark):
     )
     assert joins == 1, plan
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_incremental_dedup_plan_no_gram_selfjoin(spark):
+    """q88 guard: the batch-vs-index probe must join band rows and
+    candidate lists only — no join keyed on a gram column (the
+    quadratic-per-hot-gram shape), and no cartesian product."""
+    import re
+
+    from osmgraft.operators.dedup import incremental_near_dups
+
+    corpus = spark.createDataFrame(
+        [(i, f"one two three four five w{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"one two three four five w{i} x")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(incremental_near_dups(corpus, batch))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"(?i)join[^\n]*", plan):
+        assert "gram" not in m.group(0).lower(), m.group(0)
+
+
+def test_pq_encode_corpus_side_map_only(spark):
+    """q89 guard: encoding joins the corpus rows against a
+    BROADCAST grouped codebook; the only exchange in the plan is
+    the tiny codebook-side aggregation (bounded by m*k rows) —
+    the corpus itself is never shuffled."""
+    from osmgraft.operators.pq import pq_encode
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(pq_encode(emb, m=4, k=4, dim=16))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every Exchange sits on the codebook branch (below the
+    # broadcast), none on the corpus probe side: the plan's last
+    # join input (the streamed corpus side) has no Exchange after
+    # the broadcast marker
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_adc_lut_is_broadcast(spark):
+    """q90/q93 guard: the per-query LUT reaches candidates via a
+    broadcast (nested-loop or hash) join — the corpus code rows
+    must not shuffle to meet the queries."""
+    from osmgraft.operators.pq import ivf_pq_topk, pq_adc_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(16)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(
+        pq_adc_topk(emb, F.col("vec_id") % 8 == 0, m=4, k=4,
+                    dim=16)
+    )
+    assert "BroadcastNestedLoopJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    plan2 = _plan(
+        ivf_pq_topk(emb, F.col("vec_id") % 8 == 0, kc=4, m=4,
+                    k=4, dim=16)
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_hll_registers_single_partial_agg_shuffle(spark):
+    """q91 guard: the sketch is ONE map-side-combined groupBy —
+    exactly one exchange, with a partial aggregate upstream of
+    it."""
+    from osmgraft.operators.sketches import hll_registers
+
+    df = spark.createDataFrame(
+        [("g", f"key-{i}") for i in range(100)],
+        "grp string, k string",
+    )
+    plan = _plan(hll_registers(df, "grp", "k"))
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan or "HashAggregate" in plan
