@@ -92,6 +92,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame = None,
 ) -> DataFrame:
     """(vec_id, s, code) — each vector's nearest codebook entry
     per subspace, exact integer dist2, ties -> lowest entry id.
@@ -99,11 +100,15 @@ def pq_encode(
     broadcast join on the m grouped codebook rows, in-row argmin
     (min over (d2, e) structs). The argmin struct materializes as
     its own projection first (the HOF-CSE rule: an inlined
-    aggregate-lambda referenced twice re-runs the fold twice)."""
+    aggregate-lambda referenced twice re-runs the fold twice).
+
+    `codebook` accepts an externally trained (s, e, cv) table
+    (e.g. pq_trained_codebook); default is the first-k seeded
+    pq_codebook."""
     sub = dim // m
-    cbg = _grouped_codebook(
-        pq_codebook(emb, m, k, dim, id_col, vec_col)
-    )
+    if codebook is None:
+        codebook = pq_codebook(emb, m, k, dim, id_col, vec_col)
+    cbg = _grouped_codebook(codebook)
     rows = quantize(emb, id_col, vec_col).select(
         "vec_id",
         F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
@@ -330,3 +335,74 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         .agg(F.min(F.struct("_d2", "cid")).alias("_b"))
         .select("vec_id", F.col("_b.cid").alias("cluster"))
     )
+
+
+def pq_trained_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-trained per-subspace codebooks (s, e, cv) — all m
+    codebooks trained JOINTLY: the subspace id rides the cluster
+    key, so each pass is ONE broadcast-assign (m*k rows joined on
+    s, in-row-free argmin via min-struct) plus ONE
+    groupBy(s, cluster) update with dim/m integer-sum columns.
+    Pass count is independent of m — training 8 codebooks costs
+    the same number of jobs as training 1 (the joint twin of
+    clustering.kmeans_centroids; same integer-exact arithmetic:
+    fixed-point quantization, bigint dist2, truncating-div means,
+    seeds = the k lowest vec_ids' subvectors, empty clusters
+    disappear — all replayed identically in SQL).
+
+    Feed the result to pq_encode(codebook=...) for trained-PQ
+    codes."""
+    sub = dim // m
+    subs = quantize(emb, id_col, vec_col).select(
+        "vec_id",
+        F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
+            "s", "sv"
+        ),
+    )
+    cents = subs.filter(F.col("vec_id") < k).select(
+        "s", F.col("vec_id").alias("e"), F.col("sv").alias("cv")
+    )
+    for _ in range(n_iter):
+        scored = (
+            subs.join(F.broadcast(cents), "s")
+            .withColumn("_d2", _dist2(F.col("sv"), F.col("cv")))
+            .select("vec_id", "s", "sv", "e", "_d2")
+        )
+        assigned = (
+            scored.groupBy("vec_id", "s")
+            .agg(
+                F.min(F.struct("_d2", "e")).alias("_b"),
+                F.first("sv").alias("sv"),
+            )
+            .select(
+                "s", F.col("_b.e").alias("cluster"), "sv"
+            )
+        )
+        sums = assigned.groupBy("s", "cluster").agg(
+            F.count("*").cast("long").alias("_n"),
+            *[
+                F.sum(F.element_at("sv", i + 1))
+                .cast("long")
+                .alias(f"_s{i}")
+                for i in range(sub)
+            ],
+        )
+        cents = sums.select(
+            "s",
+            F.col("cluster").alias("e"),
+            F.array(
+                *[
+                    F.expr(f"_s{i} div _n").cast("long")
+                    for i in range(sub)
+                ]
+            ).alias("cv"),
+        ).localCheckpoint(eager=False)
+    return cents

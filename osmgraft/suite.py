@@ -869,6 +869,100 @@ WHERE rk <= {topk}
 """
 
 
+def q94_pq_trained_codes(spark, sf_dir):
+    """Trained-PQ encode: per-subspace codebooks Lloyd-trained
+    JOINTLY (pq.pq_trained_codebook — the subspace id rides the
+    cluster key, so one assign + one update job per pass trains
+    all 8 codebooks; pass count independent of m), then the q89
+    map-only encode against the trained (s, e, cv) table. The
+    train-and-serve composition for the compressed vector path,
+    integer-exact end to end."""
+    from .operators.pq import pq_encode, pq_trained_codebook
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_trained_codebook(emb, m=8, k=8, dim=64, n_iter=1)
+    return pq_encode(emb, m=8, k=8, dim=64, codebook=cb)
+
+
+def _pq_trained_oracle(
+    m: int = 8, k: int = 8, dim: int = 64, n_iter: int = 1
+) -> str:
+    """Unrolled joint-Lloyd replay: one (s, cluster)-keyed
+    assign/update chain per pass covers all m subspaces (the SQL
+    twin of the one-job-per-pass claim), then the exact-argmin
+    encode against the trained codebooks."""
+    sub = dim // m
+    d2 = (
+        f"list_sum(list_transform(range(1, {sub} + 1),"
+        " i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                AS BIGINT)) AS q
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, CAST(s.s AS BIGINT) AS s,
+         q[CAST(s.s * {sub} + 1 AS BIGINT):
+           CAST(s.s * {sub} + {sub} AS BIGINT)] AS sv
+  FROM e CROSS JOIN LATERAL (
+    SELECT unnest(range(0, {m})) AS s
+  ) s
+),
+c0 AS (
+  SELECT s, vec_id AS e, sv AS cv FROM subs WHERE vec_id < {k}
+)"""
+    ]
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"""d{it} AS (
+  SELECT v.vec_id, v.s, v.sv, c.e, {d2} AS d2
+  FROM subs v JOIN c{it - 1} c ON c.s = v.s
+),
+a{it} AS (
+  SELECT s, e AS cluster, sv
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, e) AS rk
+        FROM d{it})
+  WHERE rk = 1
+),
+u{it} AS (
+  SELECT s, cluster, i, CAST(SUM(sv[i]) AS BIGINT) AS sm,
+         COUNT(*) AS n
+  FROM a{it}, UNNEST(range(1, {sub} + 1)) AS r(i)
+  GROUP BY 1, 2, 3
+),
+c{it} AS (
+  SELECT s, cluster AS e,
+         list(CAST(sm // n AS BIGINT) ORDER BY i) AS cv
+  FROM u{it} GROUP BY 1, 2
+)"""
+        )
+    parts.append(
+        f"""df AS (
+  SELECT v.vec_id, v.s, c.e, {d2} AS d2
+  FROM subs v JOIN c{n_iter} c ON c.s = v.s
+),
+codes AS (
+  SELECT vec_id, s, e AS code
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, e) AS rk
+        FROM df)
+  WHERE rk = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT vec_id, CAST(s AS BIGINT) AS s, code FROM codes
+"""
+    )
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2209,6 +2303,7 @@ QUERIES = {
     "q90_pq_adc_topk": q90_pq_adc_topk,
     "q91_hll_registers": q91_hll_registers,
     "q93_ivf_pq_topk": q93_ivf_pq_topk,
+    "q94_pq_trained_codes": q94_pq_trained_codes,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -2995,6 +3090,7 @@ FROM w, z
         "q90_pq_adc_topk": _pq_adc_oracle(),
         "q91_hll_registers": _hll_registers_oracle(),
         "q93_ivf_pq_topk": _ivf_pq_oracle(),
+        "q94_pq_trained_codes": _pq_trained_oracle(),
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (

@@ -207,3 +207,79 @@ def test_ivf_pq_recall_monotone_in_n_probe(spark, emb):
         recalls.append(len(routed & brute) / len(brute))
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0  # n_probe = kc probes everything
+
+
+def _np_trained_cb(v: np.ndarray, k: int, n_iter: int = 1):
+    """numpy joint-Lloyd replay: per-subspace codebooks, first-k
+    seeds, exact integer sums and trunc-div means."""
+    q = _np_quant(v)
+    cb = {
+        (s, e): q[e, s * SUB : (s + 1) * SUB].copy()
+        for s in range(M)
+        for e in range(k)
+    }
+    for _ in range(n_iter):
+        groups: dict = {}
+        for i in range(N):
+            for s in range(M):
+                sv = q[i, s * SUB : (s + 1) * SUB]
+                best = min(
+                    (int(((sv - cv) ** 2).sum()), e)
+                    for (s2, e), cv in cb.items()
+                    if s2 == s
+                )[1]
+                groups.setdefault((s, best), []).append(sv)
+        cb = {}
+        for key, svs in groups.items():
+            tot = np.sum(np.stack(svs), axis=0, dtype="int64")
+            n = len(svs)
+            # truncating division toward zero (Spark div, DuckDB //)
+            cb[key] = np.array(
+                [int(t) // n if t >= 0 else -((-int(t)) // n)
+                 for t in tot],
+                dtype="int64",
+            )
+    return cb
+
+
+def test_trained_codebook_matches_numpy(spark, emb):
+    from osmgraft.operators.pq import pq_trained_codebook
+
+    want = _np_trained_cb(_vectors(), k=K, n_iter=1)
+    got = {
+        (r["s"], r["e"]): list(r["cv"])
+        for r in pq_trained_codebook(
+            emb, m=M, k=K, dim=DIM, n_iter=1
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == [int(x) for x in want[key]], key
+
+
+def test_trained_encode_composes(spark, emb):
+    """pq_encode(codebook=trained) codes every (vec, s) to the
+    integer-argmin entry of the trained codebook."""
+    from osmgraft.operators.pq import (
+        pq_encode,
+        pq_trained_codebook,
+    )
+
+    cb = pq_trained_codebook(emb, m=M, k=K, dim=DIM, n_iter=1)
+    codes = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq_encode(
+            emb, m=M, k=K, dim=DIM, codebook=cb
+        ).collect()
+    }
+    want_cb = _np_trained_cb(_vectors(), k=K, n_iter=1)
+    q = _np_quant(_vectors())
+    for i in range(N):
+        for s in range(M):
+            sv = q[i, s * SUB : (s + 1) * SUB]
+            best = min(
+                (int(((sv - cv) ** 2).sum()), e)
+                for (s2, e), cv in want_cb.items()
+                if s2 == s
+            )[1]
+            assert codes[(i, s)] == best, (i, s)
