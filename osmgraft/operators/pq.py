@@ -105,11 +105,21 @@ def pq_encode(
     `codebook` accepts an externally trained (s, e, cv) table
     (e.g. pq_trained_codebook); default is the first-k seeded
     pq_codebook."""
-    sub = dim // m
     if codebook is None:
         codebook = pq_codebook(emb, m, k, dim, id_col, vec_col)
+    return _encode_q(
+        quantize(emb, id_col, vec_col), codebook, m, dim // m
+    )
+
+
+def _encode_q(
+    qvecs: DataFrame, codebook: DataFrame, m: int, sub: int
+) -> DataFrame:
+    """Encode pre-quantized (vec_id, q) rows against an (s, e, cv)
+    codebook — the shared core of pq_encode and the residual
+    encoder (residual_ivf_pq_topk feeds q = vector - centroid)."""
     cbg = _grouped_codebook(codebook)
-    rows = quantize(emb, id_col, vec_col).select(
+    rows = qvecs.select(
         "vec_id",
         F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
             "s", "sv"
@@ -406,3 +416,137 @@ def pq_trained_codebook(
             ).alias("cv"),
         ).localCheckpoint(eager=False)
     return cents
+
+
+def residual_ivf_pq_topk(
+    emb: DataFrame,
+    query_filter,
+    kc: int = 8,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual IVF-PQ (the IVFADC layout): every vector's PQ
+    codes quantize its RESIDUAL from the coarse centroid
+    (r = q - cv[cluster]) rather than the raw vector — residuals
+    are tighter around zero, so the same code budget carries more
+    precision. Queries compute a residual LUT PER PROBED LIST
+    (q - cv[c] against the residual codebook), then score that
+    list's code rows in-row.
+
+    Integer-exact throughout: fixed-point subtraction stays in
+    longs, so the whole chain — coarse assign, residual encode,
+    per-(query, list) LUT, ADC fold — replays identically in SQL.
+    Residual codebook: the residual subvectors of the k lowest
+    vec_ids (deterministic seeding; pq_trained_codebook's joint
+    Lloyd trains the same (s, e, cv) shape on residuals at real
+    scale).
+
+    Scale shape: like ivf_pq_topk plus one broadcast join carrying
+    the kc centroid rows to compute residuals, and LUTs keyed
+    (qid, cluster) — n_probe * m * k rows per query, still
+    broadcast. Returns (qid, vec_id, cluster, adist2, rk)."""
+    from pyspark.sql import Window as W
+
+    sub = dim // m
+    vecs = quantize(emb, id_col, vec_col)
+    cents = vecs.filter(F.col("vec_id") < kc).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cv")
+    )
+    assign = _ivf_assign(vecs, cents)
+    # residual vectors: q - cv[cluster] (broadcast kc rows)
+    rv = (
+        vecs.join(assign, "vec_id")
+        .join(
+            F.broadcast(
+                cents.select(
+                    F.col("cid").alias("cluster"), "cv"
+                )
+            ),
+            "cluster",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with(
+                "q", "cv", lambda a, b: a - b
+            ).alias("q"),
+        )
+    )
+    rcb = rv.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("e"),
+        F.posexplode(_sub_slices(F.col("q"), m, sub)).alias(
+            "s", "cv"
+        ),
+    ).select("s", "e", "cv")
+    codes = _encode_q(rv.select("vec_id", "q"), rcb, m, sub)
+    lists = pq_codes_wide(codes, m).join(assign, "vec_id")
+
+    # query routing + per-(qid, probed cluster) residual LUTs
+    qv = vecs.filter(query_filter).select(
+        F.col("vec_id").alias("qid"), "q"
+    )
+    qc = qv.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "cid",
+        "q",
+        "cv",
+        _dist2(F.col("q"), F.col("cv")).alias("_d2"),
+    )
+    wp = W.partitionBy("qid").orderBy(F.asc("_d2"), F.asc("cid"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select(
+            "qid",
+            F.col("cid").alias("cluster"),
+            F.zip_with("q", "cv", lambda a, b: a - b).alias(
+                "qr"
+            ),
+        )
+    )
+    qrows = probes.select(
+        "qid",
+        "cluster",
+        F.posexplode(_sub_slices(F.col("qr"), m, sub)).alias(
+            "s", "qsv"
+        ),
+    )
+    lut = (
+        qrows.join(F.broadcast(rcb), "s")
+        .withColumn("_d2", _dist2(F.col("qsv"), F.col("cv")))
+        .groupBy("qid", "cluster", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("e", "_d2"))),
+                lambda ed: ed["_d2"],
+            ).alias("d2s")
+        )
+        .groupBy("qid", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "d2s"))),
+                lambda sd: sd["d2s"],
+            ).alias("luts")
+        )
+    )
+    cand = lut.join(lists, "cluster").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = cand.select(
+        "qid", "vec_id", "cluster", _adc_score(m).alias("adist2")
+    )
+    wk = W.partitionBy("qid").orderBy(
+        F.asc("adist2"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(wk).cast("long")
+        )
+        .filter(F.col("rk") <= topk)
+        .select("qid", "vec_id", "cluster", "adist2", "rk")
+    )

@@ -963,6 +963,139 @@ SELECT vec_id, CAST(s AS BIGINT) AS s, code FROM codes
     )
 
 
+def q95_residual_ivf_pq(spark, sf_dir):
+    """Residual IVF-PQ — the IVFADC layout (pq.residual_ivf_pq_topk):
+    PQ codes quantize each vector's RESIDUAL from its coarse
+    centroid; queries build a residual LUT per probed list and
+    ADC-score that list's 8-byte code rows. Fixed-point
+    subtraction keeps the whole chain in longs, so the oracle
+    replays it exactly."""
+    from .operators.pq import residual_ivf_pq_topk
+
+    return residual_ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 50 == 0,
+        kc=8,
+        m=8,
+        k=8,
+        n_probe=2,
+        topk=3,
+    )
+
+
+def _residual_ivf_pq_oracle(
+    kc: int = 8,
+    m: int = 8,
+    k: int = 8,
+    dim: int = 64,
+    n_probe: int = 2,
+    topk: int = 3,
+) -> str:
+    sub = dim // m
+    d2full = (
+        f"list_sum(list_transform(range(1, {dim} + 1),"
+        " i -> (e.q[i] - c.cv[i]) * (e.q[i] - c.cv[i])))"
+    )
+    d2sub = (
+        f"list_sum(list_transform(range(1, {sub} + 1),"
+        " i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i])))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                AS BIGINT)) AS q
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id < {kc}
+),
+vdist AS (
+  SELECT e.vec_id, c.cid, {d2full} AS d2
+  FROM e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM vdist)
+  WHERE rk = 1
+),
+rv AS (
+  SELECT e.vec_id, a.cluster,
+         list_transform(range(1, {dim} + 1),
+           i -> e.q[i] - c.cv[i]) AS q
+  FROM e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cents c ON c.cid = a.cluster
+),
+rsubs AS (
+  SELECT vec_id, CAST(s.s AS BIGINT) AS s,
+         q[CAST(s.s * {sub} + 1 AS BIGINT):
+           CAST(s.s * {sub} + {sub} AS BIGINT)] AS sv
+  FROM rv CROSS JOIN LATERAL (
+    SELECT unnest(range(0, {m})) AS s
+  ) s
+),
+rcb AS (
+  SELECT s, vec_id AS e, sv AS cv FROM rsubs WHERE vec_id < {k}
+),
+rscored AS (
+  SELECT v.vec_id, v.s, c.e, {d2sub} AS d2
+  FROM rsubs v JOIN rcb c ON c.s = v.s
+),
+codes AS (
+  SELECT vec_id, s, e AS code
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, e) AS rk
+        FROM rscored)
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cluster
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM vdist WHERE vec_id % 50 = 0)
+  WHERE rk <= {n_probe}
+),
+qres AS (
+  SELECT p.qid, p.cluster,
+         list_transform(range(1, {dim} + 1),
+           i -> e.q[i] - c.cv[i]) AS q
+  FROM probes p
+  JOIN e ON e.vec_id = p.qid
+  JOIN cents c ON c.cid = p.cluster
+),
+qrsubs AS (
+  SELECT qid, cluster, CAST(s.s AS BIGINT) AS s,
+         q[CAST(s.s * {sub} + 1 AS BIGINT):
+           CAST(s.s * {sub} + {sub} AS BIGINT)] AS sv
+  FROM qres CROSS JOIN LATERAL (
+    SELECT unnest(range(0, {m})) AS s
+  ) s
+),
+lut AS (
+  SELECT v.qid, v.cluster, v.s, c.e, {d2sub} AS d2
+  FROM qrsubs v JOIN rcb c ON c.s = v.s
+),
+adc AS (
+  SELECT l.qid, a.vec_id, a.cluster,
+         CAST(SUM(l.d2) AS BIGINT) AS adist2
+  FROM lut l
+  JOIN assign a ON a.cluster = l.cluster
+                AND a.vec_id <> l.qid
+  JOIN codes co ON co.vec_id = a.vec_id
+                AND co.s = l.s AND co.code = l.e
+  GROUP BY 1, 2, 3
+)
+SELECT qid, vec_id, cluster, adist2, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY qid ORDER BY adist2, vec_id) AS rk
+      FROM adc)
+WHERE rk <= {topk}
+"""
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2304,6 +2437,7 @@ QUERIES = {
     "q91_hll_registers": q91_hll_registers,
     "q93_ivf_pq_topk": q93_ivf_pq_topk,
     "q94_pq_trained_codes": q94_pq_trained_codes,
+    "q95_residual_ivf_pq": q95_residual_ivf_pq,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -3091,6 +3225,7 @@ FROM w, z
         "q91_hll_registers": _hll_registers_oracle(),
         "q93_ivf_pq_topk": _ivf_pq_oracle(),
         "q94_pq_trained_codes": _pq_trained_oracle(),
+        "q95_residual_ivf_pq": _residual_ivf_pq_oracle(),
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (

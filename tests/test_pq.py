@@ -283,3 +283,85 @@ def test_trained_encode_composes(spark, emb):
                 if s2 == s
             )[1]
             assert codes[(i, s)] == best, (i, s)
+
+
+def test_residual_ivf_pq_matches_numpy(spark, emb):
+    """Full numpy replay of the IVFADC chain: coarse assign,
+    residual encode against residual-seeded codebooks,
+    per-(query, probed list) LUT, ADC sum, top-k."""
+    from osmgraft.operators.pq import residual_ivf_pq_topk
+
+    kc, kr, n_probe, topk = 4, 4, 2, 3
+    v = _vectors()
+    q = _np_quant(v)
+    cents = q[:kc]
+    # coarse assignment: argmin dist2, ties -> lowest cid
+    def d2(a, b):
+        return int(((a - b) ** 2).sum())
+
+    assign = [
+        min((d2(q[i], cents[c]), c) for c in range(kc))[1]
+        for i in range(N)
+    ]
+    resid = np.stack(
+        [q[i] - cents[assign[i]] for i in range(N)]
+    )
+    rcb = resid[:kr]
+    codes = np.zeros((N, M), dtype="int64")
+    for i in range(N):
+        for s in range(M):
+            sv = resid[i, s * SUB : (s + 1) * SUB]
+            codes[i, s] = min(
+                (d2(sv, rcb[e2, s * SUB : (s + 1) * SUB]), e2)
+                for e2 in range(kr)
+            )[1]
+    want = set()
+    for qi in range(0, N, 8):
+        probed = sorted(
+            (d2(q[qi], cents[c]), c) for c in range(kc)
+        )[:n_probe]
+        scores = []
+        for _, c in probed:
+            qr = q[qi] - cents[c]
+            for j in range(N):
+                if j == qi or assign[j] != c:
+                    continue
+                ad = sum(
+                    d2(
+                        qr[s * SUB : (s + 1) * SUB],
+                        rcb[
+                            codes[j, s],
+                            s * SUB : (s + 1) * SUB,
+                        ],
+                    )
+                    for s in range(M)
+                )
+                scores.append((ad, j, c))
+        scores.sort()
+        for r, (ad, j, c) in enumerate(scores[:topk]):
+            want.add((qi, j, c, ad, r + 1))
+    got = {
+        (r["qid"], r["vec_id"], r["cluster"], r["adist2"], r["rk"])
+        for r in residual_ivf_pq_topk(
+            emb, F.col("vec_id") % 8 == 0, kc=kc, m=M, k=kr,
+            dim=DIM, n_probe=n_probe, topk=topk,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_residual_of_centroid_is_zero(spark, emb):
+    """A centroid-seed vector's residual is the zero vector, so
+    its code in every subspace is the entry whose residual is
+    nearest zero — and for vec 0 (centroid AND codebook seed 0),
+    adist2 to same-coded list members is driven purely by the
+    codebook, reproducibly."""
+    from osmgraft.operators.pq import residual_ivf_pq_topk
+
+    rows = residual_ivf_pq_topk(
+        emb, F.col("vec_id") == 0, kc=4, m=M, k=4, dim=DIM,
+        n_probe=1, topk=2,
+    ).collect()
+    for r in rows:
+        assert r["qid"] == 0 and r["vec_id"] != 0
+        assert r["adist2"] >= 0
