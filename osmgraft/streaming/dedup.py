@@ -209,3 +209,49 @@ def streaming_near_dup_probe(
             "inter", "jaccard",
         )
     )
+
+
+def streaming_hll_registers(
+    spark: SparkSession,
+    docs_dir: str,
+    schema: str = "grp string, k string",
+    p: int = 6,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of sketches.hll_registers (q91): the
+    distinct-keys-per-group HLL register table maintained
+    continuously over an arriving (grp, k) stream. A non-windowed
+    groupBy(grp, reg).max(rho) is a legal streaming aggregation in
+    UPDATE mode with no watermark — max is monotone, so each
+    micro-batch only ever raises registers, and state is bounded
+    by groups x 2^p longs regardless of stream length (the same
+    reason the batch sketch is one map-side-combined shuffle).
+
+    The drained register table equals the batch sketch of all
+    arrived rows exactly (max over any arrival split is the same
+    max — the hll_merge property), so snapshot sketches and the
+    live stream sketch can be merged interchangeably."""
+    from ..operators.sketches import _hash48
+
+    m = 1 << p
+    width = 48 - p
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    h = _hash48(F.col("k"))
+    w = F.shiftright(h, p)
+    rho = F.when(
+        w == 0, F.lit(width + 1).cast("long")
+    ).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w)).cast("long")
+    )
+    return (
+        stream.select(
+            "grp", (h % m).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -5,6 +5,8 @@ batch q15 operator."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from osmgraft.streaming.dedup import streaming_dedup
 
 
@@ -168,3 +170,67 @@ def test_streaming_probe_matches_batch_incremental(
             if (r["batch_doc"], r["corpus_doc"]) == key
         )
         assert n_rows == len(bands)  # no duplicated (pair, band)
+
+
+def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
+    """streaming_hll_registers drained over two arrival batches
+    must equal the batch sketch of all rows (max is split-
+    invariant), and restarting from the checkpoint with more data
+    only raises registers."""
+    from osmgraft.operators.sketches import hll_registers
+    from osmgraft.streaming.dedup import streaming_hll_registers
+
+    def _write_keys(path, lo, hi, mode="overwrite"):
+        spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.concat(F.lit("key-"), F.col("id")).alias("k"),
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    docs = str(tmp_path / "keys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_keys(docs, 0, 800)
+
+    def sink(b, _bid):
+        b.write.mode("overwrite").parquet(out)
+
+    def drain():
+        q = (
+            streaming_hll_registers(spark, docs)
+            .writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["grp"], r["reg"]): r["rho"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain()
+    batch1 = spark.range(0, 800).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("key-"), F.col("id")).alias("k"),
+    )
+    want1 = {
+        (r["grp"], r["reg"]): r["rho"]
+        for r in hll_registers(batch1, "grp", "k").collect()
+    }
+    assert first == want1
+
+    # second arrival: restart from checkpoint, more keys
+    _write_keys(docs, 800, 2000, mode="append")
+    second = drain()
+    batch2 = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("key-"), F.col("id")).alias("k"),
+    )
+    want2 = {
+        (r["grp"], r["reg"]): r["rho"]
+        for r in hll_registers(batch2, "grp", "k").collect()
+    }
+    assert second == want2
+    for key, rho in first.items():
+        assert second.get(key, 0) >= rho  # monotone
