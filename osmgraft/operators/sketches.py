@@ -116,3 +116,99 @@ def hll_summary(regs: DataFrame, p: int = 6) -> DataFrame:
             / z_num.cast("double")
         ).alias("raw_est"),
     )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Count-min sketch as joinable (row, col, cnt) rows — the
+    counting member of the mergeable-sketch family (bloom.py:
+    membership, hll_registers: distinct). Approximate frequencies
+    for an unbounded key universe (term counts, URL hits) in
+    d*w longs; merging two snapshots' sketches is elementwise
+    addition (union + sum groupBy), and the estimate is an
+    OVERESTIMATE, never an undercount — the safe direction for
+    heavy-hitter cutoffs.
+
+    One in-row explode (d (row, col) pairs per occurrence via the
+    engine-portable md5-prefix hashes) + ONE map-side-combined
+    groupBy bounded by d*w — counts sum-commute, so the sketch is
+    identical under any partitioning."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("row"),
+                    (
+                        _hash48(
+                            F.concat(
+                                F.lit(f"{i}:"), F.col(key_col)
+                            )
+                        )
+                        % w
+                    ).alias("col"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("p")
+    return (
+        df.select(pairs)
+        .select("p.row", "p.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """(key, est) — the count-min point query: est = min over the
+    d rows of sketch[row, hash_row(key)]. The sketch (<= d*w
+    rows) is BROADCAST to the probe side; one groupBy(key) min.
+    est >= true count always (cells only ever aggregate
+    collisions on top of the key's own occurrences)."""
+    hashed = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("row"),
+                        (
+                            _hash48(
+                                F.concat(
+                                    F.lit(f"{i}:"),
+                                    F.col(key_col),
+                                )
+                            )
+                            % w
+                        ).alias("col"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "p.row", "p.col")
+    joined = hashed.join(F.broadcast(sketch), ["row", "col"])
+    return joined.groupBy("key").agg(
+        F.min("cnt").alias("est")
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches (same d, w, hashes):
+    elementwise addition — union + sum groupBy. Exactly equals
+    sketching the concatenated inputs (counts sum-commute)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

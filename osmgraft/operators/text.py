@@ -818,3 +818,39 @@ def boilerplate_strip(
             "clean_text"
         ),
     )
+
+
+def corpus_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot delta — the webtext twin of the OSM diff (J6,
+    operators/merge.diff): (doc_id, change) where change is
+    'added' | 'deleted' | 'modified', comparing content by md5 so
+    the join carries (id, 32-byte digest) instead of documents.
+    Unchanged docs are absent from the output (the delta IS the
+    work list: feed 'added'/'modified' rows to the incremental
+    near-dup probe (q88) and the corpus_filter gates so an
+    incremental pipeline touches only what changed).
+
+    One full-outer join keyed on doc_id over digest projections —
+    a single shuffle linear in the snapshots, no text movement."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("_ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("_hn"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("deleted"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("modified"))
+        .otherwise(F.lit("same"))
+        .alias("change"),
+    ).filter(F.col("change") != "same")

@@ -1096,6 +1096,164 @@ WHERE rk <= {topk}
 """
 
 
+def q96_corpus_delta(spark, sf_dir):
+    """Snapshot delta (text.corpus_delta) — the webtext twin of
+    the OSM diff (J6): old = documents, new = documents with
+    doc_id%13==0 deleted, doc_id%7==0 texts edited, and 50 fresh
+    ids appended. One digest-projected full-outer join; the
+    output is the work list an incremental pipeline feeds to the
+    q88 index probe and the filter gates."""
+    from .operators.text import corpus_delta
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("edited "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+            )
+        )
+    )
+    return corpus_delta(docs, new)
+
+
+_Q96_ORACLE = """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'edited ' || text
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+),
+o AS (SELECT doc_id, md5(text) AS ho FROM old),
+n AS (SELECT doc_id, md5(text) AS hn FROM new),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.ho, n.hn
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id,
+  CASE WHEN ho IS NULL THEN 'added'
+       WHEN hn IS NULL THEN 'deleted'
+       WHEN ho <> hn THEN 'modified'
+       ELSE 'same' END AS change
+FROM j
+WHERE (CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'deleted'
+            WHEN ho <> hn THEN 'modified'
+            ELSE 'same' END) <> 'same'
+"""
+
+
+def q97_countmin_sketch(spark, sf_dir):
+    """Count-min sketch of corpus word frequencies
+    (sketches.countmin_sketch): d=4 hash rows x w=512 columns as
+    joinable (row, col, cnt) longs — one in-row explode + one
+    map-side-combined groupBy bounded by d*w; snapshots' sketches
+    merge by elementwise addition. The counting member of the
+    mergeable-sketch family (Bloom: membership, HLL: distinct)."""
+    from .operators.sketches import countmin_sketch
+
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    return countmin_sketch(words, "word", d=4, w=512)
+
+
+def q98_countmin_estimates(spark, sf_dir):
+    """Count-min point queries vs ground truth
+    (sketches.countmin_lookup): estimate each probe word's frequency
+    from the broadcast sketch (min over d cells) next to the true
+    count — est >= true always (the one-sided guarantee heavy-
+    hitter cutoffs rely on); probe set = the distinct words of
+    docs 0-4."""
+    from .operators.sketches import countmin_lookup, countmin_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    sketch = countmin_sketch(words, "word", d=4, w=512)
+    probes = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    est = countmin_lookup(sketch, probes, "word", d=4, w=512)
+    true_cnt = words.groupBy(
+        F.col("word").alias("key")
+    ).agg(F.count("*").cast("long").alias("true_cnt"))
+    return est.join(true_cnt, "key")
+
+
+def _countmin_cells_sql(d: int = 4, w: int = 512) -> str:
+    rows = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({i} AS BIGINT) AS row,"
+        f" CAST(('0x' || substr(md5('{i}:' || word), 1, 12))"
+        f" AS BIGINT) % {w} AS col FROM words"
+        for i in range(d)
+    )
+    return f"""words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+cells AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+{rows}
+  ) GROUP BY 1, 2
+)"""
+
+
+def _countmin_sketch_oracle() -> str:
+    return f"""
+WITH {_countmin_cells_sql()}
+SELECT row, col, cnt FROM cells
+"""
+
+
+def _countmin_estimates_oracle(d: int = 4, w: int = 512) -> str:
+    hashes = "\n    UNION ALL\n".join(
+        f"    SELECT key, CAST({i} AS BIGINT) AS row,"
+        f" CAST(('0x' || substr(md5('{i}:' || key), 1, 12))"
+        f" AS BIGINT) % {w} AS col FROM probes"
+        for i in range(d)
+    )
+    return f"""
+WITH {_countmin_cells_sql()},
+probes AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS key
+  FROM documents WHERE doc_id < 5
+),
+hashed AS (
+{hashes}
+),
+est AS (
+  SELECT h.key, MIN(c.cnt) AS est
+  FROM hashed h
+  JOIN cells c ON c.row = h.row AND c.col = h.col
+  GROUP BY 1
+),
+truec AS (
+  SELECT word AS key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM words GROUP BY 1
+)
+SELECT e.key, e.est, t.true_cnt
+FROM est e JOIN truec t USING (key)
+"""
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2438,6 +2596,9 @@ QUERIES = {
     "q93_ivf_pq_topk": q93_ivf_pq_topk,
     "q94_pq_trained_codes": q94_pq_trained_codes,
     "q95_residual_ivf_pq": q95_residual_ivf_pq,
+    "q96_corpus_delta": q96_corpus_delta,
+    "q97_countmin_sketch": q97_countmin_sketch,
+    "q98_countmin_estimates": q98_countmin_estimates,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -3226,6 +3387,9 @@ FROM w, z
         "q93_ivf_pq_topk": _ivf_pq_oracle(),
         "q94_pq_trained_codes": _pq_trained_oracle(),
         "q95_residual_ivf_pq": _residual_ivf_pq_oracle(),
+        "q96_corpus_delta": _Q96_ORACLE,
+        "q97_countmin_sketch": _countmin_sketch_oracle(),
+        "q98_countmin_estimates": _countmin_estimates_oracle(),
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (

@@ -101,3 +101,139 @@ def test_groups_are_independent(spark):
         for r in regs.filter(F.col("grp") == "g2").collect()
     }
     assert g1 == g2  # same key set -> same registers per group
+
+
+# ---------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------
+
+
+def _words(spark, seed: int, n: int):
+    # zipf-ish: word-j appears ~n/(j+1) times
+    return spark.range(0, n).select(
+        F.concat(
+            F.lit(f"w{seed}-"),
+            (F.col("id") % 7 * (F.col("id") % 11) % 13).cast(
+                "string"
+            ),
+        ).alias("word")
+    )
+
+
+def test_countmin_never_undercounts(spark):
+    from osmgraft.operators.sketches import (
+        countmin_lookup,
+        countmin_sketch,
+    )
+
+    words = _words(spark, 1, 3000)
+    sketch = countmin_sketch(words, "word", d=4, w=64)
+    probes = words.distinct()
+    est = {
+        r["key"]: r["est"]
+        for r in countmin_lookup(
+            sketch, probes, "word", d=4, w=64
+        ).collect()
+    }
+    true = {
+        r["word"]: r["cnt"]
+        for r in words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+
+
+def test_countmin_merge_equals_union_sketch(spark):
+    from osmgraft.operators.sketches import (
+        countmin_merge,
+        countmin_sketch,
+    )
+
+    a = _words(spark, 1, 1000)
+    b = _words(spark, 2, 1500)
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_merge(
+            countmin_sketch(a, "word"),
+            countmin_sketch(b, "word"),
+        ).collect()
+    }
+    direct = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(
+            a.unionByName(b), "word"
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_countmin_partitioning_invariance(spark):
+    from osmgraft.operators.sketches import countmin_sketch
+
+    w = _words(spark, 3, 2000)
+    one = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(
+            w.repartition(1), "word"
+        ).collect()
+    }
+    many = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(
+            w.repartition(32), "word"
+        ).collect()
+    }
+    assert one == many
+
+
+def test_countmin_total_mass(spark):
+    """Each hash row partitions all occurrences: the sum of cnt
+    per row equals the number of input rows."""
+    from osmgraft.operators.sketches import countmin_sketch
+
+    n = 2500
+    w = _words(spark, 4, n)
+    per_row = {
+        r["row"]: r["tot"]
+        for r in countmin_sketch(w, "word", d=4, w=32)
+        .groupBy("row")
+        .agg(F.sum("cnt").alias("tot"))
+        .collect()
+    }
+    assert per_row == {0: n, 1: n, 2: n, 3: n}
+
+
+# ---------------------------------------------------------------
+# corpus delta
+# ---------------------------------------------------------------
+
+
+def test_corpus_delta_classifies(spark):
+    from osmgraft.operators.text import corpus_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in corpus_delta(old, new).collect()
+    }
+    assert got == {2: "modified", 3: "deleted", 4: "added"}
+
+
+def test_corpus_delta_empty_when_identical(spark):
+    from osmgraft.operators.text import corpus_delta
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert corpus_delta(df, df).count() == 0
