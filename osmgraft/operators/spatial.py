@@ -294,3 +294,102 @@ def filter_border(
         return pd.Series(ins)
 
     return df.filter(_inside(F.col(lat_col), F.col(lon_col)))
+
+
+def with_zorder(
+    df: DataFrame,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    out: str = "zkey",
+    shift: int = DEFAULT_SHIFT,
+) -> DataFrame:
+    """Morton z key as a pure integer Catalyst expression (no UDF).
+
+    The bands are staged as their own projection first so the
+    5-step bit spread (which references its input 2^5 times)
+    duplicates a bare column, not the coord arithmetic — keeps the
+    codegen unit small (see geo/zorder.morton_sql)."""
+    from ..geo.zorder import morton_sql
+
+    return (
+        df.withColumn(
+            "_latb",
+            F.shiftright(
+                F.col(lat_col).cast("long") + F.lit(LAT_OFFSET), shift
+            ),
+        )
+        .withColumn(
+            "_lonb",
+            F.shiftright(
+                F.col(lon_col).cast("long") + F.lit(LON_OFFSET), shift
+            ),
+        )
+        .withColumn(out, F.expr(morton_sql("_latb", "_lonb", "spark")))
+        .drop("_latb", "_lonb")
+    )
+
+
+def zranges_predicate(
+    zcol: Column, ranges: list[tuple[int, int]]
+) -> Column:
+    """OR-of-BETWEEN literal predicate over merged z ranges.
+
+    A literal disjunction (not a join against a ranges table) on
+    purpose: when the z key is a STORED column of a z-sorted table,
+    this exact shape reaches the parquet scan as PushedFilters →
+    row-group min/max pruning, which is the entire point of the
+    curve at 100 TB."""
+    if not ranges:
+        return F.lit(False)
+    pred = None
+    for lo, hi in ranges:
+        p = (zcol >= F.lit(lo)) & (zcol <= F.lit(hi))
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def zorder_bbox_filter(
+    df: DataFrame,
+    bbox: tuple[int, int, int, int],
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    zcol: str | None = None,
+    shift: int = DEFAULT_SHIFT,
+    max_ranges: int = 64,
+) -> DataFrame:
+    """bbox filter routed through the Morton index: coarse z-range
+    cover (driver-side, O(max_ranges)) + exact coord refine.
+
+    Result is EXACTLY filter_bbox(bbox) — the cover is a superset,
+    the refine closes it (tests assert equality on random boxes).
+
+    Two predicate shapes, chosen by where the z key lives:
+    - zcol given (STORED z-sorted layout): OR-of-BETWEEN on the
+      bare attribute → reaches the parquet scan as PushedFilters,
+      row-group pruning. Attribute comparisons are codegen-free.
+    - z computed on the fly: `z >> 2k IN (coarse cells)` — the z
+      expression (a 5-step bit spread whose tree holds 2^5 leaf
+      copies) is evaluated ONCE and probed against an InSet hash;
+      an OR-of-range disjunction here would clone that tree per
+      comparison and overflow the whole-stage-codegen method
+      (observed: Janino InternalCompilerException → interpreted
+      fallback)."""
+    from ..geo.zorder import bbox_zcells, bbox_zranges
+
+    x1, y1, x2, y2 = bbox
+    if zcol is None:
+        k, cells = bbox_zcells(bbox, shift=shift, max_cells=max_ranges)
+        df = with_zorder(
+            df, lat_col=lat_col, lon_col=lon_col, out="_z", shift=shift
+        )
+        zpred = F.shiftright(F.col("_z"), 2 * k).isin(cells)
+        out = df.filter(zpred).filter(
+            bbox_contains(
+                F.col(lon_col), F.col(lat_col), x1, y1, x2, y2
+            )
+        )
+        return out.drop("_z")
+    ranges = bbox_zranges(bbox, shift=shift, max_ranges=max_ranges)
+    return df.filter(zranges_predicate(F.col(zcol), ranges)).filter(
+        bbox_contains(F.col(lon_col), F.col(lat_col), x1, y1, x2, y2)
+    )

@@ -1254,6 +1254,67 @@ FROM est e JOIN truec t USING (key)
 """
 
 
+def q99_zorder_key(spark, sf_dir):
+    """Morton z key over the tile-cell bands (geo/zorder.py,
+    operators/spatial.with_zorder): pure integer bit-spread in
+    whole-stage codegen, no UDF. The storage-layout key the engine
+    z-sorts tables by so bbox queries become O(output) row-group
+    reads; the reference's band-major coco key (osmgeobase.c:2547)
+    has no such locality across latitude bands."""
+    from .operators.spatial import with_zorder
+
+    pts = doc_points(spark, sf_dir)
+    return with_zorder(pts).select("doc_id", "zkey")
+
+
+def _q99_oracle() -> str:
+    from .geo.zorder import morton_sql
+
+    z = morton_sql("latb", "lonb", "duckdb")
+    return f"""
+WITH {_PTS_CTE},
+bands AS (
+  SELECT doc_id,
+         ((lat_i + 900000000) >> 14) AS latb,
+         ((lon_i + 1800000000) >> 14) AS lonb
+  FROM pts
+)
+SELECT doc_id, {z} AS zkey FROM bands
+"""
+
+
+# bbox for q100, inside the synthesized coord window
+# (lat 470-510M, lon 100-140M fixed-point 1e-7 deg)
+_Z_BBOX = (112_000_000, 481_000_000, 131_500_000, 502_000_000)
+
+
+def q100_zorder_bbox(spark, sf_dir):
+    """bbox filter routed through the Morton index
+    (operators/spatial.zorder_bbox_filter): driver plans <= 64
+    merged z ranges covering the box (O(max_ranges), never
+    O(data)), the scan keeps only z-in-ranges rows, an exact coord
+    refine closes the superset — output EQUALS the plain bbox
+    filter (the oracle). On a z-sorted stored table the range
+    disjunction reaches the parquet scan as PushedFilters →
+    row-group pruning (test_zorder.py asserts it)."""
+    from .operators.spatial import zorder_bbox_filter
+
+    pts = doc_points(spark, sf_dir)
+    return zorder_bbox_filter(pts, _Z_BBOX).select(
+        "doc_id", "lat_i", "lon_i"
+    )
+
+
+def _q100_oracle() -> str:
+    x1, y1, x2, y2 = _Z_BBOX
+    return f"""
+WITH {_PTS_CTE}
+SELECT doc_id, lat_i, lon_i FROM pts
+WHERE lon_i BETWEEN {x1} AND {x2}
+  AND lat_i BETWEEN {y1} AND {y2}
+"""
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2599,6 +2660,8 @@ QUERIES = {
     "q96_corpus_delta": q96_corpus_delta,
     "q97_countmin_sketch": q97_countmin_sketch,
     "q98_countmin_estimates": q98_countmin_estimates,
+    "q99_zorder_key": q99_zorder_key,
+    "q100_zorder_bbox": q100_zorder_bbox,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -3390,6 +3453,8 @@ FROM w, z
         "q96_corpus_delta": _Q96_ORACLE,
         "q97_countmin_sketch": _countmin_sketch_oracle(),
         "q98_countmin_estimates": _countmin_estimates_oracle(),
+        "q99_zorder_key": _q99_oracle(),
+        "q100_zorder_bbox": _q100_oracle(),
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (
