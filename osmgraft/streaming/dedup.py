@@ -255,3 +255,57 @@ def streaming_hll_registers(
         .groupBy("grp", "reg")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def streaming_countmin(
+    spark: SparkSession,
+    keys_dir: str,
+    schema: str = "key string",
+    d: int = 4,
+    w: int = 512,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of sketches.countmin_sketch (q97): the
+    frequency sketch maintained continuously over an arriving key
+    stream. A non-windowed groupBy(row, col).count() is a legal
+    streaming aggregation with no watermark — counts only ever
+    grow, and state is bounded by d*w longs regardless of stream
+    length (the same bound that makes the batch sketch one
+    map-side-combined shuffle).
+
+    The drained cell table equals the batch sketch of all arrived
+    rows exactly (sums are split-invariant under any arrival
+    order — the countmin_merge property), so snapshot sketches
+    and the live stream sketch merge interchangeably, and point
+    queries through countmin_lookup keep the never-undercount
+    guarantee at every micro-batch boundary."""
+    from ..operators.sketches import _hash48
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(keys_dir)
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("row"),
+                    (
+                        _hash48(
+                            F.concat(F.lit(f"{i}:"), F.col("key"))
+                        )
+                        % w
+                    ).alias("col"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("p")
+    return (
+        stream.select(pairs)
+        .select("p.row", "p.col")
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

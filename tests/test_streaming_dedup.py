@@ -234,3 +234,62 @@ def test_streaming_hll_equals_batch_sketch(spark, tmp_path):
     assert second == want2
     for key, rho in first.items():
         assert second.get(key, 0) >= rho  # monotone
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
+    """streaming_countmin drained over two arrival batches must
+    equal the batch sketch of all rows (sums are split-invariant),
+    and restarting from the checkpoint with more data only grows
+    cells — the never-undercount guarantee holds at every
+    micro-batch boundary."""
+    from osmgraft.operators.sketches import countmin_sketch
+    from osmgraft.streaming.dedup import streaming_countmin
+
+    def _keys(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("w-"), (F.col("id") % 97).cast("string")
+            ).alias("key")
+        )
+
+    docs = str(tmp_path / "keys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _keys(0, 700).coalesce(1).write.mode("overwrite").parquet(docs)
+
+    def sink(b, _bid):
+        b.write.mode("overwrite").parquet(out)
+
+    def drain():
+        q = (
+            streaming_countmin(spark, docs, d=3, w=64)
+            .writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["row"], r["col"]): r["cnt"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain()
+    want1 = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(_keys(0, 700), "key", d=3, w=64).collect()
+    }
+    assert first == want1
+
+    _keys(700, 1600).coalesce(1).write.mode("append").parquet(docs)
+    second = drain()
+    want2 = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in countmin_sketch(
+            _keys(0, 1600), "key", d=3, w=64
+        ).collect()
+    }
+    assert second == want2
+    for key, cnt in first.items():
+        assert second.get(key, 0) >= cnt  # cells only grow
