@@ -212,3 +212,51 @@ def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Exact keys with count >= threshold, via the two-phase
+    sketch-then-verify plan — the pattern that finds heavy terms /
+    hot URLs / megacity cells in one bounded-state pass plus one
+    candidate-only exact pass:
+
+    1. count-min sketch (shuffle bounded by d*w, never |vocab|);
+    2. the HOT CELLS (cnt >= threshold, at most d*w of them — a
+       bounded driver collect, like the gazetteer broadcasts) turn
+       into d literal IN-sets; a key can only be heavy if ALL d of
+       its cells are hot, so the gate runs map-side in whole-stage
+       codegen: d hash + InSet probes per occurrence, no explode,
+       no join;
+    3. exact groupBy over the surviving occurrences only, then the
+       true HAVING cnt >= threshold.
+
+    Exact because count-min never undercounts: every truly-heavy
+    key passes the gate (its d cells each hold >= its true count),
+    and phase 3 removes the false positives. The oracle is the
+    plain GROUP BY ... HAVING — the sketch is pure pruning."""
+    sketch = countmin_sketch(df, key_col, d=d, w=w)
+    hot = sketch.filter(F.col("cnt") >= threshold).collect()
+    cols_by_row: dict[int, list[int]] = {i: [] for i in range(d)}
+    for r in hot:
+        cols_by_row[int(r["row"])].append(int(r["col"]))
+    pred = None
+    for i in range(d):
+        ci = _hash48(F.concat(F.lit(f"{i}:"), F.col(key_col))) % w
+        p = (
+            ci.isin(cols_by_row[i])
+            if cols_by_row[i]
+            else F.lit(False)
+        )
+        pred = p if pred is None else pred & p
+    return (
+        df.filter(pred)
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

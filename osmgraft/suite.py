@@ -14,7 +14,7 @@ so the PIP / assignment / kNN / cell oracles check real geometry on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .fixtures import fixture_polyset, gazetteer_arrays
 from .geo.cells import DEFAULT_SHIFT, LAT_OFFSET, LON_OFFSET, _lon_bits
@@ -1312,6 +1312,110 @@ WITH {_PTS_CTE}
 SELECT doc_id, lat_i, lon_i FROM pts
 WHERE lon_i BETWEEN {x1} AND {x2}
   AND lat_i BETWEEN {y1} AND {y2}
+"""
+
+
+def q101_heavy_hitters(spark, sf_dir):
+    """Exact heavy bigrams via the sketch-then-verify plan
+    (sketches.heavy_hitters): count-min pass bounded by d*w, hot
+    cells become d map-side InSet gates (a key is heavy only if
+    ALL its cells are hot — never-undercount makes the gate
+    lossless), exact groupBy over survivors only. The oracle is
+    the plain GROUP BY HAVING — the sketch is pure pruning, so
+    the output is exact by construction."""
+    from .operators.sketches import heavy_hitters
+    from .operators.text import _with_word_grams
+
+    docs = load(spark, sf_dir, "documents")
+    grams = _with_word_grams(docs, "text", 2).select(
+        F.explode("_grams").alias("g")
+    )
+    return heavy_hitters(grams, "g", threshold=40)
+
+
+_Q101_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT w[i] || chr(31) || w[i + 1] AS key
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY 1 HAVING COUNT(*) >= 40
+"""
+
+
+def q102_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: every document into
+    head/middle/tail by per-language fluency tertile (lm.lm_score's
+    integer-exact floor-log2 bigram score stands in for -log PPL;
+    higher = more fluent = head). Exact ntile(3) over
+    (fluency desc, doc_id) — deterministic, oracle-able. At 100 TB
+    the same gate runs with percentile_approx cutoffs instead of a
+    per-lang total sort (the q84 pattern); this exact-quantile
+    twin IS the oracle for that path."""
+    from .operators.lm import lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = lm_score(docs, F.col("lang") == "en").select(
+        "doc_id", "fluency_milli"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("fluency_milli"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .withColumn("t", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "fluency_milli",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("t"),
+            ).alias("bucket"),
+        )
+    )
+
+
+_Q102_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, (lang = 'en') AS is_ref,
+         w[i] || chr(31) || w[i + 1] AS g
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+),
+pg AS (
+  SELECT doc_id, is_ref, g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM g GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT g,
+         CAST(length(printf('%b', CAST(SUM(n) AS BIGINT)))
+              AS BIGINT) AS bits
+  FROM pg WHERE is_ref GROUP BY 1
+),
+s AS (
+  SELECT pg.doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_grams,
+         CAST(SUM(n * COALESCE(m.bits, 0)) AS BIGINT) AS bits_sum
+  FROM pg LEFT JOIN m ON pg.g = m.g GROUP BY 1
+),
+f AS (
+  SELECT d.doc_id, d.lang,
+         CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+              THEN (1000 * bits_sum) // n_grams
+              ELSE 0 END AS BIGINT) AS fluency_milli
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, lang, fluency_milli,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY fluency_milli DESC, doc_id)
+       ] AS bucket
+FROM f
 """
 
 
@@ -2662,6 +2766,8 @@ QUERIES = {
     "q98_countmin_estimates": q98_countmin_estimates,
     "q99_zorder_key": q99_zorder_key,
     "q100_zorder_bbox": q100_zorder_bbox,
+    "q101_heavy_hitters": q101_heavy_hitters,
+    "q102_ppl_buckets": q102_ppl_buckets,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -3455,6 +3561,8 @@ FROM w, z
         "q98_countmin_estimates": _countmin_estimates_oracle(),
         "q99_zorder_key": _q99_oracle(),
         "q100_zorder_bbox": _q100_oracle(),
+        "q101_heavy_hitters": _Q101_ORACLE,
+        "q102_ppl_buckets": _Q102_ORACLE,
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (

@@ -237,3 +237,72 @@ def test_corpus_delta_empty_when_identical(spark):
         "doc_id long, text string",
     )
     assert corpus_delta(df, df).count() == 0
+
+
+# ---------------- heavy hitters (sketch-then-verify) ----------------
+
+
+def _skewed(spark, n_hot=5, hot_cnt=200, n_cold=400, cold_cnt=3):
+    hot = spark.range(n_hot * hot_cnt).select(
+        F.concat(
+            F.lit("hot-"), (F.col("id") % n_hot).cast("string")
+        ).alias("key")
+    )
+    cold = spark.range(n_cold * cold_cnt).select(
+        F.concat(
+            F.lit("cold-"), (F.col("id") % n_cold).cast("string")
+        ).alias("key")
+    )
+    return hot.unionByName(cold)
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    from osmgraft.operators.sketches import heavy_hitters
+
+    df = _skewed(spark)
+    got = {
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(df, "key", threshold=100).collect()
+    }
+    want = {
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 100)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 5  # exactly the planted hot keys
+
+
+def test_heavy_hitters_threshold_above_max_is_empty(spark):
+    from osmgraft.operators.sketches import heavy_hitters
+
+    df = _skewed(spark, hot_cnt=50)
+    assert heavy_hitters(df, "key", threshold=10_000).count() == 0
+
+
+def test_heavy_hitters_gate_prunes_cold_keys(spark):
+    """The map-side InSet gate must reject (almost all) cold
+    occurrences before the exact groupBy — with 400 cold keys in
+    a 4x512 sketch the surviving false-positive set has to be a
+    small fraction, else the two-phase plan buys nothing."""
+    from osmgraft.operators.sketches import (
+        _hash48,
+        countmin_sketch,
+    )
+
+    df = _skewed(spark)
+    threshold, d, w = 100, 4, 512
+    sketch = countmin_sketch(df, "key", d=d, w=w)
+    hot = sketch.filter(F.col("cnt") >= threshold).collect()
+    cols = {i: [] for i in range(d)}
+    for r in hot:
+        cols[int(r["row"])].append(int(r["col"]))
+    pred = None
+    for i in range(d):
+        ci = _hash48(F.concat(F.lit(f"{i}:"), F.col("key"))) % w
+        p = ci.isin(cols[i]) if cols[i] else F.lit(False)
+        pred = p if pred is None else pred & p
+    survivors = df.filter(pred).select("key").distinct().count()
+    assert survivors <= 20  # 5 hot + a handful of collisions
