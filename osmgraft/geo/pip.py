@@ -54,8 +54,19 @@ class EdgeSet:
     # osmassignpoly it includes every plausible vertex,
     # osmassignpoly.c:1322-1328)
     bbox: tuple[int, int, int, int] = field(default=None)
+    # exactly-vertical segments (dropped from the crossing-count
+    # arrays per osmconvert.c:1907-1910, but still part of the
+    # geometric BOUNDARY — the cell-cover classifier needs them to
+    # mark boundary cells; crossings() never looks at these)
+    vx: np.ndarray = field(default=None)   # int64
+    vy1: np.ndarray = field(default=None)  # int64, vy1 <= vy2
+    vy2: np.ndarray = field(default=None)
 
     def __post_init__(self):
+        if self.vx is None:
+            self.vx = np.empty(0, dtype=np.int64)
+            self.vy1 = np.empty(0, dtype=np.int64)
+            self.vy2 = np.empty(0, dtype=np.int64)
         if self.bbox is None:
             if len(self.x1) == 0:
                 self.bbox = (NIL, NIL, -NIL, -NIL)
@@ -80,6 +91,7 @@ def build_edges(rings, bbox_from_vertices: bool = True) -> EdgeSet:
     segments are skipped (osmconvert.c:1907-1910).
     """
     ex1, ey1, ex2, ey2 = [], [], [], []
+    vvx, vvy1, vvy2 = [], [], []
     vx_min, vy_min, vx_max, vy_max = NIL, NIL, -NIL, -NIL
     for xs, ys in rings:
         xs = np.asarray(xs, dtype=np.int64)
@@ -98,6 +110,13 @@ def build_edges(rings, bbox_from_vertices: bool = True) -> EdgeSet:
             ys = np.append(ys, ys[0])
         ax, ay, bx, by = xs[:-1], ys[:-1], xs[1:], ys[1:]
         keep = ax != bx  # drop exact north-south edges
+        # ... from the crossing arrays only; retain them as boundary
+        # segments for the cell-cover classifier (geo/cover.py)
+        vert = ~keep & (ay != by)
+        if vert.any():
+            vvx.append(ax[vert])
+            vvy1.append(np.minimum(ay[vert], by[vert]))
+            vvy2.append(np.maximum(ay[vert], by[vert]))
         ax, ay, bx, by = ax[keep], ay[keep], bx[keep], by[keep]
         swap = ax > bx  # normalize x1 < x2
         nx1 = np.where(swap, bx, ax)
@@ -116,8 +135,14 @@ def build_edges(rings, bbox_from_vertices: bool = True) -> EdgeSet:
         y2 = np.concatenate(ey2)
     else:
         x1 = y1 = x2 = y2 = np.empty(0, dtype=np.int64)
+    if vvx:
+        vx = np.concatenate(vvx)
+        vy1 = np.concatenate(vvy1)
+        vy2 = np.concatenate(vvy2)
+    else:
+        vx = vy1 = vy2 = np.empty(0, dtype=np.int64)
     bbox = (vx_min, vy_min, vx_max, vy_max) if bbox_from_vertices else None
-    return EdgeSet(x1, y1, x2, y2, bbox=bbox)
+    return EdgeSet(x1, y1, x2, y2, bbox=bbox, vx=vx, vy1=vy1, vy2=vy2)
 
 
 def crossings(px: np.ndarray, py: np.ndarray, es: EdgeSet) -> np.ndarray:

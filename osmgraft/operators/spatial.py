@@ -267,6 +267,86 @@ def assign_regions(
     return out
 
 
+def assign_regions_cover(
+    df: DataFrame,
+    polyset: PolygonSet,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    keep_noregion: bool = False,
+    shift: int = DEFAULT_SHIFT,
+    max_cells: int | None = None,
+) -> DataFrame:
+    """`assign_regions` routed through the decided-cell cover
+    (geo/cover.py) — the S2-style two-stage spatial join.
+
+    Identical output to `assign_regions` (tested + same oracle);
+    different physical work: a driver-built, broadcast cell grid
+    classifies each point with two shifts and one array load, and
+    ONLY points in boundary cells (the ~perimeter/area fraction)
+    take the exact ray-cast kernel. Still one scan, one Arrow
+    stage, zero shuffles — the cover replaces most of the PIP
+    arithmetic, not the plan shape.
+
+    At 100 TB: the grid is O(max_cells) bytes broadcast once per
+    executor; the exact-kernel fraction shrinks with cell size, so
+    `max_cells` is the compute-vs-memory knob (default 2^16 cells
+    ≈ 0.6 MB of int32 grids).
+    """
+    from ..geo.cover import DEFAULT_MAX_CELLS, build_cell_cover
+
+    import numpy as np
+
+    cover = build_cell_cover(
+        polyset, shift=shift,
+        max_cells=max_cells or DEFAULT_MAX_CELLS,
+    )
+    if len(polyset) and not keep_noregion:
+        gx1, gy1, gx2, gy2 = polyset.global_bbox
+        df = df.filter(
+            bbox_contains(F.col(lon_col), F.col(lat_col),
+                          gx1, gy1, gx2, gy2)
+        )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cover)
+    admin_by_idx = polyset.admin_levels
+
+    @F.pandas_udf(_ASSIGN_SCHEMA)
+    def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        cov = bc.value
+        px = lon.fillna(2_000_000_000).to_numpy("int64")
+        py = lat.fillna(2_000_000_000).to_numpy("int64")
+        r, s, needs = cov.classify(px, py)
+        if needs.any():
+            re_, se_ = assign_polygons(px[needs], py[needs], cov.polyset)
+            r[needs] = re_
+            s[needs] = se_
+        names = np.array(
+            list(cov.polyset.names) + [None], dtype=object
+        )
+        admins = np.append(admin_by_idx, 0)
+        adm = pd.Series(admins[r], dtype="Int32")
+        adm[r < 0] = None
+        return pd.DataFrame(
+            {"region": names[r], "subregion": names[s],
+             "region_admin": adm}
+        )
+
+    _assign = _assign.asNondeterministic()  # see assign_regions
+
+    out = df.withColumn("_a", _assign(F.col(lat_col), F.col(lon_col)))
+    out = (
+        out.withColumn("region", F.col("_a.region"))
+        .withColumn("subregion", F.col("_a.subregion"))
+        .withColumn("region_admin", F.col("_a.region_admin"))
+        .drop("_a")
+    )
+    if not keep_noregion:
+        out = out.filter(F.col("region").isNotNull())
+    return out
+
+
 def filter_border(
     df: DataFrame,
     edgeset,

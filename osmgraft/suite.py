@@ -1419,6 +1419,24 @@ FROM f
 """
 
 
+def q103_cover_assign(spark, sf_dir):
+    """q03's N-polygon assignment routed through the decided-cell
+    cover (geo/cover.py + operators/spatial.assign_regions_cover) —
+    the S2-style two-stage spatial join. A driver-built broadcast
+    grid classifies every cell as boundary vs decided; decided
+    cells carry a precomputed constant assignment (two shifts + an
+    array load per point), and only the ~perimeter/area boundary
+    fraction runs the exact ray-cast kernel. Output is EXACTLY
+    q03 — same oracle; the cover is pure work elision, never an
+    approximation (boundary marking is a proven superset, see the
+    module docstring)."""
+    from .operators.spatial import assign_regions_cover
+
+    pts = doc_points(spark, sf_dir)
+    out = assign_regions_cover(pts, fixture_polyset())
+    return out.select("doc_id", "region", "subregion")
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2768,6 +2786,7 @@ QUERIES = {
     "q100_zorder_bbox": q100_zorder_bbox,
     "q101_heavy_hitters": q101_heavy_hitters,
     "q102_ppl_buckets": q102_ppl_buckets,
+    "q103_cover_assign": q103_cover_assign,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -3563,6 +3582,9 @@ FROM w, z
         "q100_zorder_bbox": _q100_oracle(),
         "q101_heavy_hitters": _Q101_ORACLE,
         "q102_ppl_buckets": _Q102_ORACLE,
+        # the cover is work elision, not new semantics: same oracle
+        # as the plain assignment
+        "q103_cover_assign": assign_oracle_sql(),
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (
