@@ -140,3 +140,116 @@ def radius_pairs(
     )
     # no dedup needed: b sits in exactly one cell, and exactly one of
     # a's 9 probe cells equals it, so each ordered pair joins once
+
+
+def city_knn_cells(
+    points: DataFrame,
+    ref_names: list[str],
+    ref_lat: np.ndarray,
+    ref_lon: np.ndarray,
+    k: int = 3,
+    shift: int = 21,
+    id_col: str = "doc_id",
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+) -> DataFrame:
+    """Reverse kNN — for each reference point, the k nearest DATA
+    points — via the cell-prefix join, exact by certificate.
+
+    The forward direction (knn_broadcast) broadcasts the small side
+    and scans; here the top-k is over the 100-TB side, so scanning
+    everything per city is the thing to avoid. Plan:
+
+      1. candidates: points equi-joined (broadcast) to the 3x3 cell
+         neighborhood of each city at cell side s = 2^shift — the
+         cell-prefix join; per-city top-k by (dist2, id) window
+         over the candidate set only.
+      2. certificate: any point OUTSIDE the 3x3 block differs by
+         >= s+1 in some axis (bands differ by >= 2, intra-cell
+         offsets < s), so its dist2 > s^2. A city whose candidate
+         top-k has k rows with kth dist2 <= s^2 is FINAL — no
+         outside point can enter or tie into its top-k.
+      3. fallback: uncertified cities (deserts) take the exact
+         brute-force pass, restricted to those cities only — in-plan
+         (anti-join), no driver decision, empty when the grid
+         suffices.
+
+    At 100 TB: stage 1 touches only the 9-cell neighborhoods (a
+    pushed-down broadcast-join prune of the scan); the fallback full
+    scan is paid only when a city has < k points within one cell
+    side — `shift` is the knob trading neighborhood size against
+    fallback probability. The tiny top-k intermediate is pinned with
+    localCheckpoint so its window shuffle runs once, not per
+    consumer (certificate + output).
+    """
+    from pyspark.sql import Window
+
+    spark = points.sparkSession
+    side = 1 << shift
+    from ..geo.cells import _lon_bits
+
+    lon_bits = _lon_bits(shift)
+
+    # literal city dim as a JVM LocalRelation (a createDataFrame
+    # Python-RDD roundtrip costs ~0.5-2 s per call)
+    structs = [
+        F.struct(
+            F.lit(t).alias("neighbor"),
+            F.lit(int(la)).cast("long").alias("clat"),
+            F.lit(int(lo)).cast("long").alias("clon"),
+        )
+        for t, la, lo in zip(
+            ref_names, np.asarray(ref_lat), np.asarray(ref_lon)
+        )
+    ]
+    cities = (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("c"))
+        .select("c.*")
+    )
+
+    offsets = [
+        (dy << lon_bits) + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ]
+    cities9 = with_cell(
+        cities, "clat", "clon", out="_cc", shift=shift
+    ).withColumn(
+        "_cell",
+        F.explode(F.array(*[F.col("_cc") + F.lit(o) for o in offsets])),
+    )
+
+    pts = with_cell(points, lat_col, lon_col, out="_cell", shift=shift)
+    dlat = F.col(lat_col) - F.col("clat")
+    dlon = F.col(lon_col) - F.col("clon")
+    w = Window.partitionBy("neighbor").orderBy(
+        F.asc("dist2"), F.asc(id_col)
+    )
+    top = (
+        pts.join(F.broadcast(cities9), on="_cell")
+        .withColumn("dist2", dlat * dlat + dlon * dlon)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("neighbor", "rank", id_col, "dist2")
+        .localCheckpoint(eager=False)  # <= n_cities*k rows, 2 consumers
+    )
+    certified = (
+        top.groupBy("neighbor")
+        .agg(F.max("dist2").alias("_kd"), F.count("*").alias("_n"))
+        .filter(
+            (F.col("_n") == k) & (F.col("_kd") <= side * side)
+        )
+        .select("neighbor")
+    )
+    final = top.join(F.broadcast(certified), "neighbor", "left_semi")
+
+    fb_cities = cities.join(
+        F.broadcast(certified), "neighbor", "left_anti"
+    )
+    fb = (
+        points.crossJoin(F.broadcast(fb_cities))
+        .withColumn("dist2", dlat * dlat + dlon * dlon)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("neighbor", "rank", id_col, "dist2")
+    )
+    return final.unionByName(fb)

@@ -1437,6 +1437,28 @@ def q103_cover_assign(spark, sf_dir):
     return out.select("doc_id", "region", "subregion")
 
 
+def q104_city_knn(spark, sf_dir):
+    """Reverse kNN (operators/knn.city_knn_cells): per city, the 3
+    nearest DOCUMENTS — top-k over the 100-TB side, so the plan is
+    the certified cell-prefix join: 3x3-neighborhood broadcast join
+    + per-city window, a geometric certificate (kth dist <= cell
+    side) finalizes cities in-plan, and only uncertified deserts
+    take the brute-force pass restricted to themselves. Exact —
+    the oracle is the plain cross-join row_number."""
+    from .fixtures import gazetteer_arrays
+    from .operators.knn import city_knn_cells
+
+    terms, lat_i, lon_i, _ = gazetteer_arrays()
+    pts = doc_points(spark, sf_dir)
+    out = city_knn_cells(pts, terms, lat_i, lon_i, k=3)
+    return out.select(
+        "neighbor",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "dist2",
+    )
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2787,6 +2809,7 @@ QUERIES = {
     "q101_heavy_hitters": q101_heavy_hitters,
     "q102_ppl_buckets": q102_ppl_buckets,
     "q103_cover_assign": q103_cover_assign,
+    "q104_city_knn": q104_city_knn,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -3585,6 +3608,22 @@ FROM w, z
         # the cover is work elision, not new semantics: same oracle
         # as the plain assignment
         "q103_cover_assign": assign_oracle_sql(),
+        "q104_city_knn": f"""
+WITH {_PTS_CTE},
+cities(neighbor, clat, clon) AS (VALUES {cities}),
+d AS (
+  SELECT c.neighbor, p.doc_id,
+    (p.lat_i - c.clat) * (p.lat_i - c.clat)
+      + (p.lon_i - c.clon) * (p.lon_i - c.clon) AS dist2,
+    ROW_NUMBER() OVER (PARTITION BY c.neighbor ORDER BY
+      (p.lat_i - c.clat) * (p.lat_i - c.clat)
+        + (p.lon_i - c.clon) * (p.lon_i - c.clon) ASC,
+      p.doc_id ASC) AS rnk
+  FROM cities c CROSS JOIN pts p
+)
+SELECT neighbor, CAST(rnk AS BIGINT) AS rank, doc_id, dist2
+FROM d WHERE rnk <= 3
+""",
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
 WITH h AS (
