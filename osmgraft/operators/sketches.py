@@ -260,3 +260,92 @@ def heavy_hitters(
         .agg(F.count("*").cast("long").alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: tuple[int, ...] = (50, 90, 99),
+    bin_shift: int = 4,
+) -> DataFrame:
+    """Mergeable binned-histogram quantile sketch — the bounded-
+    state twin of indexing.exact_percentiles.
+
+    exact_percentiles' histogram is bounded by the number of
+    DISTINCT values; for long-tailed columns that bound is the
+    corpus. Binning (value >> bin_shift) caps the histogram at
+    range/2^bin_shift rows no matter what, the bins are mergeable
+    across snapshots by plain summation (countmin_merge-style), and
+    the answer carries a DETERMINISTIC error certificate: the true
+    ceil-rank percentile provably lies in [lo, hi] of the reported
+    bin, because binning preserves order (v1 <= v2 implies
+    bin(v1) <= bin(v2)), so the first bin whose cumulative count
+    reaches the target rank contains the rank-th order statistic.
+
+    Unlike approx_percentile, the result is independent of
+    partition order — same integer bins, same sums, any plan —
+    which is what makes it oracle-checkable.
+
+    One row per requested percentile:
+      (p, bin, lo, hi, cum_le, n_rows)
+    with cum_le = exact count of values < (bin+1) << bin_shift.
+
+    Plan: ONE corpus pass (map-side-combined groupBy(bin)); the
+    cumulative window, the total (= max cumulative — no second
+    corpus count), and the per-p argmins all run over the tiny
+    pinned bin table (the Exchange carries bins, not the corpus).
+    Negative values are fine: arithmetic shiftright floors toward
+    -inf, keeping bins ordered.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    hist = df.groupBy(
+        F.shiftright(v, bin_shift).alias("bin")
+    ).agg(F.count("*").cast("long").alias("_c"))
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # tiny (one row per occupied bin); pinned so the corpus groupBy
+    # runs once, not once per consumer
+    cum = hist.withColumn(
+        "cum_le", F.sum("_c").over(w)
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(F.max("cum_le").cast("long").alias("n_rows"))
+    joined = cum.crossJoin(F.broadcast(tot))
+    agg_row = joined.groupBy("n_rows").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum_le")
+                    >= F.expr(f"({p} * n_rows + 99) div 100"),
+                    F.col("bin"),
+                )
+            ).alias(f"_b{p}")
+            for p in ps
+        ]
+    )
+    rows = agg_row.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("p"),
+                        F.col(f"_b{p}").alias("bin"),
+                    )
+                    for p in ps
+                ]
+            )
+        ).alias("s"),
+    ).select("s.p", "s.bin", "n_rows")
+    return rows.join(
+        cum.select("bin", "cum_le"), "bin", "left"
+    ).select(
+        "p",
+        "bin",
+        F.shiftleft(F.col("bin"), bin_shift).alias("lo"),
+        (F.shiftleft(F.col("bin") + 1, bin_shift) - 1).alias("hi"),
+        "cum_le",
+        "n_rows",
+    )

@@ -1459,6 +1459,23 @@ def q104_city_knn(spark, sf_dir):
     )
 
 
+def q105_quantile_sketch(spark, sf_dir):
+    """Binned-histogram quantile sketch
+    (operators/sketches.binned_quantiles): p50/p90/p99 of tokens-
+    per-document with sketch state capped at range/2^4 bins
+    regardless of distinct-value count — the bounded-state,
+    snapshot-mergeable twin of q84's exact percentiles, with a
+    deterministic [lo, hi] certificate per answer. One corpus
+    pass; everything after the bin groupBy runs over the tiny bin
+    table."""
+    from .operators.sketches import binned_quantiles
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return binned_quantiles(docs, "n_tokens", bin_shift=4)
+
+
 def _pq_ctes(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Shared CTE chain replaying the PQ encode: quantize ->
     subvector rows -> first-k codebook -> exact integer argmin.
@@ -2810,6 +2827,7 @@ QUERIES = {
     "q102_ppl_buckets": q102_ppl_buckets,
     "q103_cover_assign": q103_cover_assign,
     "q104_city_knn": q104_city_knn,
+    "q105_quantile_sketch": q105_quantile_sketch,
     "q92_hll_summary": q92_hll_summary,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
@@ -3623,6 +3641,35 @@ d AS (
 )
 SELECT neighbor, CAST(rnk AS BIGINT) AS rank, doc_id, dist2
 FROM d WHERE rnk <= 3
+""",
+        "q105_quantile_sketch": """
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+),
+c AS (
+  SELECT v >> 4 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY 1
+),
+r AS (
+  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_le
+  FROM c
+),
+tot AS (SELECT CAST(MAX(cum_le) AS BIGINT) AS n_rows FROM r),
+pk(p) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+                 (CAST(99 AS BIGINT))),
+pick AS (
+  SELECT pk.p, tot.n_rows,
+         (SELECT MIN(bin) FROM r
+          WHERE cum_le >= (pk.p * tot.n_rows + 99) // 100) AS bin
+  FROM pk, tot
+)
+SELECT pick.p, pick.bin,
+       CAST(pick.bin << 4 AS BIGINT) AS lo,
+       CAST(((pick.bin + 1) << 4) - 1 AS BIGINT) AS hi,
+       r.cum_le, pick.n_rows
+FROM pick LEFT JOIN r ON pick.bin = r.bin
 """,
         "q92_hll_summary": _hll_summary_oracle(),
         "q83_export_shards": """
