@@ -1,0 +1,259 @@
+"""Way -> tile-cell cover: exact integer line supercover.
+
+The reference assigns a WAY to a clip region by its member nodes
+(osmconvert.c:9541-9694 way-node pass with --complete-ways /
+border hash), so a way whose nodes all sit outside a tile but whose
+*geometry* crosses it is invisible to that tile.  The engine-native
+tile grid (geo/cells.py, G11) makes the stronger assignment
+practical at scale: a way lands in EVERY grid cell its polyline
+passes through — the north-star "ways straddling tile borders" case
+— computed as an exact integer supercover, no sampling, no floats.
+
+Semantics (deterministic, half-open): a cell (cu, cv) at grid shift
+`s` covers the half-open square
+
+    [cu*S, (cu+1)*S) x [cv*S, (cv+1)*S),  S = 2**s
+
+in offset space u = lon_i + LON_OFFSET, v = lat_i + LAT_OFFSET
+(both non-negative, so truncating and flooring division agree in
+every engine).  The cover of a way = the set of cells containing at
+least one point of any segment between consecutive *resolved* refs,
+plus the cells of the resolved nodes themselves (covers 1-node
+ways; free after the distinct).
+
+Algorithm — column sweep, exact in int64:
+  * normalize each segment so x0 <= x1; the columns it meets are
+    exactly cu in [x0 >> s, x1 >> s] (the segment is closed at both
+    endpoints).
+  * within column cu the segment occupies x in [xa, xb) where
+    xa = max(x0, cu*S), xb = min(x1, (cu+1)*S), and the upper end
+    is EXCLUDED iff xb == (cu+1)*S (that point belongs to the next
+    column, which also processes it).
+  * y is linear in x, so its extrema sit at xa/xb.  Keep y scaled
+    by dx to stay integral: N(x) = y0*dx + dy*(x - x0) = y(x)*dx,
+    and floor(y(x)/S) = N(x) div (dx*S).  Magnitudes: N <= 1.8e9 *
+    3.6e9 < 2^63, dx*S < 2^(32+s) — exact in int64 for s <= 30.
+  * cell rows are cv in [min(Na,Nb) div D, max(Na,Nb) div D] with
+    one correction: when the maximum is attained at an excluded
+    upper end (dy > 0, xb on the column boundary) AND it is an
+    exact multiple of D, the top cell is touched only at that
+    excluded point -> subtract 1.  (Minima need no correction:
+    floor is right-continuous.)
+  * vertical segments (dx == 0) are the trivial single-column case.
+
+Plan shape: posexplode(refs) ⋈ nodes (one key shuffle), one window
+per way for consecutive pairs, then two in-row sequence-explodes
+(bounded by cells-touched, i.e. O(length/S) per segment — choose
+the shift so world-spanning segments emit hundreds, not millions,
+of cells), and a single distinct shuffle on (way_id, cell).  No
+driver loops, no UDFs, no cartesian joins.  NOT translated C code —
+the reference has no line-rasterizer; cited lines are the node-based
+behavior this extends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..geo.cells import LAT_OFFSET, LON_OFFSET, _lon_bits
+
+
+def way_cell_cover(
+    ways: DataFrame,
+    nodes: DataFrame,
+    shift: int = 24,
+) -> DataFrame:
+    """(way_id, refs array<long>) x (doc_id, lat_i, lon_i) ->
+    distinct (way_id, cell): every grid cell the way's polyline
+    passes through, cell packed as cv * 2**lon_bits + cu."""
+    if not 0 < shift <= 30:
+        raise ValueError("shift must be in (0, 30] for exact int64")
+    s = 1 << shift
+    bits = _lon_bits(shift)
+
+    pos = ways.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"),
+            (F.col("lon_i") + F.lit(LON_OFFSET)).alias("u"),
+            (F.col("lat_i") + F.lit(LAT_OFFSET)).alias("v"),
+        ),
+        "ref",
+    )
+
+    pcells = pos.select(
+        "way_id",
+        (
+            F.shiftleft(F.shiftright("v", shift), bits)
+            + F.shiftright("u", shift)
+        ).alias("cell"),
+    )
+
+    w = Window.partitionBy("way_id").orderBy("j")
+    seg = pos.select(
+        "way_id",
+        "u",
+        "v",
+        F.lead("u").over(w).alias("u2"),
+        F.lead("v").over(w).alias("v2"),
+    ).where(F.col("u2").isNotNull())
+
+    swap = F.col("u2") < F.col("u")
+    seg = seg.select(
+        "way_id",
+        F.when(swap, F.col("u2")).otherwise(F.col("u")).alias("x0"),
+        F.when(swap, F.col("v2")).otherwise(F.col("v")).alias("y0"),
+        F.when(swap, F.col("u")).otherwise(F.col("u2")).alias("x1"),
+        F.when(swap, F.col("v")).otherwise(F.col("v2")).alias("y1"),
+    )
+
+    cols = seg.select(
+        "way_id",
+        "x0",
+        "y0",
+        "y1",
+        (F.col("x1") - F.col("x0")).alias("dx"),
+        (F.col("y1") - F.col("y0")).alias("dy"),
+        F.col("x1").alias("x1"),
+        F.explode(
+            F.sequence(
+                F.shiftright("x0", shift), F.shiftright("x1", shift)
+            )
+        ).alias("cu"),
+    )
+
+    strip = cols.select(
+        "way_id",
+        "cu",
+        "dx",
+        "dy",
+        "y0",
+        "y1",
+        F.greatest(F.col("x0"), F.col("cu") * s).alias("xa"),
+        F.least(F.col("x1"), (F.col("cu") + 1) * s).alias("xb"),
+        ((F.col("cu") + 1) * s).alias("xn"),
+        "x0",
+    )
+    nums = strip.select(
+        "way_id",
+        "cu",
+        "dx",
+        "dy",
+        "y0",
+        "y1",
+        "xb",
+        "xn",
+        (
+            F.col("y0") * F.col("dx")
+            + F.col("dy") * (F.col("xa") - F.col("x0"))
+        ).alias("na"),
+        (
+            F.col("y0") * F.col("dx")
+            + F.col("dy") * (F.col("xb") - F.col("x0"))
+        ).alias("nb"),
+        (F.col("dx") * F.lit(s)).alias("d"),
+    )
+
+    # excluded-endpoint maximum correction (see module docstring)
+    adj = (
+        (F.col("dy") > 0)
+        & (F.col("xb") == F.col("xn"))
+        & (F.expr("greatest(na, nb) % d") == 0)
+    )
+    cv_lo = F.when(
+        F.col("dx") == 0, F.shiftright(F.least("y0", "y1"), shift)
+    ).otherwise(F.expr("least(na, nb) div d"))
+    cv_hi = F.when(
+        F.col("dx") == 0, F.shiftright(F.greatest("y0", "y1"), shift)
+    ).otherwise(
+        F.expr("greatest(na, nb) div d") - adj.cast("long")
+    )
+
+    scells = nums.select(
+        "way_id",
+        F.explode(F.sequence(cv_lo, cv_hi)).alias("cv"),
+        "cu",
+    ).select(
+        "way_id",
+        (F.shiftleft("cv", bits) + F.col("cu")).alias("cell"),
+    )
+
+    return pcells.unionByName(scells).distinct()
+
+
+def cell_corridor_join(
+    cover: DataFrame,
+    points: DataFrame,
+    shift: int = 24,
+    radius: int = 1,
+) -> DataFrame:
+    """Corridor search: points within `radius` cells of a covered
+    polyline — (way_id, cell) cover x (doc_id, lat_i, lon_i) ->
+    distinct (way_id, doc_id).
+
+    The cover side is dilated in-row ((2r+1)^2 neighbor explode,
+    bounded) and the corpus side is touched exactly once through a
+    cell equi-join — never a geometry cross-join, so the plan holds
+    when `points` is the 100-TB side: a small route set broadcasts
+    its dilated cover, Catalyst picks BroadcastHashJoin, and the
+    corpus scan stays pruned to (doc_id, lat_i, lon_i).  Cell ids
+    use the geo/cells.py packing; no antimeridian wrap (the
+    reference's -b borders do not wrap either, osmconvert.c bbox
+    module)."""
+    bits = _lon_bits(shift)
+    cu_max = (2 * LON_OFFSET) >> shift
+    cv_max = (2 * LAT_OFFSET) >> shift
+    dil = (
+        cover.select(
+            "way_id",
+            (F.col("cell") % F.lit(1 << bits)).alias("cu"),
+            F.expr(f"cell div {1 << bits}").alias("cv"),
+        )
+        .select(
+            "way_id",
+            "cu",
+            "cv",
+            F.explode(
+                F.sequence(F.lit(-radius), F.lit(radius))
+            ).alias("du"),
+        )
+        .select(
+            "way_id",
+            "cv",
+            (F.col("cu") + F.col("du")).alias("nu"),
+            F.explode(
+                F.sequence(F.lit(-radius), F.lit(radius))
+            ).alias("dv"),
+        )
+        .select(
+            "way_id",
+            "nu",
+            (F.col("cv") + F.col("dv")).alias("nv"),
+        )
+        # clamp to the grid: no antimeridian/pole wraparound
+        .where(
+            F.col("nu").between(0, cu_max)
+            & F.col("nv").between(0, cv_max)
+        )
+        .select(
+            "way_id",
+            (F.col("nv") * (1 << bits) + F.col("nu")).alias("cell"),
+        )
+        .distinct()
+    )
+    pts = points.select(
+        "doc_id",
+        (
+            F.shiftleft(
+                F.shiftright(
+                    F.col("lat_i") + F.lit(LAT_OFFSET), shift
+                ),
+                bits,
+            )
+            + F.shiftright(F.col("lon_i") + F.lit(LON_OFFSET), shift)
+        ).alias("cell"),
+    )
+    return pts.join(F.broadcast(dil), "cell").select(
+        "way_id", "doc_id"
+    )

@@ -282,6 +282,33 @@ def q51_rel_centers_fixpoint(spark, sf_dir):
     )
 
 
+def q106_way_cell_cover(spark, sf_dir):
+    """G11-extension: exact integer supercover tile assignment —
+    a way lands in EVERY ~0.1-degree grid cell (shift=20) its
+    polyline passes through, so ways straddling tile borders split
+    correctly.  Column-sweep formula mirrored exactly in the
+    DuckDB oracle (operators/linecover.py)."""
+    from .operators.linecover import way_cell_cover
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    return way_cell_cover(ways, _nodes(spark, sf_dir), shift=20)
+
+
+def q107_route_corridor(spark, sf_dir):
+    """Corridor search composed on q106: documents whose cell lies
+    within 1 cell of a sampled route's exact supercover — the
+    broadcast-dilated-cover equi-join plan (never a geometry
+    cross-join), operators/linecover.py cell_corridor_join."""
+    from .operators.linecover import cell_corridor_join, way_cell_cover
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    routes = synth_ways(docs, n).where(F.col("way_id") % 100 == 0)
+    nodes = _nodes(spark, sf_dir)
+    cover = way_cell_cover(routes, nodes, shift=20)
+    return cell_corridor_join(cover, nodes, shift=20, radius=1)
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -291,6 +318,8 @@ GRAPH_QUERIES = {
     "q38_rel_closure_down": q38_rel_closure_down,
     "q39_rel_geometry": q39_rel_geometry,
     "q51_rel_centers_fixpoint": q51_rel_centers_fixpoint,
+    "q106_way_cell_cover": q106_way_cell_cover,
+    "q107_route_corridor": q107_route_corridor,
 }
 
 _RELS_CTE = f"""
@@ -513,4 +542,101 @@ fix AS (
 )
 SELECT rel_id, x, y FROM fix
 """,
+        # exact integer supercover, shift=20: S=1048576, the packed
+        # cell = cv * 4096 + cu (geo/cells._lon_bits(20) = 12).
+        # Same column-sweep as operators/linecover.py: all values
+        # non-negative so DuckDB // (floor) == Spark div (trunc).
+        "q106_way_cell_cover": f"""
+{g},
+{_COVER_CTES}
+SELECT way_id, cell FROM pcells
+UNION
+SELECT way_id, cell FROM scells
+""",
+        # corridor: dilate the %100-sampled ways' cover by 1 cell,
+        # equi-join document cells (operators/linecover.py
+        # cell_corridor_join; cu_max=3433, cv_max=1716 at shift=20)
+        "q107_route_corridor": f"""
+{g},
+{_COVER_CTES},
+rc AS (
+  SELECT way_id, cell FROM pcells WHERE way_id % 100 = 0
+  UNION
+  SELECT way_id, cell FROM scells WHERE way_id % 100 = 0
+),
+dil AS (
+  SELECT DISTINCT way_id,
+         (cell // 4096 + b.dv) * 4096 + (cell % 4096 + a.du) AS cell
+  FROM rc
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS du) a
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS dv) b
+  WHERE cell % 4096 + a.du BETWEEN 0 AND 3433
+    AND cell // 4096 + b.dv BETWEEN 0 AND 1716
+),
+dcells AS (
+  SELECT doc_id,
+         ((lat_i + 900000000) >> 20) * 4096
+         + ((lon_i + 1800000000) >> 20) AS cell
+  FROM pts
+)
+SELECT d.way_id, p.doc_id FROM dil d JOIN dcells p USING (cell)
+""",
     }
+
+
+_COVER_CTES = """
+pos AS (
+  SELECT r.way_id, r.j,
+         p.lon_i + 1800000000 AS u, p.lat_i + 900000000 AS v
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+pcells AS (
+  SELECT DISTINCT way_id, (v >> 20) * 4096 + (u >> 20) AS cell
+  FROM pos
+),
+seg0 AS (
+  SELECT way_id, u, v,
+         LEAD(u) OVER (PARTITION BY way_id ORDER BY j) AS u2,
+         LEAD(v) OVER (PARTITION BY way_id ORDER BY j) AS v2
+  FROM pos
+),
+seg AS (
+  SELECT way_id,
+         CASE WHEN u2 < u THEN u2 ELSE u END AS x0,
+         CASE WHEN u2 < u THEN v2 ELSE v END AS y0,
+         CASE WHEN u2 < u THEN u ELSE u2 END AS x1,
+         CASE WHEN u2 < u THEN v ELSE v2 END AS y1
+  FROM seg0 WHERE u2 IS NOT NULL
+),
+cols AS (
+  SELECT s.way_id, s.x0, s.y0, s.y1,
+         s.x1 - s.x0 AS dx, s.y1 - s.y0 AS dy, s.x1, t.cu
+  FROM seg s CROSS JOIN LATERAL
+    (SELECT unnest(range(s.x0 >> 20, (s.x1 >> 20) + 1)) AS cu) t
+),
+nums AS (
+  SELECT way_id, cu, dx, dy, y0, y1,
+         LEAST(x1, (cu + 1) * 1048576) AS xb,
+         (cu + 1) * 1048576 AS xn,
+         y0 * dx + dy * (GREATEST(x0, cu * 1048576) - x0) AS na,
+         y0 * dx + dy * (LEAST(x1, (cu + 1) * 1048576) - x0) AS nb,
+         dx * 1048576 AS d
+  FROM cols
+),
+vr AS (
+  SELECT way_id, cu,
+    CASE WHEN dx = 0 THEN LEAST(y0, y1) >> 20
+         ELSE LEAST(na, nb) // d END AS cv_lo,
+    CASE WHEN dx = 0 THEN GREATEST(y0, y1) >> 20
+         ELSE GREATEST(na, nb) // d
+              - CASE WHEN dy > 0 AND xb = xn
+                          AND GREATEST(na, nb) % d = 0
+                     THEN 1 ELSE 0 END
+    END AS cv_hi
+  FROM nums
+),
+scells AS (
+  SELECT DISTINCT way_id, t.cv * 4096 + cu AS cell
+  FROM vr CROSS JOIN LATERAL
+    (SELECT unnest(range(cv_lo, cv_hi + 1)) AS cv) t
+)"""
