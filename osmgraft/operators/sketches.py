@@ -297,12 +297,33 @@ def binned_quantiles(
     Negative values are fine: arithmetic shiftright floors toward
     -inf, keeping bins ordered.
     """
-    from pyspark.sql import Window
+    return quantiles_from_bins(
+        bin_hist(df, value_col, bin_shift), ps, bin_shift
+    )
 
+
+def bin_hist(
+    df: DataFrame, value_col: str, bin_shift: int = 4
+) -> DataFrame:
+    """The sketch state itself: (bin, _c) counts, one map-side-
+    combined corpus pass.  Mergeable by summation; also the exact
+    state streaming_binned_hist maintains continuously."""
     v = F.col(value_col).cast("long")
-    hist = df.groupBy(
+    return df.groupBy(
         F.shiftright(v, bin_shift).alias("bin")
     ).agg(F.count("*").cast("long").alias("_c"))
+
+
+def quantiles_from_bins(
+    hist: DataFrame,
+    ps: tuple[int, ...] = (50, 90, 99),
+    bin_shift: int = 4,
+) -> DataFrame:
+    """Finish a (bin, _c) histogram — batch-built, merged, or
+    drained from the streaming twin — into the certified
+    percentile rows binned_quantiles documents."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, 0
     )

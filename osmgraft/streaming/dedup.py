@@ -309,3 +309,41 @@ def streaming_countmin(
         .groupBy("row", "col")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def streaming_binned_hist(
+    spark: SparkSession,
+    values_dir: str,
+    value_col: str = "v",
+    schema: str = "v long",
+    bin_shift: int = 4,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of sketches.bin_hist (the q105 quantile
+    sketch's state): the binned value histogram maintained
+    continuously over an arriving value stream. A non-windowed
+    groupBy(bin).count() is a legal streaming aggregation with no
+    watermark — counts only grow, and state is bounded by
+    range/2^bin_shift rows regardless of stream length (the same
+    bound that makes the batch sketch one map-side-combined
+    shuffle).
+
+    The drained bin table equals the batch histogram of all
+    arrived rows exactly (sums are split-invariant), so it feeds
+    sketches.quantiles_from_bins directly: certified [lo, hi]
+    percentile brackets over the live stream at every micro-batch
+    boundary, mergeable with snapshot histograms by summation."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(values_dir)
+    )
+    return (
+        stream.select(
+            F.shiftright(F.col(value_col).cast("long"), bin_shift)
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )

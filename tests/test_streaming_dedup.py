@@ -293,3 +293,80 @@ def test_streaming_countmin_equals_batch_sketch(spark, tmp_path):
     assert second == want2
     for key, cnt in first.items():
         assert second.get(key, 0) >= cnt  # cells only grow
+
+
+def test_streaming_binned_hist_equals_batch_quantiles(
+    spark, tmp_path
+):
+    """streaming_binned_hist drained over two arrival batches must
+    equal the batch bin histogram exactly, and feeding the drained
+    state through quantiles_from_bins must reproduce the batch
+    binned_quantiles rows (certificate included)."""
+    from osmgraft.operators.sketches import (
+        bin_hist,
+        binned_quantiles,
+        quantiles_from_bins,
+    )
+    from osmgraft.streaming.dedup import streaming_binned_hist
+
+    def _vals(lo, hi):
+        # long-tailed-ish, includes negatives
+        return spark.range(lo, hi).select(
+            ((F.col("id") * F.col("id")) % 997 - 100)
+            .cast("long")
+            .alias("v")
+        )
+
+    def _write(path, lo, hi, mode="overwrite"):
+        _vals(lo, hi).coalesce(1).write.mode(mode).parquet(path)
+
+    docs = str(tmp_path / "vals")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(docs, 0, 700)
+
+    def sink(b, _bid):
+        b.write.mode("overwrite").parquet(out)
+
+    def drain():
+        q = (
+            streaming_binned_hist(spark, docs, bin_shift=3)
+            .writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    hist1 = drain()
+    want1 = {
+        (r["bin"], r["_c"])
+        for r in bin_hist(_vals(0, 700), "v", 3).collect()
+    }
+    assert {(r["bin"], r["_c"]) for r in hist1.collect()} == want1
+
+    # restart from checkpoint with a second arrival
+    _write(docs, 700, 2500, mode="append")
+    hist2 = drain()
+    want2 = {
+        (r["bin"], r["_c"])
+        for r in bin_hist(_vals(0, 2500), "v", 3).collect()
+    }
+    assert {(r["bin"], r["_c"]) for r in hist2.collect()} == want2
+
+    # drained state -> certified percentiles == batch sketch rows
+    got_q = {
+        tuple(r)
+        for r in quantiles_from_bins(
+            hist2, (50, 90, 99), 3
+        ).collect()
+    }
+    want_q = {
+        tuple(r)
+        for r in binned_quantiles(
+            _vals(0, 2500), "v", (50, 90, 99), 3
+        ).collect()
+    }
+    assert got_q == want_q
