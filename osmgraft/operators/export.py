@@ -77,3 +77,56 @@ def shard_summary(
             F.sum("n_tokens").cast("long").alias("n_tokens_total"),
         )
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    target_n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement by
+    SYSTEMATIC selection over the weight prefix sum — the exact,
+    engine-agnostic replacement for rand()-based weighted samplers
+    (probability proportional to size, e.g. pick documents
+    proportionally to token count for a mixing plan).
+
+    Rule: with W = sum(w), stride = W div target_n, row i covering
+    the half-open weight interval (cum_i - w_i, cum_i] is selected
+    iff the interval contains a multiple of stride:
+
+        hits_i = cum_i div stride - (cum_i - w_i) div stride
+
+    Pure integer arithmetic over a total order -> reproducible
+    across partitioning, retries, and engines (the DuckDB oracle
+    runs the identical formula), which rand()-based samplers are
+    not. Inclusion probability is min(1, w/stride); rows with
+    w >= stride are ALWAYS selected (the PPS certainty region) and
+    `hits` reports their multiplicity for weighted estimators.
+    Selected count is within 1 of W div stride >= target_n.
+
+    Plan: one agg for W (a driver scalar, manifest-style), then
+    indexing.with_running_total's three-pass prefix sum (range
+    partition on the order, per-partition offsets, Arrow cumsum) —
+    no SinglePartition window, no corpus sort funnel."""
+    from .indexing import with_running_total
+
+    if target_n <= 0:
+        raise ValueError("target_n must be positive")
+    w_total = df.agg(
+        F.sum(F.col(weight_col).cast("long"))
+    ).collect()[0][0]
+    if w_total is None or w_total < target_n:
+        raise ValueError("total weight must be >= target_n")
+    stride = w_total // target_n
+    cum = with_running_total(
+        df, order_cols, weight_col, out_col="cum_w",
+        num_partitions=num_partitions,
+    )
+    hits = F.expr(f"cum_w div {stride}") - F.expr(
+        f"(cum_w - {weight_col}) div {stride}"
+    )
+    return cum.withColumn("hits", hits.cast("long")).where(
+        F.col("hits") >= 1
+    )

@@ -654,6 +654,24 @@ def q84_token_percentiles(spark, sf_dir):
     return exact_percentiles(docs, "n_tokens")
 
 
+def q108_weighted_sample(spark, sf_dir):
+    """Deterministic PPS sampling (export.weighted_systematic_
+    sample): ~80 documents picked proportionally to token count by
+    systematic selection over the integer weight prefix sum — no
+    rand(), so the sample is identical across engines,
+    partitionings, and retries; `hits` carries the multiplicity
+    for weighted estimators."""
+    from .operators.export import weighted_systematic_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+    )
+    return weighted_systematic_sample(
+        docs, ["doc_id"], "w", target_n=80
+    )
+
+
 def q87_ivf_trained(spark, sf_dir):
     """The full vector-index build: Lloyd-trained coarse quantizer
     (q82's clustering.kmeans_centroid_vectors) feeding the IVF
@@ -2807,6 +2825,7 @@ QUERIES = {
     "q81_classifier_gate": q81_classifier_gate,
     "q82_kmeans_ivf_train": q82_kmeans_ivf_train,
     "q83_export_shards": q83_export_shards,
+    "q108_weighted_sample": q108_weighted_sample,
     "q84_token_percentiles": q84_token_percentiles,
     "q85_inverted_index": q85_inverted_index,
     "q86_distinctive_terms": q86_distinctive_terms,
@@ -3690,6 +3709,27 @@ SELECT doc_id, shard,
          PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos,
        n_tokens
 FROM s
+""",
+        # systematic PPS: same integer rule as export.weighted_
+        # systematic_sample (all values non-negative, // == div)
+        "q108_weighted_sample": """
+WITH wts AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(w) OVER () AS wt
+  FROM wts
+)
+SELECT doc_id, w, CAST(cum_w AS BIGINT) AS cum_w,
+       CAST(cum_w // (wt // 80)
+            - (cum_w - w) // (wt // 80) AS BIGINT) AS hits
+FROM cum
+WHERE cum_w // (wt // 80) - (cum_w - w) // (wt // 80) >= 1
 """,
         "q85_inverted_index": """
 WITH tok AS (

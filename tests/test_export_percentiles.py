@@ -107,3 +107,101 @@ def test_percentiles_match_python(spark):
         return sv[rank - 1]
 
     assert (r.p10, r.p50, r.p99) == (pick(10), pick(50), pick(99))
+
+
+# ----------------------------------------------------------------
+# weighted systematic sampling
+# ----------------------------------------------------------------
+
+
+def _wdf(spark, n=400, seed_mod=37):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * F.col("id")) % seed_mod + 1)
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def test_weighted_sample_matches_python(spark):
+    from osmgraft.operators.export import weighted_systematic_sample
+
+    df = _wdf(spark)
+    rows = sorted(
+        (r.doc_id, r.w) for r in df.collect()
+    )
+    wt = sum(w for _, w in rows)
+    target = 25
+    stride = wt // target
+    cum = 0
+    want = {}
+    for d, w in rows:
+        cum += w
+        hits = cum // stride - (cum - w) // stride
+        if hits >= 1:
+            want[d] = hits
+    got = {
+        r.doc_id: r.hits
+        for r in weighted_systematic_sample(
+            df, ["doc_id"], "w", target
+        ).collect()
+    }
+    assert got == want
+    assert abs(len(got) - target) <= max(1, wt // stride - target)
+
+
+def test_weighted_sample_partitioning_invariance(spark):
+    from osmgraft.operators.export import weighted_systematic_sample
+
+    df = _wdf(spark, n=300)
+    a = {
+        (r.doc_id, r.hits)
+        for r in weighted_systematic_sample(
+            df.repartition(7), ["doc_id"], "w", 20
+        ).collect()
+    }
+    b = {
+        (r.doc_id, r.hits)
+        for r in weighted_systematic_sample(
+            df.coalesce(1), ["doc_id"], "w", 20
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_certainty_region(spark):
+    """Rows with w >= stride are ALWAYS selected, with
+    hits >= w div stride."""
+    from osmgraft.operators.export import weighted_systematic_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit(500))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("w"),
+    )
+    target = 12
+    wt = 10 * 500 + 90 * 3
+    stride = wt // target
+    out = {
+        r.doc_id: r.hits
+        for r in weighted_systematic_sample(
+            df, ["doc_id"], "w", target
+        ).collect()
+    }
+    for d in range(0, 100, 10):
+        assert d in out  # 500 > stride=439 -> certainty
+        assert out[d] >= 500 // stride
+
+
+def test_weighted_sample_guards(spark):
+    import pytest
+
+    from osmgraft.operators.export import weighted_systematic_sample
+
+    df = _wdf(spark, n=5)
+    with pytest.raises(ValueError):
+        weighted_systematic_sample(df, ["doc_id"], "w", 0)
+    with pytest.raises(ValueError):
+        weighted_systematic_sample(df, ["doc_id"], "w", 10**9)
