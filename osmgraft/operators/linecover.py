@@ -182,6 +182,72 @@ def way_cell_cover(
     return pcells.unionByName(scells).distinct()
 
 
+def way_length(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Route length per way: (way_id, n_segs, len_units) with
+    len_units = sum over consecutive-resolved-ref segments of
+    floor(sqrt(dxs^2 + dy^2)) in 1e-7-degree fixed-point units,
+    where dxs is |dlon| scaled to equator-equivalent length by the
+    reference's cosr table at the segment-midpoint latitude band —
+    the same integer scaling wo_addbboxtags applies to bbox widths
+    (osmconvert.c:9035-9045; table regenerated, geo/bboxtags.py).
+
+    Exactness: cosr[idx]*dx would overflow int64 for world-spanning
+    segments, so the div-2^32 is decomposed over 16-bit halves
+    (full = c*dxh*2^16 + c*dxl, each term < 2^48) — bit-identical
+    to the single 128-bit division, proven in tests.  The final
+    sqrt runs in IEEE double (correctly rounded by spec), so Spark
+    and DuckDB produce the same floor(sqrt(...)) bit-for-bit even
+    where dxs^2 + dy^2 exceeds 2^53.
+
+    Plan: one refs⋈nodes shuffle + per-way window + one groupBy —
+    the q23 way-geometry shape; the 901-entry cosr table is an
+    array literal inside codegen."""
+    from ..geo.bboxtags import _div, cosr_table
+
+    pos = ways.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"), "lat_i", "lon_i"
+        ),
+        "ref",
+    )
+    w = Window.partitionBy("way_id").orderBy("j")
+    seg = pos.select(
+        "way_id",
+        "lat_i",
+        "lon_i",
+        F.lead("lat_i").over(w).alias("lat2"),
+        F.lead("lon_i").over(w).alias("lon2"),
+    ).where(F.col("lat2").isNotNull())
+
+    cosr = F.lit(cosr_table())
+    idx = F.least(
+        _div(_div(F.abs(F.col("lat_i") + F.col("lat2")), 2), 1_000_000),
+        F.lit(900),
+    )
+    c = F.element_at(cosr, (idx + 1).cast("int")).cast("long")
+    dx = F.abs(F.col("lon2") - F.col("lon_i")).cast("long")
+    dy = F.abs(F.col("lat2") - F.col("lat_i")).cast("long")
+    # exact (c*dx) div 2^32 without int64 overflow: 16-bit halves
+    a = c * _div(dx, 65536)
+    dxs = _div(a, 65536) + _div(
+        (a % 65536) * 65536 + c * (dx % 65536), F.lit(4294967296)
+    )
+    seg_len = F.floor(
+        F.sqrt(
+            dxs.cast("double") * dxs.cast("double")
+            + dy.cast("double") * dy.cast("double")
+        )
+    ).cast("long")
+    return seg.select("way_id", seg_len.alias("_l")).groupBy(
+        "way_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum("_l").alias("len_units"),
+    )
+
+
 def cell_corridor_join(
     cover: DataFrame,
     points: DataFrame,

@@ -309,6 +309,19 @@ def q107_route_corridor(spark, sf_dir):
     return cell_corridor_join(cover, nodes, shift=20, radius=1)
 
 
+def q109_way_length(spark, sf_dir):
+    """Route length in fixed-point units with the reference's cosr
+    longitude scaling at the segment-midpoint latitude band
+    (operators/linecover.way_length); the overflow-safe 2^32
+    division and the IEEE-pinned floor(sqrt(..)) replay exactly in
+    the DuckDB oracle."""
+    from .operators.linecover import way_length
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    return way_length(ways, _nodes(spark, sf_dir))
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -320,6 +333,7 @@ GRAPH_QUERIES = {
     "q51_rel_centers_fixpoint": q51_rel_centers_fixpoint,
     "q106_way_cell_cover": q106_way_cell_cover,
     "q107_route_corridor": q107_route_corridor,
+    "q109_way_length": q109_way_length,
 }
 
 _RELS_CTE = f"""
@@ -365,6 +379,16 @@ centers AS (
   FROM wmid m JOIN wnear n ON n.way_id = m.way_id AND n.rn = 1
 )
 """
+
+
+
+
+def _cosr_values() -> str:
+    from .geo.bboxtags import cosr_table
+
+    return ", ".join(
+        f"({i}, {v})" for i, v in enumerate(cosr_table())
+    )
 
 
 def graph_oracle_sqls(pts_cte: str) -> dict[str, str]:
@@ -541,6 +565,41 @@ fix AS (
   FROM relbase r JOIN fix f ON f.rel_id = r.child_rel
 )
 SELECT rel_id, x, y FROM fix
+""",
+        # cosr-scaled route length; same 16-bit-halves exact
+        # 2^32 division as the operator, sqrt IEEE-pinned
+        "q109_way_length": f"""
+{g},
+cosr(i, v) AS (VALUES {_cosr_values()}),
+pos AS (
+  SELECT r.way_id, r.j, p.lat_i, p.lon_i
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+seg AS (
+  SELECT way_id, lat_i, lon_i,
+         LEAD(lat_i) OVER (PARTITION BY way_id ORDER BY j) AS lat2,
+         LEAD(lon_i) OVER (PARTITION BY way_id ORDER BY j) AS lon2
+  FROM pos
+),
+sc AS (
+  SELECT way_id,
+         abs(lon2 - lon_i) AS dx, abs(lat2 - lat_i) AS dy,
+         least(abs(lat_i + lat2) // 2 // 1000000, 900) AS i
+  FROM seg WHERE lat2 IS NOT NULL
+),
+sl AS (
+  SELECT way_id, dy,
+         (c.v * (sc.dx // 65536)) // 65536
+         + (((c.v * (sc.dx // 65536)) % 65536) * 65536
+            + c.v * (sc.dx % 65536)) // 4294967296 AS dxs
+  FROM sc JOIN cosr c ON c.i = sc.i
+)
+SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CAST(floor(sqrt(
+         CAST(dxs AS DOUBLE) * CAST(dxs AS DOUBLE)
+         + CAST(dy AS DOUBLE) * CAST(dy AS DOUBLE)))
+         AS BIGINT)) AS BIGINT) AS len_units
+FROM sl GROUP BY 1
 """,
         # exact integer supercover, shift=20: S=1048576, the packed
         # cell = cv * 4096 + cu (geo/cells._lon_bits(20) = 12).

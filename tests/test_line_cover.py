@@ -245,3 +245,77 @@ def test_plan_no_cartesian_no_udf(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_way_length_decomposition_and_semantics(spark):
+    """The 16-bit-halves (c*dx) div 2^32 equals true 128-bit
+    division (python bigints), and way_length matches a python
+    replay on synthetic ways incl. equator/high-lat segments."""
+    from osmgraft.geo.bboxtags import cosr_table
+    from osmgraft.operators.linecover import way_length
+
+    cosr = cosr_table()
+
+    # pure decomposition check at the extremes
+    import random
+
+    rng = random.Random(7)
+    for _ in range(2000):
+        c = rng.choice(
+            [0, 1, 65535, 65536, 4294967295]
+            + [rng.randrange(0, 4294967296) for _ in range(3)]
+        )
+        dx = rng.choice(
+            [0, 1, 65535, 65536, 3_600_000_000]
+            + [rng.randrange(0, 3_600_000_001) for _ in range(3)]
+        )
+        a = c * (dx // 65536)
+        got = a // 65536 + ((a % 65536) * 65536 + c * (dx % 65536)) // 4294967296
+        assert got == (c * dx) // 4294967296, (c, dx)
+
+    def py_len(pts):
+        import math
+
+        tot = 0
+        for (y0, x0), (y1, x1) in zip(pts, pts[1:]):
+            i = min(abs(y0 + y1) // 2 // 1_000_000, 900)
+            c = cosr[i]
+            dx, dy = abs(x1 - x0), abs(y1 - y0)
+            dxs = (c * dx) // 4294967296
+            tot += int(
+                math.floor(math.sqrt(float(dxs) * dxs + float(dy) * dy))
+            )
+        return tot
+
+    ways_pts = {
+        # equator: cosr[0]=2^32-1 -> dxs = dx-1 for dx>0 quirk kept
+        1: [(0, 0), (0, 10_000_000)],
+        # 60N: cos ~ 0.5
+        2: [(600_000_000, 0), (600_000_000, 10_000_000)],
+        # mixed diagonal near the pole cap index clamp
+        3: [(899_500_000, 5), (900_000_000, 10_000_000)],
+        4: [(100_000, 100_000), (-100_000, -100_000), (0, 0)],
+    }
+    rows, nodes, nid = [], [], 0
+    for wid, pts in ways_pts.items():
+        refs = []
+        for lat, lon in pts:
+            nodes.append((nid, lat, lon))
+            refs.append(nid)
+            nid += 1
+        rows.append((wid, refs))
+    out = {
+        r.way_id: (r.n_segs, r.len_units)
+        for r in way_length(
+            spark.createDataFrame(
+                rows, "way_id long, refs array<long>"
+            ),
+            spark.createDataFrame(
+                nodes, "doc_id long, lat_i long, lon_i long"
+            ),
+        ).collect()
+    }
+    for wid, pts in ways_pts.items():
+        assert out[wid] == (len(pts) - 1, py_len(pts)), wid
+    # 60N east-west run is about half the equator run
+    assert 0.49 < out[2][1] / out[1][1] < 0.51
