@@ -370,3 +370,131 @@ def quantiles_from_bins(
         "cum_le",
         "n_rows",
     )
+
+
+# ----------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketches: the set-operations
+# member of the mergeable family — HLL answers "how many distinct",
+# count-min answers "how often", KMV also answers "how much do two
+# sets OVERLAP" (intersection/Jaccard), which register sketches
+# cannot. State = the k smallest distinct 48-bit key hashes per
+# group: exact integers, so sketches, merges, and estimates replay
+# bit-for-bit in any engine (raw estimates keep to IEEE-pinned
+# multiply/divide over exact integer pieces, the HLL discipline).
+# ----------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    n_salts: int = 16,
+) -> DataFrame:
+    """(grp, rank, h): the k smallest DISTINCT md5-48 hashes of
+    `key_col` per group, rank 1..k by h ascending (no ties — the
+    hashes are distinct).
+
+    Plan: one distinct shuffle on (grp, h), then a salted two-stage
+    top-k (the tile_doc_lists skew pattern): stage 1 ranks within
+    (grp, h % n_salts) so a hot group's candidate pass runs on
+    n_salts tasks and keeps <= k rows per salt; stage 2 ranks the
+    <= k*n_salts survivors per group. No SinglePartition window,
+    state bounded by k everywhere."""
+    from pyspark.sql import Window
+
+    h = _hash48(F.col(key_col))
+    dh = df.select(
+        F.col(group_col).alias("grp"), h.alias("h")
+    ).distinct()
+    w1 = Window.partitionBy("grp", F.col("h") % n_salts).orderBy("h")
+    stage1 = dh.withColumn("r1", F.row_number().over(w1)).where(
+        F.col("r1") <= k
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (
+        stage1.select("grp", "h")
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two KMV sketches: k smallest of the hash union —
+    identical to sketching the union of the underlying sets
+    (tested), so snapshot sketches compose."""
+    from pyspark.sql import Window
+
+    u = (
+        a.select("grp", "h")
+        .unionByName(b.select("grp", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return u.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
+def kmv_summary(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(grp, k_eff, h_k, raw_est): distinct-count estimate
+    (k_eff-1) * 2^48 / h_k from the exact integer pieces; when the
+    group has fewer than k distinct keys (k_eff < k) the sketch IS
+    the exact distinct set and raw_est is overridden by k_eff."""
+    agg = sketch.groupBy("grp").agg(
+        F.count("*").cast("long").alias("k_eff"),
+        F.max("h").alias("h_k"),
+    )
+    est = (
+        (F.col("k_eff") - 1).cast("double")
+        * F.lit(float(1 << 48))
+        / F.col("h_k").cast("double")
+    )
+    return agg.select(
+        "grp",
+        "k_eff",
+        "h_k",
+        F.when(F.col("k_eff") < k, F.col("k_eff").cast("double"))
+        .otherwise(est)
+        .alias("raw_est"),
+    )
+
+
+def kmv_intersect(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-sketch set operations from two KMV sketches:
+    (grp, u_eff, h_k, c, jacc, inter_est) where the k smallest
+    hashes of the union form the combined sample, c counts sample
+    hashes present in BOTH sketches, jacc = c/u_eff, and
+    inter_est = jacc * union raw estimate. All inputs to the two
+    divisions are exact integers."""
+    m = kmv_merge(a, b, k)
+    both = (
+        a.select("grp", "h")
+        .join(b.select("grp", "h"), ["grp", "h"], "left_semi")
+    )
+    flags = m.join(
+        both.withColumn("_b", F.lit(1)), ["grp", "h"], "left"
+    )
+    agg = flags.groupBy("grp").agg(
+        F.count("*").cast("long").alias("u_eff"),
+        F.max("h").alias("h_k"),
+        F.sum(F.coalesce("_b", F.lit(0))).cast("long").alias("c"),
+    )
+    u_est = F.when(
+        F.col("u_eff") < k, F.col("u_eff").cast("double")
+    ).otherwise(
+        (F.col("u_eff") - 1).cast("double")
+        * F.lit(float(1 << 48))
+        / F.col("h_k").cast("double")
+    )
+    jacc = F.col("c").cast("double") / F.col("u_eff").cast("double")
+    return agg.select(
+        "grp",
+        "u_eff",
+        "h_k",
+        "c",
+        jacc.alias("jacc"),
+        (jacc * u_est).alias("inter_est"),
+    )

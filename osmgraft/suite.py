@@ -1631,6 +1631,92 @@ regs AS (
 )"""
 
 
+_KMV_CTES = """pages AS (
+  SELECT doc_id,
+         'host' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example.com' AS grp,
+         'https://host' || CAST(doc_id % 23 AS VARCHAR)
+           || '.example.com/p/'
+           || CAST(doc_id // 3 AS VARCHAR) AS url
+  FROM documents
+)"""
+
+
+def _kmv_registers_oracle() -> str:
+    return f"""
+WITH {_KMV_CTES},
+dh AS (
+  SELECT DISTINCT grp,
+    CAST(('0x' || substr(md5(url), 1, 12)) AS BIGINT) AS h
+  FROM pages
+),
+rk AS (
+  SELECT grp, h,
+    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h)
+         AS BIGINT) AS rank
+  FROM dh
+)
+SELECT grp, rank, h FROM rk WHERE rank <= 32
+"""
+
+
+def _kmv_intersect_oracle() -> str:
+    # same double order of operations as sketches.kmv_intersect
+    return f"""
+WITH {_KMV_CTES},
+da AS (
+  SELECT DISTINCT grp,
+    CAST(('0x' || substr(md5(url), 1, 12)) AS BIGINT) AS h
+  FROM pages WHERE doc_id % 3 <> 2
+),
+db AS (
+  SELECT DISTINCT grp,
+    CAST(('0x' || substr(md5(url), 1, 12)) AS BIGINT) AS h
+  FROM pages WHERE doc_id % 3 <> 0
+),
+ska AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+    FROM da) WHERE r <= 32
+),
+skb AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+    FROM db) WHERE r <= 32
+),
+u AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+    FROM (SELECT grp, h FROM ska UNION SELECT grp, h FROM skb))
+  WHERE r <= 32
+),
+flags AS (
+  SELECT u.grp, u.h,
+    CASE WHEN EXISTS (SELECT 1 FROM ska a
+                      WHERE a.grp = u.grp AND a.h = u.h)
+          AND EXISTS (SELECT 1 FROM skb b
+                      WHERE b.grp = u.grp AND b.h = u.h)
+         THEN 1 ELSE 0 END AS b
+  FROM u
+),
+agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS u_eff,
+         MAX(h) AS h_k, CAST(SUM(b) AS BIGINT) AS c
+  FROM flags GROUP BY 1
+)
+SELECT grp, u_eff, h_k, c,
+  CAST(c AS DOUBLE) / CAST(u_eff AS DOUBLE) AS jacc,
+  (CAST(c AS DOUBLE) / CAST(u_eff AS DOUBLE))
+    * (CASE WHEN u_eff < 32 THEN CAST(u_eff AS DOUBLE)
+       ELSE CAST(u_eff - 1 AS DOUBLE) * 281474976710656.0
+            / CAST(h_k AS DOUBLE) END) AS inter_est
+FROM agg
+"""
+
+
 def _hll_registers_oracle() -> str:
     return f"""
 WITH {_HLL_CTES}
@@ -1659,6 +1745,48 @@ SELECT grp,
            AS DOUBLE) AS raw_est
 FROM agg
 """
+
+
+def q110_kmv_registers(spark, sf_dir):
+    """KMV/theta sketch of distinct URLs per domain
+    (sketches.kmv_sketch): the k=32 smallest distinct md5-48
+    hashes as exact integer rows — the set-operations member of
+    the sketch family (q91 HLL counts, q97 count-min counts
+    frequency, KMV also intersects). Salted two-stage top-k, no
+    SinglePartition window."""
+    from .operators.sketches import kmv_sketch
+
+    return kmv_sketch(_hll_pages(spark, sf_dir), "grp", "url", k=32)
+
+
+def q111_kmv_intersect(spark, sf_dir):
+    """Theta-sketch set operations: two overlapping crawl
+    snapshots (doc_id % 3 != 2 vs != 0) sketched independently,
+    then sketches.kmv_intersect estimates per-domain overlap —
+    exact integer sample counts (u_eff, h_k, c) plus jacc and
+    inter_est from IEEE-pinned multiply/divide only."""
+    from .operators.sketches import kmv_intersect, kmv_sketch
+
+    d = F.col("doc_id")
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), (d % 23).cast("string"),
+            F.lit(".example.com"),
+        ).alias("grp"),
+        F.concat(
+            F.lit("https://host"), (d % 23).cast("string"),
+            F.lit(".example.com/p/"),
+            F.expr("doc_id div 3").cast("string"),
+        ).alias("url"),
+    )
+    a = kmv_sketch(
+        pages.where(d % 3 != 2), "grp", "url", k=32
+    )
+    b = kmv_sketch(
+        pages.where(d % 3 != 0), "grp", "url", k=32
+    )
+    return kmv_intersect(a, b, k=32)
 
 
 def q85_inverted_index(spark, sf_dir):
@@ -2848,6 +2976,8 @@ QUERIES = {
     "q104_city_knn": q104_city_knn,
     "q105_quantile_sketch": q105_quantile_sketch,
     "q92_hll_summary": q92_hll_summary,
+    "q110_kmv_registers": q110_kmv_registers,
+    "q111_kmv_intersect": q111_kmv_intersect,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -3632,6 +3762,8 @@ FROM w, z
         "q89_pq_codes": _pq_codes_oracle(),
         "q90_pq_adc_topk": _pq_adc_oracle(),
         "q91_hll_registers": _hll_registers_oracle(),
+        "q110_kmv_registers": _kmv_registers_oracle(),
+        "q111_kmv_intersect": _kmv_intersect_oracle(),
         "q93_ivf_pq_topk": _ivf_pq_oracle(),
         "q94_pq_trained_codes": _pq_trained_oracle(),
         "q95_residual_ivf_pq": _residual_ivf_pq_oracle(),

@@ -306,3 +306,69 @@ def test_heavy_hitters_gate_prunes_cold_keys(spark):
         pred = p if pred is None else pred & p
     survivors = df.filter(pred).select("key").distinct().count()
     assert survivors <= 20  # 5 hot + a handful of collisions
+
+
+# ----------------------------------------------------------------
+# KMV / theta sketches
+# ----------------------------------------------------------------
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    from osmgraft.operators.sketches import kmv_merge, kmv_sketch
+
+    a = _keys(spark, 0, 2000)
+    b = _keys(spark, 1500, 4000)
+    merged = {
+        (r["grp"], r["rank"], r["h"])
+        for r in kmv_merge(
+            kmv_sketch(a, "grp", "k", k=48),
+            kmv_sketch(b, "grp", "k", k=48),
+            k=48,
+        ).collect()
+    }
+    direct = {
+        (r["grp"], r["rank"], r["h"])
+        for r in kmv_sketch(
+            a.unionByName(b), "grp", "k", k=48
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_kmv_small_set_is_exact_and_invariant(spark):
+    from osmgraft.operators.sketches import kmv_sketch, kmv_summary
+
+    small = _keys(spark, 0, 30)  # 30 < k
+    sk = kmv_sketch(small.repartition(7), "grp", "k", k=64)
+    rows = sk.collect()
+    assert len(rows) == 30
+    s = kmv_summary(sk, k=64).collect()[0]
+    assert s["k_eff"] == 30 and s["raw_est"] == 30.0
+    again = {
+        (r["grp"], r["rank"], r["h"])
+        for r in kmv_sketch(
+            small.coalesce(1), "grp", "k", k=64
+        ).collect()
+    }
+    assert again == {(r["grp"], r["rank"], r["h"]) for r in rows}
+
+
+def test_kmv_estimates_calibrated(spark):
+    from osmgraft.operators.sketches import (
+        kmv_intersect,
+        kmv_sketch,
+        kmv_summary,
+    )
+
+    # |A| = 6000, |B| = 6000, |A ∩ B| = 2000, |A ∪ B| = 10000
+    a = _keys(spark, 0, 6000)
+    b = _keys(spark, 4000, 10000)
+    k = 256
+    ska = kmv_sketch(a, "grp", "k", k=k)
+    skb = kmv_sketch(b, "grp", "k", k=k)
+    est = kmv_summary(ska, k=k).collect()[0]["raw_est"]
+    assert 0.8 * 6000 < est < 1.2 * 6000
+    ix = kmv_intersect(ska, skb, k=k).collect()[0]
+    assert ix["u_eff"] == k
+    assert 0.6 * 2000 < ix["inter_est"] < 1.4 * 2000
+    assert 0.6 * 0.2 < ix["jacc"] < 1.4 * 0.2
