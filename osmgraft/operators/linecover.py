@@ -248,6 +248,62 @@ def way_length(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def way_signed_area(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Signed shoelace area of CLOSED ways (first ref == last ref):
+    (way_id, n_edges, two_a) with two_a = twice the signed area in
+    squared 1e-7-degree units, positive for counter-clockwise
+    winding in the (lon, lat) plane — the engine-native exact
+    complement to the reference's bBoxArea approximation (G8) and
+    the ring-winding input the .poly assembly cares about (G9/G10,
+    osmconvert border module winding conventions).
+
+    Exactness: terms are centered on the way's first vertex, so
+    each cross product fits int64 for hemisphere-scale extents, but
+    the products are still carried as decimal(38,0) (HUGEINT in the
+    DuckDB oracle) so even antimeridian-spanning synthetic rings
+    sum exactly; the final value is cast to long, which throws
+    loudly rather than wrapping in the (physically impossible for
+    real ways) case |2A| >= 2^63.
+
+    Plan: the q23 shape — one refs⋈nodes shuffle, one per-way
+    window (lead + first_value), one groupBy sum."""
+    closed = ways.where(
+        (F.element_at("refs", 1) == F.element_at("refs", -1))
+        & (F.size("refs") >= 4)
+    )
+    pos = closed.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"), "lat_i", "lon_i"
+        ),
+        "ref",
+    )
+    w = Window.partitionBy("way_id").orderBy("j")
+    wa = w.rowsBetween(Window.unboundedPreceding, 0)
+    seg = pos.select(
+        "way_id",
+        (F.col("lon_i") - F.first("lon_i").over(wa)).alias("x"),
+        (F.col("lat_i") - F.first("lat_i").over(wa)).alias("y"),
+        (
+            F.lead("lon_i").over(w) - F.first("lon_i").over(wa)
+        ).alias("x2"),
+        (
+            F.lead("lat_i").over(w) - F.first("lat_i").over(wa)
+        ).alias("y2"),
+    ).where(F.col("x2").isNotNull())
+    dec = "decimal(20,0)"
+    term = F.col("x").cast(dec) * F.col("y2").cast(dec) - F.col(
+        "x2"
+    ).cast(dec) * F.col("y").cast(dec)
+    return seg.select("way_id", term.alias("_t")).groupBy(
+        "way_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("_t").cast("long").alias("two_a"),
+    )
+
+
 def cell_corridor_join(
     cover: DataFrame,
     points: DataFrame,

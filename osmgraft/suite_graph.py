@@ -322,6 +322,19 @@ def q109_way_length(spark, sf_dir):
     return way_length(ways, _nodes(spark, sf_dir))
 
 
+def q112_way_area(spark, sf_dir):
+    """Exact signed shoelace area of closed ways
+    (operators/linecover.way_signed_area): centered int cross
+    products carried as decimal(38,0)/HUGEINT, positive = CCW
+    winding — the exact complement to the reference's bBoxArea
+    approximation."""
+    from .operators.linecover import way_signed_area
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    return way_signed_area(ways, _nodes(spark, sf_dir))
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -334,6 +347,7 @@ GRAPH_QUERIES = {
     "q106_way_cell_cover": q106_way_cell_cover,
     "q107_route_corridor": q107_route_corridor,
     "q109_way_length": q109_way_length,
+    "q112_way_area": q112_way_area,
 }
 
 _RELS_CTE = f"""
@@ -565,6 +579,37 @@ fix AS (
   FROM relbase r JOIN fix f ON f.rel_id = r.child_rel
 )
 SELECT rel_id, x, y FROM fix
+""",
+        # closed-way shoelace: centered cross products in HUGEINT
+        "q112_way_area": f"""
+{g},
+wn AS (
+  SELECT way_id, MAX(j) AS jmax, COUNT(*) AS n
+  FROM wrefs GROUP BY 1
+),
+cl AS (
+  SELECT w.way_id FROM wn w
+  JOIN wrefs a ON a.way_id = w.way_id AND a.j = 1
+  JOIN wrefs b ON b.way_id = w.way_id AND b.j = w.jmax
+  WHERE a.ref = b.ref AND w.n >= 4
+),
+pos AS (
+  SELECT r.way_id, r.j, p.lat_i, p.lon_i
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+  WHERE r.way_id IN (SELECT way_id FROM cl)
+),
+seg AS (
+  SELECT way_id,
+    lon_i - FIRST_VALUE(lon_i) OVER w AS x,
+    lat_i - FIRST_VALUE(lat_i) OVER w AS y,
+    LEAD(lon_i) OVER w - FIRST_VALUE(lon_i) OVER w AS x2,
+    LEAD(lat_i) OVER w - FIRST_VALUE(lat_i) OVER w AS y2
+  FROM pos WINDOW w AS (PARTITION BY way_id ORDER BY j)
+)
+SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+  CAST(SUM(CAST(x AS HUGEINT) * y2
+           - CAST(x2 AS HUGEINT) * y) AS BIGINT) AS two_a
+FROM seg WHERE x2 IS NOT NULL GROUP BY 1
 """,
         # cosr-scaled route length; same 16-bit-halves exact
         # 2^32 division as the operator, sqrt IEEE-pinned

@@ -319,3 +319,75 @@ def test_way_length_decomposition_and_semantics(spark):
         assert out[wid] == (len(pts) - 1, py_len(pts)), wid
     # 60N east-west run is about half the equator run
     assert 0.49 < out[2][1] / out[1][1] < 0.51
+
+
+def test_way_signed_area(spark):
+    """Known polygons (winding signs) + random-ring python
+    shoelace differential; open ways are excluded."""
+    import random
+
+    from osmgraft.operators.linecover import way_signed_area
+
+    def shoelace2(pts):
+        return sum(
+            pts[i][1] * pts[i + 1][0] - pts[i + 1][1] * pts[i][0]
+            for i in range(len(pts) - 1)
+        )
+
+    rng = random.Random(11)
+    ways_pts = {
+        # CCW unit-ish square in (lon, lat): 2A = 2*s^2 > 0
+        1: [(0, 0), (0, 1000), (1000, 1000), (1000, 0), (0, 0)],
+        # same square CW: negative
+        2: [(0, 0), (1000, 0), (1000, 1000), (0, 1000), (0, 0)],
+        # degenerate (collinear): zero
+        3: [(0, 0), (0, 500), (0, 1000), (0, 0)],
+        # open way: excluded from output
+        4: [(0, 0), (0, 1000), (1000, 1000)],
+    }
+    for wid in range(10, 18):
+        k = rng.randint(3, 7)
+        ring = [
+            (
+                rng.randint(-(10**9), 10**9),
+                rng.randint(-(1_800_000_000), 1_800_000_000),
+            )
+            for _ in range(k)
+        ]
+        ways_pts[wid] = ring + [ring[0]]
+
+    rows, nodes, nid = [], [], 0
+    for wid, pts in ways_pts.items():
+        refs = []
+        for lat, lon in pts[:-1] if pts[0] == pts[-1] else pts:
+            nodes.append((nid, lat, lon))
+            refs.append(nid)
+            nid += 1
+        if pts[0] == pts[-1]:
+            refs.append(refs[0])
+        rows.append((wid, refs))
+    out = {
+        r.way_id: (r.n_edges, r.two_a)
+        for r in way_signed_area(
+            spark.createDataFrame(
+                rows, "way_id long, refs array<long>"
+            ),
+            spark.createDataFrame(
+                nodes, "doc_id long, lat_i long, lon_i long"
+            ),
+        ).collect()
+    }
+    assert 4 not in out
+    assert out[1] == (4, 2_000_000)
+    assert out[2] == (4, -2_000_000)
+    assert out[3][1] == 0
+    for wid, pts in ways_pts.items():
+        if wid == 4:
+            continue
+        # shoelace with (lon, lat) = (x, y): sum of x_i*y2 - x2*y_i
+        want = sum(
+            (pts[i][1] - pts[0][1]) * (pts[i + 1][0] - pts[0][0])
+            - (pts[i + 1][1] - pts[0][1]) * (pts[i][0] - pts[0][0])
+            for i in range(len(pts) - 1)
+        )
+        assert out[wid][1] == want, wid
