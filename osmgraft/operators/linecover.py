@@ -323,10 +323,36 @@ def cell_corridor_join(
     use the geo/cells.py packing; no antimeridian wrap (the
     reference's -b borders do not wrap either, osmconvert.c bbox
     module)."""
+    dil = dilate_cover(cover, shift, radius)
+    pts = points.select(
+        "doc_id",
+        point_cell_col("lat_i", "lon_i", shift).alias("cell"),
+    )
+    return pts.join(F.broadcast(dil), "cell").select(
+        "way_id", "doc_id"
+    )
+
+
+def point_cell_col(lat_col: str, lon_col: str, shift: int) -> F.Column:
+    """Packed grid-cell id of a point, the geo/cells.py encoding as
+    a Catalyst column (shared by batch and streaming probes)."""
+    bits = _lon_bits(shift)
+    return F.shiftleft(
+        F.shiftright(F.col(lat_col) + F.lit(LAT_OFFSET), shift), bits
+    ) + F.shiftright(F.col(lon_col) + F.lit(LON_OFFSET), shift)
+
+
+def dilate_cover(
+    cover: DataFrame, shift: int, radius: int
+) -> DataFrame:
+    """(way_id, cell) -> distinct (way_id, cell) grown by `radius`
+    cells in Chebyshev distance, clamped to the grid (no
+    antimeridian/pole wraparound). In-row (2r+1)^2 explode —
+    bounded, broadcastable."""
     bits = _lon_bits(shift)
     cu_max = (2 * LON_OFFSET) >> shift
     cv_max = (2 * LAT_OFFSET) >> shift
-    dil = (
+    return (
         cover.select(
             "way_id",
             (F.col("cell") % F.lit(1 << bits)).alias("cu"),
@@ -363,19 +389,4 @@ def cell_corridor_join(
             (F.col("nv") * (1 << bits) + F.col("nu")).alias("cell"),
         )
         .distinct()
-    )
-    pts = points.select(
-        "doc_id",
-        (
-            F.shiftleft(
-                F.shiftright(
-                    F.col("lat_i") + F.lit(LAT_OFFSET), shift
-                ),
-                bits,
-            )
-            + F.shiftright(F.col("lon_i") + F.lit(LON_OFFSET), shift)
-        ).alias("cell"),
-    )
-    return pts.join(F.broadcast(dil), "cell").select(
-        "way_id", "doc_id"
     )

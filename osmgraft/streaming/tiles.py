@@ -111,3 +111,47 @@ def tile_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_corridor_probe(
+    spark: SparkSession,
+    points_dir: str,
+    cover: DataFrame,
+    shift: int = 20,
+    radius: int = 1,
+    schema: str = "doc_id long, lat_i long, lon_i long",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of operators/linecover.cell_corridor_join:
+    points ARRIVING AS A STREAM (geotagged pages, probe vehicles)
+    are matched against a STATIC route-cover corridor — geofence
+    alerting as a stream-static join.
+
+    Stateless by construction so it runs in append mode with no
+    watermark: the static side is the dilated cover (bounded,
+    broadcast), the stream side computes its grid cell IN-ROW, and
+    the inner equi-join emits (way_id, doc_id, cell) the moment a
+    point lands in the corridor. Restarts are safe because there
+    is no state to rebuild — re-processing a file yields the same
+    rows (idempotent-sink discipline, the manifest-upsert rule).
+
+    The drained verdicts equal the batch corridor join on the same
+    points exactly (tested)."""
+    from ..operators.linecover import dilate_cover, point_cell_col
+
+    dil = dilate_cover(cover, shift, radius)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(points_dir)
+    )
+    pts = stream.select(
+        "doc_id",
+        point_cell_col("lat_i", "lon_i", shift).alias("cell"),
+    )
+    from pyspark.sql import functions as F
+
+    return pts.join(F.broadcast(dil), "cell").select(
+        "way_id", "doc_id", "cell"
+    )

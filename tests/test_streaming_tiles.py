@@ -105,3 +105,72 @@ def test_stream_maintains_tiles_across_restart(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(pts_path).collect()
     }
     assert 9000 not in pts2 and len(pts2) == 1999
+
+
+def test_streaming_corridor_equals_batch(spark, tmp_path):
+    """streaming_corridor_probe drained over two arrival batches
+    equals the batch cell_corridor_join on all arrived points;
+    appending more points after a restart only adds rows for the
+    new points (stateless append mode)."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.graph import synth_ways
+    from osmgraft.operators.linecover import (
+        cell_corridor_join,
+        way_cell_cover,
+    )
+    from osmgraft.streaming.tiles import streaming_corridor_probe
+    from osmgraft.suite import doc_points, load
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("doc_id")
+    routes = synth_ways(docs, docs.count()).where(
+        F.col("way_id") % 20 == 0
+    )
+    nodes = doc_points(spark, sf)
+    cover = way_cell_cover(routes, nodes, shift=20).localCheckpoint()
+
+    def _pts(lo, hi):
+        return nodes.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+
+    pdir = str(tmp_path / "pts")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _pts(0, 30).coalesce(1).write.mode("overwrite").parquet(pdir)
+
+    def drain():
+        q = (
+            streaming_corridor_probe(spark, pdir, cover, shift=20)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["way_id"], r["doc_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = drain()
+    want1 = {
+        (r["way_id"], r["doc_id"])
+        for r in cell_corridor_join(
+            cover, _pts(0, 30), shift=20
+        ).collect()
+    }
+    assert first == want1 and len(first) > 0
+
+    _pts(30, 60).coalesce(1).write.mode("append").parquet(pdir)
+    second = drain()
+    want2 = {
+        (r["way_id"], r["doc_id"])
+        for r in cell_corridor_join(
+            cover, _pts(0, 60), shift=20
+        ).collect()
+    }
+    assert second == want2
