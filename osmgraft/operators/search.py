@@ -111,3 +111,68 @@ def search_and(
         .agg(F.count("*").alias("_hits"))
     )
     return hits.filter(F.col("_hits") == n).select("doc_id")
+
+
+def ranked_search(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Disjunctive ranked retrieval: (query_id, rank, doc_id,
+    score) — the top-k documents per query by the INTEGER score
+
+        score(q, d) = sum over matched terms of tf(t, d) * (N div df(t))
+
+    i.e. classic tf-idf with the idf kept as exact integer
+    division (no log), so scores and ranks replay bit-for-bit in
+    any engine; ties break (score desc, doc_id asc).
+
+    Plan: term-frequency table = one groupBy(doc, term) shuffle;
+    df table folds off it (term-keyed, AQE handles hot terms); the
+    query term list is tiny and BROADCAST into the tf table — the
+    corpus is never scanned per query; final per-query top-k is a
+    window over the scored candidates only."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tf = (
+        df.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(F.split("qtext", " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.expr(f"{n_docs} div df")
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

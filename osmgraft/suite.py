@@ -1717,6 +1717,46 @@ FROM agg
 """
 
 
+def _ranked_search_oracle() -> str:
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(_Q113_QUERIES)
+    )
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY 1
+),
+qt AS (
+  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+  FROM q
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(SUM(tf.tf * ((SELECT COUNT(*) FROM documents) // d.df))
+              AS BIGINT) AS score
+  FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
+FROM rk WHERE rank <= 5
+"""
+
+
 def _hll_registers_oracle() -> str:
     return f"""
 WITH {_HLL_CTES}
@@ -1787,6 +1827,40 @@ def q111_kmv_intersect(spark, sf_dir):
         pages.where(d % 3 != 0), "grp", "url", k=32
     )
     return kmv_intersect(a, b, k=32)
+
+
+def q113_ranked_search(spark, sf_dir):
+    """Disjunctive ranked retrieval (search.ranked_search): top-5
+    docs per query by integer tf-idf (idf = N div df, no floats),
+    query terms broadcast into the term-frequency table — the
+    corpus is scanned once, not per query."""
+    from .operators.search import ranked_search
+
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("query_id"),
+                        F.lit(t).alias("qtext"),
+                    )
+                    for i, t in enumerate(_Q113_QUERIES)
+                ]
+            )
+        ).alias("q")
+    ).select("q.query_id", "q.qtext")
+    return ranked_search(
+        load(spark, sf_dir, "documents"), qs, k=5
+    )
+
+
+_Q113_QUERIES = [
+    "hash join",
+    "slow scan merge",
+    "spark window sort",
+    "customer table filter",
+    "batch column order nation",
+]
 
 
 def q85_inverted_index(spark, sf_dir):
@@ -2978,6 +3052,7 @@ QUERIES = {
     "q92_hll_summary": q92_hll_summary,
     "q110_kmv_registers": q110_kmv_registers,
     "q111_kmv_intersect": q111_kmv_intersect,
+    "q113_ranked_search": q113_ranked_search,
     "q13_lang_id": q13_lang_id,
     "q14_fingerprint": q14_fingerprint,
     "q15_dedup_exact": q15_dedup_exact,
@@ -3763,6 +3838,7 @@ FROM w, z
         "q90_pq_adc_topk": _pq_adc_oracle(),
         "q91_hll_registers": _hll_registers_oracle(),
         "q110_kmv_registers": _kmv_registers_oracle(),
+        "q113_ranked_search": _ranked_search_oracle(),
         "q111_kmv_intersect": _kmv_intersect_oracle(),
         "q93_ivf_pq_topk": _ivf_pq_oracle(),
         "q94_pq_trained_codes": _pq_trained_oracle(),

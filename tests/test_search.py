@@ -109,3 +109,59 @@ def test_search_single_term(spark, docs):
         ).collect()
     )
     assert got == [1, 2]
+
+
+def test_ranked_search_scoring_and_plan(spark):
+    """Integer tf-idf ranking matches a python replay (incl. the
+    score-desc/doc-asc tie break), and the query side joins via
+    broadcast."""
+    from collections import Counter
+
+    from osmgraft.operators.search import ranked_search
+
+    docs = [
+        (0, "a a a rare"),
+        (1, "a b b"),
+        (2, "b b b b"),
+        (3, "rare rare c"),
+        (4, "c c a"),
+        (5, "d"),
+    ]
+    queries = [(0, "a rare"), (1, "b c"), (2, "zzz")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, qtext string"
+    )
+    out = ranked_search(ddf, qdf, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    n = len(docs)
+    tf = {
+        d: Counter(t.split()) for d, t in docs
+    }
+    df_ = Counter()
+    for d, c in tf.items():
+        for t in c:
+            df_[t] += 1
+    want = set()
+    for qid, qt in queries:
+        scores = {}
+        for d, c in tf.items():
+            s = sum(
+                c[t] * (n // df_[t])
+                for t in set(qt.split())
+                if t in c
+            )
+            if s > 0 or any(t in c for t in qt.split()):
+                if any(t in c for t in qt.split()):
+                    scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r, (d, s) in enumerate(ranked[:3], 1):
+            want.add((qid, r, d, s))
+    got = {
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in out.collect()
+    }
+    assert got == want
+    assert not any(q == 2 for q, _, _, _ in got)  # no zzz matches
