@@ -79,3 +79,34 @@ def session_stats(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         .cast("long")
         .alias("active_span_s"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame, period_days: int = 7
+) -> DataFrame:
+    """Cohort retention matrix: (cohort, offset, n_users) where
+    cohort = the user's first-activity period (days-since-epoch
+    div period_days — pure DATE arithmetic, no timezone- or
+    epoch-fraction-dependent functions, so any engine agrees),
+    and n_users counts the cohort's users active `offset` periods
+    later (offset 0 row = cohort size).
+
+    Plan: distinct (user, period) — one shuffle bounded by
+    user-periods, not events; per-user min via one groupBy; the
+    cohort join is user-keyed (AQE); final groupBy is tiny.
+    Nothing holds per-event state."""
+    per = F.expr(
+        f"datediff(to_date(ts), DATE'1970-01-01') div {period_days}"
+    ).cast("long")
+    ua = events.select(
+        F.col("user_id"), per.alias("p")
+    ).distinct()
+    first = ua.groupBy("user_id").agg(
+        F.min("p").alias("cohort")
+    )
+    return (
+        ua.join(first, "user_id")
+        .select("cohort", (F.col("p") - F.col("cohort")).alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

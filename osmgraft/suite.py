@@ -544,6 +544,16 @@ def q76_dsir_lean(spark, sf_dir):
     )
 
 
+def q114_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix (events.retention_cohorts):
+    users bucketed by first-activity week (integer DATE
+    arithmetic), n_users active at each week offset — the
+    offset-0 diagonal is the cohort size."""
+    from .operators.events import retention_cohorts
+
+    return retention_cohorts(load(spark, sf_dir, "events"))
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3022,6 +3032,7 @@ QUERIES = {
     "q76_dsir_lean": q76_dsir_lean,
     "q77_bpe_segment": q77_bpe_segment,
     "q78_sessionize": q78_sessionize,
+    "q114_retention_cohorts": q114_retention_cohorts,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -3996,6 +4007,21 @@ SELECT n_rows,
   CAST((SELECT MIN(v) FROM r
         WHERE cum >= (99 * n_rows + 99) // 100) AS BIGINT) AS p99
 FROM tot
+""",
+        "q114_retention_cohorts": """
+WITH ua AS (
+  SELECT DISTINCT user_id,
+    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS p
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(p) AS cohort FROM ua GROUP BY 1
+)
+SELECT CAST(f.cohort AS BIGINT) AS cohort,
+       CAST(u.p - f.cohort AS BIGINT) AS offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ua u JOIN first f USING (user_id)
+GROUP BY 1, 2
 """,
         "q78_sessionize": """
 WITH e AS (

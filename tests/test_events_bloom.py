@@ -124,3 +124,37 @@ def test_bloom_probe_broadcasts_filter(spark, keys):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_retention_cohorts_matrix(spark):
+    """Crafted events: known weekly cohort matrix incl. a gap week
+    and a returning user."""
+    import datetime as dt
+
+    from osmgraft.operators.events import retention_cohorts
+
+    def t(day):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(days=day)
+
+    rows = [
+        # user 1: first week 0, active weeks 0,1,3
+        (1, t(0)), (1, t(1)), (1, t(8)), (1, t(22)),
+        # user 2: first week 0, only week 0
+        (2, t(3)),
+        # user 3: first week 1, active weeks 1,2
+        (3, t(7)), (3, t(14)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp"
+    )
+    got = {
+        (r.cohort, r.offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        (0, 0): 2,
+        (0, 1): 1,
+        (0, 3): 1,
+        (1, 0): 1,
+        (1, 1): 1,
+    }
