@@ -1282,6 +1282,28 @@ FROM est e JOIN truec t USING (key)
 """
 
 
+def q115_hilbert_key(spark, sf_dir):
+    """Hilbert key over the shift-20 tile cells (geo/hilbert.py):
+    the locality-improved sibling of the q99 Morton key — every
+    curve step is between physically adjacent cells, so
+    range-partitioning by this key packs spatial neighbors
+    strictly tighter (locality measured vs Morton in tests).
+    Pure staged integer arithmetic; the oracle unrolls the same
+    12 per-level transforms as chained CTEs."""
+    from .geo.hilbert import with_hilbert
+
+    cells = doc_points(spark, sf_dir).select(
+        "doc_id",
+        F.shiftright(F.col("lon_i") + F.lit(1_800_000_000), 20)
+        .alias("cu"),
+        F.shiftright(F.col("lat_i") + F.lit(900_000_000), 20)
+        .alias("cv"),
+    )
+    return with_hilbert(cells, "cu", "cv", order=12).select(
+        "doc_id", "hd"
+    )
+
+
 def q99_zorder_key(spark, sf_dir):
     """Morton z key over the tile-cell bands (geo/zorder.py,
     operators/spatial.with_zorder): pure integer bit-spread in
@@ -1293,6 +1315,23 @@ def q99_zorder_key(spark, sf_dir):
 
     pts = doc_points(spark, sf_dir)
     return with_zorder(pts).select("doc_id", "zkey")
+
+
+def _q115_oracle() -> str:
+    from .geo.hilbert import hilbert_sql
+
+    stages = hilbert_sql("src", "cu", "cv", 12)
+    return f"""
+WITH {_PTS_CTE},
+src AS (
+  SELECT doc_id AS carry,
+         ((lon_i + 1800000000) >> 20) AS cu,
+         ((lat_i + 900000000) >> 20) AS cv
+  FROM pts
+),
+{stages}
+SELECT carry AS doc_id, hd FROM hfinal
+"""
 
 
 def _q99_oracle() -> str:
@@ -3054,6 +3093,7 @@ QUERIES = {
     "q97_countmin_sketch": q97_countmin_sketch,
     "q98_countmin_estimates": q98_countmin_estimates,
     "q99_zorder_key": q99_zorder_key,
+    "q115_hilbert_key": q115_hilbert_key,
     "q100_zorder_bbox": q100_zorder_bbox,
     "q101_heavy_hitters": q101_heavy_hitters,
     "q102_ppl_buckets": q102_ppl_buckets,
@@ -3858,6 +3898,7 @@ FROM w, z
         "q97_countmin_sketch": _countmin_sketch_oracle(),
         "q98_countmin_estimates": _countmin_estimates_oracle(),
         "q99_zorder_key": _q99_oracle(),
+        "q115_hilbert_key": _q115_oracle(),
         "q100_zorder_bbox": _q100_oracle(),
         "q101_heavy_hitters": _Q101_ORACLE,
         "q102_ppl_buckets": _Q102_ORACLE,
