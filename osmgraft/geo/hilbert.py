@@ -120,3 +120,68 @@ def hilbert_sql(
         s >>= 1
     stages.append(f"hfinal AS (SELECT carry, hd FROM h{i})")
     return ",\n".join(stages)
+
+
+def bbox_hcells(
+    bbox: tuple[int, int, int, int],
+    order: int = 12,
+    shift: int = 20,
+    max_cells: int = 64,
+) -> tuple[int, list[int]]:
+    """Cover a bbox with <= max_cells level-k Hilbert prefixes.
+
+    Mirrors geo/zorder.bbox_zcells: coarsen k until the coarse
+    cell count fits, then map each coarse (cu, cv) through
+    hilbert_d at order-k levels.  Correct because the Hilbert
+    transform consumes bits top-down, so
+
+        hd(x, y, order) >> 2k == hilbert_d(x >> k, y >> k, order-k)
+
+    (the prefix property, asserted over random (order, k) in
+    tests).  Superset cover — callers refine on exact coords.
+    Driver-side cost O(max_cells)."""
+    from .cells import LAT_OFFSET, LON_OFFSET
+
+    lon_min, lat_min, lon_max, lat_max = bbox
+    if lon_min > lon_max or lat_min > lat_max:
+        return 0, []
+    cv0 = (lat_min + LAT_OFFSET) >> shift
+    cv1 = (lat_max + LAT_OFFSET) >> shift
+    cu0 = (lon_min + LON_OFFSET) >> shift
+    cu1 = (lon_max + LON_OFFSET) >> shift
+    k = 0
+    while ((cv1 >> k) - (cv0 >> k) + 1) * (
+        (cu1 >> k) - (cu0 >> k) + 1
+    ) > max_cells:
+        k += 1
+    cells = sorted(
+        hilbert_d(cu, cv, order - k)
+        for cv in range(cv0 >> k, (cv1 >> k) + 1)
+        for cu in range(cu0 >> k, (cu1 >> k) + 1)
+    )
+    return k, cells
+
+
+def bbox_hranges(
+    bbox: tuple[int, int, int, int],
+    order: int = 12,
+    shift: int = 20,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """Merged contiguous fine-hd ranges covering the bbox — the
+    stored-column shape (BETWEENs reach the parquet scan).  The
+    Hilbert curve's adjacency means covers merge into FEWER ranges
+    than the Morton equivalent on the same box (tested)."""
+    k, cells = bbox_hcells(
+        bbox, order=order, shift=shift, max_cells=max_ranges
+    )
+    span = 1 << (2 * k)
+    ranges: list[tuple[int, int]] = []
+    for cell in cells:
+        lo = cell * span
+        hi = lo + span - 1
+        if ranges and lo <= ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], max(ranges[-1][1], hi))
+        else:
+            ranges.append((lo, hi))
+    return ranges

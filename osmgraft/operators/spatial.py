@@ -473,3 +473,63 @@ def zorder_bbox_filter(
     return df.filter(zranges_predicate(F.col(zcol), ranges)).filter(
         bbox_contains(F.col(lon_col), F.col(lat_col), x1, y1, x2, y2)
     )
+
+
+def hilbert_bbox_filter(
+    df: DataFrame,
+    bbox: tuple[int, int, int, int],
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    order: int = 12,
+    shift: int = 20,
+    max_ranges: int = 64,
+) -> DataFrame:
+    """bbox filter over the STORED-Hilbert layout — the
+    locality-improved twin of zorder_bbox_filter's stored-column
+    path: the driver plans <= max_ranges merged hd ranges covering
+    the box (geo/hilbert.bbox_hranges, O(max_ranges); fewer merged
+    ranges than the Morton cover, the curve's adjacency at work),
+    applies plain BETWEENs on the hd ATTRIBUTE, and an exact coord
+    refine closes the superset — output EQUALS the plain bbox
+    filter.
+
+    The hd column is computed once and pinned with a lazy
+    localCheckpoint, standing in for the persisted hd-sorted table
+    a production layout would carry (where the BETWEENs reach the
+    parquet scan as PushedFilters -> row-group pruning, the q100
+    evidence). The pin is REQUIRED, not cosmetic: filtering
+    directly on the 12-stage computed hd makes PushDownPredicate
+    substitute the predicate through every staged projection —
+    each level references its predecessor 3x, so the rewritten
+    condition grows ~3^order nodes and the optimizer hangs
+    (observed; the same class as the HOF-CSE and codegen-unit
+    pitfalls PLANS.md documents)."""
+    from ..geo.cells import LAT_OFFSET, LON_OFFSET
+    from ..geo.hilbert import bbox_hranges, with_hilbert
+
+    x1, y1, x2, y2 = bbox
+    ranges = bbox_hranges(
+        bbox, order=order, shift=shift, max_ranges=max_ranges
+    )
+    if not ranges:
+        return df.filter(F.lit(False))
+    cu = F.shiftright(F.col(lon_col) + F.lit(LON_OFFSET), shift)
+    cv = F.shiftright(F.col(lat_col) + F.lit(LAT_OFFSET), shift)
+    stored = with_hilbert(
+        df.withColumn("_cu", cu).withColumn("_cv", cv),
+        "_cu",
+        "_cv",
+        order=order,
+        out_col="_hd",
+    ).localCheckpoint(eager=False)
+    pred = None
+    for lo, hi in ranges:
+        c = F.col("_hd").between(lo, hi)
+        pred = c if pred is None else (pred | c)
+    out = stored.filter(pred).filter(
+        (F.col(lon_col) >= x1)
+        & (F.col(lon_col) <= x2)
+        & (F.col(lat_col) >= y1)
+        & (F.col(lat_col) <= y2)
+    )
+    return out.drop("_cu", "_cv", "_hd")

@@ -1372,6 +1372,21 @@ def q100_zorder_bbox(spark, sf_dir):
     )
 
 
+def q116_hilbert_bbox(spark, sf_dir):
+    """bbox filter through the Hilbert index
+    (operators/spatial.hilbert_bbox_filter): <= 64 coarse curve
+    prefixes planned on the driver, single-evaluation InSet probe
+    on the computed hd, exact coord refine — output equals the
+    plain bbox filter (the oracle), like q100 but with the curve
+    whose covers merge into fewer ranges."""
+    from .operators.spatial import hilbert_bbox_filter
+
+    pts = doc_points(spark, sf_dir)
+    return hilbert_bbox_filter(pts, _Z_BBOX).select(
+        "doc_id", "lat_i", "lon_i"
+    )
+
+
 def _q100_oracle() -> str:
     x1, y1, x2, y2 = _Z_BBOX
     return f"""
@@ -3095,6 +3110,7 @@ QUERIES = {
     "q99_zorder_key": q99_zorder_key,
     "q115_hilbert_key": q115_hilbert_key,
     "q100_zorder_bbox": q100_zorder_bbox,
+    "q116_hilbert_bbox": q116_hilbert_bbox,
     "q101_heavy_hitters": q101_heavy_hitters,
     "q102_ppl_buckets": q102_ppl_buckets,
     "q103_cover_assign": q103_cover_assign,
@@ -3900,6 +3916,7 @@ FROM w, z
         "q99_zorder_key": _q99_oracle(),
         "q115_hilbert_key": _q115_oracle(),
         "q100_zorder_bbox": _q100_oracle(),
+        "q116_hilbert_bbox": _q100_oracle(),
         "q101_heavy_hitters": _Q101_ORACLE,
         "q102_ppl_buckets": _Q102_ORACLE,
         # the cover is work elision, not new semantics: same oracle

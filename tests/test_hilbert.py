@@ -62,3 +62,76 @@ def test_plan_stays_codegen(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only
     assert "EvalPython" not in plan
+
+
+def test_prefix_property():
+    rng = random.Random(5)
+    for _ in range(1500):
+        order = rng.randint(2, 14)
+        k = rng.randint(0, order)
+        x = rng.randrange(0, 1 << order)
+        y = rng.randrange(0, 1 << order)
+        lhs = hilbert_d(x, y, order) >> (2 * k)
+        rhs = (
+            hilbert_d(x >> k, y >> k, order - k) if order > k else 0
+        )
+        assert lhs == rhs
+
+
+def test_bbox_cover_exact_and_tighter_than_morton(spark):
+    from osmgraft.geo.hilbert import bbox_hcells, bbox_hranges
+    from osmgraft.geo.zorder import bbox_zranges
+    from osmgraft.operators.spatial import hilbert_bbox_filter
+
+    rng = random.Random(42)
+    shift, order = 20, 12
+    for _ in range(30):
+        # random boxes inside the synthetic coord window
+        x1 = rng.randint(100_000_000, 135_000_000)
+        y1 = rng.randint(470_000_000, 505_000_000)
+        box = (
+            x1,
+            y1,
+            x1 + rng.randint(0, 5_000_000),
+            y1 + rng.randint(0, 5_000_000),
+        )
+        k, cells = bbox_hcells(box, order, shift, 64)
+        assert len(cells) <= 64
+        # every bbox cell's fine hd lands in some coarse prefix
+        cs = set(cells)
+        for cu in range(
+            (box[0] + 1_800_000_000) >> shift,
+            ((box[2] + 1_800_000_000) >> shift) + 1,
+        ):
+            for cv in range(
+                (box[1] + 900_000_000) >> shift,
+                ((box[3] + 900_000_000) >> shift) + 1,
+            ):
+                assert (
+                    hilbert_d(cu, cv, order) >> (2 * k)
+                ) in cs
+
+    # merged-range economy on the benchmark box
+    box = (112_000_000, 481_000_000, 131_500_000, 502_000_000)
+    hr = bbox_hranges(box, order=order, shift=shift, max_ranges=64)
+    zr = bbox_zranges(box, shift=shift, max_ranges=64)
+    assert len(hr) <= len(zr)
+
+    # filter equals the plain bbox filter
+    from osmgraft.suite import doc_points
+
+    pts = doc_points(spark, "/root/testdata/sf0.001")
+    got = {
+        r.doc_id
+        for r in hilbert_bbox_filter(pts, box).collect()
+    }
+    want = {
+        r.doc_id
+        for r in pts.filter(
+            (F.col("lon_i") >= box[0])
+            & (F.col("lon_i") <= box[2])
+            & (F.col("lat_i") >= box[1])
+            & (F.col("lat_i") <= box[3])
+        ).collect()
+    }
+    assert got == want
