@@ -483,6 +483,7 @@ def hilbert_bbox_filter(
     order: int = 12,
     shift: int = 20,
     max_ranges: int = 64,
+    hd_col: str | None = None,
 ) -> DataFrame:
     """bbox filter over the STORED-Hilbert layout — the
     locality-improved twin of zorder_bbox_filter's stored-column
@@ -513,18 +514,24 @@ def hilbert_bbox_filter(
     )
     if not ranges:
         return df.filter(F.lit(False))
-    cu = F.shiftright(F.col(lon_col) + F.lit(LON_OFFSET), shift)
-    cv = F.shiftright(F.col(lat_col) + F.lit(LAT_OFFSET), shift)
-    stored = with_hilbert(
-        df.withColumn("_cu", cu).withColumn("_cv", cv),
-        "_cu",
-        "_cv",
-        order=order,
-        out_col="_hd",
-    ).localCheckpoint(eager=False)
+    if hd_col is not None:
+        # persisted hd-sorted table: BETWEENs on the bare attribute
+        # reach the parquet scan as PushedFilters (tested)
+        stored, hd, drop = df, hd_col, []
+    else:
+        cu = F.shiftright(F.col(lon_col) + F.lit(LON_OFFSET), shift)
+        cv = F.shiftright(F.col(lat_col) + F.lit(LAT_OFFSET), shift)
+        stored = with_hilbert(
+            df.withColumn("_cu", cu).withColumn("_cv", cv),
+            "_cu",
+            "_cv",
+            order=order,
+            out_col="_hd",
+        ).localCheckpoint(eager=False)
+        hd, drop = "_hd", ["_cu", "_cv", "_hd"]
     pred = None
     for lo, hi in ranges:
-        c = F.col("_hd").between(lo, hi)
+        c = F.col(hd).between(lo, hi)
         pred = c if pred is None else (pred | c)
     out = stored.filter(pred).filter(
         (F.col(lon_col) >= x1)
@@ -532,4 +539,4 @@ def hilbert_bbox_filter(
         & (F.col(lat_col) >= y1)
         & (F.col(lat_col) <= y2)
     )
-    return out.drop("_cu", "_cv", "_hd")
+    return out.drop(*drop)

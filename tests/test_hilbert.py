@@ -135,3 +135,42 @@ def test_bbox_cover_exact_and_tighter_than_morton(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stored_hd_pushes_filters(spark, tmp_path):
+    """Persisted hd-sorted table: the merged BETWEENs must reach
+    the parquet scan as PushedFilters (row-group pruning), and the
+    result stays exact."""
+    from osmgraft.geo.hilbert import with_hilbert
+    from osmgraft.operators.spatial import hilbert_bbox_filter
+    from osmgraft.suite import doc_points
+
+    pts = doc_points(spark, "/root/testdata/sf0.001")
+    cells = pts.select(
+        "doc_id",
+        "lat_i",
+        "lon_i",
+        F.shiftright(F.col("lon_i") + 1_800_000_000, 20).alias("cu"),
+        F.shiftright(F.col("lat_i") + 900_000_000, 20).alias("cv"),
+    )
+    path = str(tmp_path / "hsorted")
+    with_hilbert(cells, "cu", "cv", order=12).orderBy(
+        "hd"
+    ).write.parquet(path)
+    stored = spark.read.parquet(path)
+    box = (112_000_000, 481_000_000, 131_500_000, 502_000_000)
+    got = hilbert_bbox_filter(stored, box, hd_col="hd")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "hd" in pushed and "GreaterThanOrEqual" in pushed
+    want = {
+        r.doc_id
+        for r in stored.filter(
+            (F.col("lon_i") >= box[0])
+            & (F.col("lon_i") <= box[2])
+            & (F.col("lat_i") >= box[1])
+            & (F.col("lat_i") <= box[3])
+        ).collect()
+    }
+    assert {r.doc_id for r in got.collect()} == want
