@@ -347,3 +347,70 @@ def streaming_binned_hist(
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("_c"))
     )
+
+
+def _kmv_update_factory(k: int):
+    def update(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cur = list(state.get[0]) if state.exists else []
+        s = set(int(h) for h in cur)
+        for pdf in pdfs:
+            for v in pdf["k"]:
+                h = int(
+                    hashlib.md5(str(v).encode()).hexdigest()[:12],
+                    16,
+                )
+                s.add(h)
+        best = sorted(s)[:k]
+        state.update((best,))
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(best),
+                "rank": list(range(1, len(best) + 1)),
+                "h": best,
+            }
+        )
+
+    return update
+
+
+def streaming_kmv(
+    spark: SparkSession,
+    keys_dir: str,
+    k: int = 64,
+    schema: str = "grp string, k string",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of sketches.kmv_sketch (q110), completing
+    the streaming side of the mergeable-sketch family (HLL,
+    count-min, quantile histogram, now KMV): the k smallest
+    distinct key hashes per group maintained continuously via
+    applyInPandasWithState (min-k has no built-in streaming
+    aggregate). State is bounded at k longs per group, and min-k
+    is split-invariant (dropping anything above the current kth is
+    safe once the state holds k), so the drained sketch equals the
+    batch kmv_sketch of all arrived rows exactly — across any
+    arrival split and across checkpoint restarts (tested). The
+    per-batch output re-emits the group's full (rank, h) sketch,
+    the overwrite-sink discipline.
+
+    The md5-prefix hash is computed in pandas with hashlib —
+    byte-identical to the Spark/DuckDB md5 of the same string."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(keys_dir)
+    )
+    return stream.groupBy("grp").applyInPandasWithState(
+        _kmv_update_factory(k),
+        "grp string, rank long, h long",
+        "hashes array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

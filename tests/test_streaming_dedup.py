@@ -370,3 +370,56 @@ def test_streaming_binned_hist_equals_batch_quantiles(
         ).collect()
     }
     assert got_q == want_q
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
+    """streaming_kmv drained over two arrival batches (with a
+    checkpoint restart between them) equals the batch KMV sketch
+    of all arrived rows."""
+    from osmgraft.operators.sketches import kmv_sketch
+    from osmgraft.streaming.dedup import streaming_kmv
+
+    def _write(path, lo, hi, mode="overwrite"):
+        spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.concat(F.lit("key-"), F.col("id") % 900)
+            .alias("k"),
+        ).coalesce(1).write.mode(mode).parquet(path)
+
+    docs = str(tmp_path / "keys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(docs, 0, 500)
+
+    def sink(b, _bid):
+        b.write.mode("overwrite").parquet(out)
+
+    def drain():
+        q = (
+            streaming_kmv(spark, docs, k=32)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["grp"], r["rank"], r["h"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def batch(hi):
+        rows = spark.range(0, hi).select(
+            (F.col("id") % 3).cast("string").alias("grp"),
+            F.concat(F.lit("key-"), F.col("id") % 900)
+            .alias("k"),
+        )
+        return {
+            (r["grp"], r["rank"], r["h"])
+            for r in kmv_sketch(rows, "grp", "k", k=32).collect()
+        }
+
+    assert drain() == batch(500)
+    _write(docs, 500, 2000, mode="append")
+    assert drain() == batch(2000)
