@@ -110,3 +110,39 @@ def retention_cohorts(
         .groupBy("cohort", "offset")
         .agg(F.count("*").cast("long").alias("n_users"))
     )
+
+
+def event_spikes(
+    events: DataFrame, factor: int = 2
+) -> DataFrame:
+    """Rate-anomaly report: hours whose per-type event count is at
+    least `factor`x the type's mean hourly rate, decided by exact
+    integer cross-multiplication (cnt * n_hours >= factor * total
+    — no division, no floats, so any engine flags the same hours).
+    Hour buckets come from pure DATE/HOUR arithmetic
+    (days-since-epoch * 24 + hour), timezone-free.
+
+    Plan: one groupBy(type, hour) count (map-side combined), one
+    tiny groupBy(type) rollup, one type-keyed join — nothing holds
+    per-event state; output (event_type, hr, cnt, total, n_hours)."""
+    hr = (
+        F.expr("datediff(to_date(ts), DATE'1970-01-01')") * 24
+        + F.hour("ts")
+    ).cast("long")
+    counts = events.select(
+        "event_type", hr.alias("hr")
+    ).groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    return (
+        counts.join(stats, "event_type")
+        .where(
+            F.col("cnt") * F.col("n_hours")
+            >= F.lit(factor) * F.col("total")
+        )
+        .select("event_type", "hr", "cnt", "total", "n_hours")
+    )

@@ -554,6 +554,16 @@ def q114_retention_cohorts(spark, sf_dir):
     return retention_cohorts(load(spark, sf_dir, "events"))
 
 
+def q117_event_spikes(spark, sf_dir):
+    """Hourly rate anomalies per event type
+    (events.event_spikes): hours at >= 2x the type's mean hourly
+    rate, decided by exact integer cross-multiplication — no
+    floats, both engines flag identical hours."""
+    from .operators.events import event_spikes
+
+    return event_spikes(load(spark, sf_dir, "events"))
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3087,6 +3097,7 @@ QUERIES = {
     "q77_bpe_segment": q77_bpe_segment,
     "q78_sessionize": q78_sessionize,
     "q114_retention_cohorts": q114_retention_cohorts,
+    "q117_event_spikes": q117_event_spikes,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4065,6 +4076,23 @@ SELECT n_rows,
   CAST((SELECT MIN(v) FROM r
         WHERE cum >= (99 * n_rows + 99) // 100) AS BIGINT) AS p99
 FROM tot
+""",
+        "q117_event_spikes": """
+WITH hc AS (
+  SELECT event_type,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+         + hour(ts) AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM hc GROUP BY 1
+)
+SELECT h.event_type, h.hr, h.cnt, s.total, s.n_hours
+FROM hc h JOIN st s USING (event_type)
+WHERE h.cnt * s.n_hours >= 2 * s.total
 """,
         "q114_retention_cohorts": """
 WITH ua AS (

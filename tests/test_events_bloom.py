@@ -158,3 +158,32 @@ def test_retention_cohorts_matrix(spark):
         (1, 0): 1,
         (1, 1): 1,
     }
+
+
+def test_event_spikes_crafted(spark):
+    """Crafted hours: exactly the >=2x-mean hours flag."""
+    import datetime as dt
+
+    from osmgraft.operators.events import event_spikes
+
+    def t(hour, i):
+        return dt.datetime(1970, 1, 2) + dt.timedelta(
+            hours=hour, minutes=i % 60
+        )
+
+    rows = []
+    # type A: hours 0..3 have counts 1,1,1,5 (total 8, 4 hours,
+    # mean 2 -> only the 5-count hour flags: 5*4 >= 2*8)
+    for h, c in [(0, 1), (1, 1), (2, 1), (3, 5)]:
+        rows += [("A", t(h, i)) for i in range(c)]
+    # type B: uniform 2,2,2 -> nothing flags (2*3 < 2*6)
+    for h in range(3):
+        rows += [("B", t(h, i)) for i in range(2)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp"
+    )
+    got = {
+        (r.event_type, r.hr % 24, r.cnt)
+        for r in event_spikes(ev).collect()
+    }
+    assert got == {("A", 3, 5)}
