@@ -564,6 +564,41 @@ def q117_event_spikes(spark, sf_dir):
     return event_spikes(load(spark, sf_dir, "events"))
 
 
+def q118_star_rollup(spark, sf_dir):
+    """Classic star join over the relational side tables: orders
+    joined to the customer and nation dims (both broadcast — tiny
+    next to the fact side), revenue rolled up per nation x month.
+    Money is summed as exact integer cents (double -> cents is one
+    IEEE-pinned multiply per value; bigint sums are order-
+    invariant, unlike double sums, which is what makes the rollup
+    oracle-checkable)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.select(
+            "o_custkey",
+            F.month("o_orderdate").cast("long").alias("month"),
+            cents.alias("cents"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "month")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3098,6 +3133,7 @@ QUERIES = {
     "q78_sessionize": q78_sessionize,
     "q114_retention_cohorts": q114_retention_cohorts,
     "q117_event_spikes": q117_event_spikes,
+    "q118_star_rollup": q118_star_rollup,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4076,6 +4112,17 @@ SELECT n_rows,
   CAST((SELECT MIN(v) FROM r
         WHERE cum >= (99 * n_rows + 99) // 100) AS BIGINT) AS p99
 FROM tot
+""",
+        "q118_star_rollup": """
+SELECT n.n_name,
+       CAST(month(o.o_orderdate) AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
 """,
         "q117_event_spikes": """
 WITH hc AS (

@@ -347,3 +347,14 @@ def test_hll_registers_single_partial_agg_shuffle(spark):
     plan = _plan(hll_registers(df, "grp", "k"))
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_star_rollup_broadcasts_dims(spark):
+    """q118: both dimension joins must be broadcast — the fact
+    side never shuffles for the join."""
+    from osmgraft.suite import QUERIES
+
+    df = QUERIES["q118_star_rollup"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
