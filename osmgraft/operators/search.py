@@ -136,6 +136,9 @@ def ranked_search(
     from pyspark.sql import Window
 
     n_docs = df.count()
+    # pinned: tf feeds BOTH the df rollup and the scoring join —
+    # without the pin each consumer re-runs the corpus scan +
+    # tokenize (the q76 fan-out lesson; verified 2 scans -> 1)
     tf = (
         df.select(
             "doc_id",
@@ -144,6 +147,7 @@ def ranked_search(
         .where(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
