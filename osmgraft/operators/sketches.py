@@ -469,6 +469,11 @@ def kmv_intersect(
     hashes present in BOTH sketches, jacc = c/u_eff, and
     inter_est = jacc * union raw estimate. All inputs to the two
     divisions are exact integers."""
+    # pinned: each sketch feeds BOTH the merge and the both-sides
+    # probe — without the pin each consumer re-runs the sketch's
+    # corpus lineage (the q76 fan-out lesson)
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
     m = kmv_merge(a, b, k)
     both = (
         a.select("grp", "h")
