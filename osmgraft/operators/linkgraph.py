@@ -82,3 +82,85 @@ def host_pagerank(
             .alias("rank"),
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact per-vertex triangle counts over the undirected simple
+    graph of a (src, dst) edge list — the canonical degree-ordered
+    distributed plan (Suri-Vassilvitskii / Cohen's MapReduce
+    formulation, public literature):
+
+    1. canonicalize: (a, b) = (min, max), drop self-loops, distinct;
+    2. orient every edge from the lower (degree, id) endpoint to
+       the higher — each triangle then has exactly ONE wedge apex,
+       and the post-orientation out-degree is bounded by
+       O(sqrt(m)) instead of the raw hub degree (the hub-killer:
+       a celebrity host with 10^7 neighbors contributes wedges
+       only from its low-degree side);
+    3. wedge self-join on the apex + one closing-edge semi-ish join.
+
+    Plan: two keyed shuffles (degree, orientation join), one
+    self-join on apex, one closing join, one explode+groupBy for
+    per-vertex counts. All integers; the oracle replays the same
+    joins. Output: (host, n_triangles); the global count is
+    sum/3."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(
+        F.col("v").alias("a"), F.col("deg").alias("dega")
+    )
+    db = deg.select(
+        F.col("v").alias("b"), F.col("deg").alias("degb")
+    )
+    wd = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(lower_first, F.col("dega"))
+        .otherwise(F.col("degb"))
+        .alias("du"),
+        F.when(lower_first, F.col("degb"))
+        .otherwise(F.col("dega"))
+        .alias("dw"),
+    ).localCheckpoint(eager=False)  # feeds wedges twice + closer
+    e1 = oriented.select(
+        "u",
+        F.col("w").alias("v1"),
+        F.col("dw").alias("d1"),
+    )
+    e2 = oriented.select(
+        F.col("u").alias("u2"),
+        F.col("w").alias("v2"),
+        F.col("dw").alias("d2"),
+    )
+    wedges = e1.join(e2, F.col("u") == F.col("u2")).where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = oriented.select(
+        F.col("u").alias("v1"), F.col("w").alias("v2")
+    )
+    tris = wedges.join(closer, ["v1", "v2"]).select(
+        "u", "v1", "v2"
+    )
+    verts = tris.select(
+        F.explode(F.array("u", "v1", "v2")).alias("host")
+    )
+    return verts.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

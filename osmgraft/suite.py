@@ -2858,6 +2858,32 @@ def q67_boilerplate(spark, sf_dir):
     return boilerplate_strip(docs, doc_frac=0.3)
 
 
+def q119_triangles(spark, sf_dir):
+    """Exact per-host triangle counts over the q68 link graph
+    (linkgraph.triangle_count): the degree-ordered wedge-join plan
+    whose post-orientation out-degree is O(sqrt(m)) — hub-proof at
+    web scale; all-integer, oracle replays the same joins."""
+    from .operators.linkgraph import triangle_count
+
+    d = F.col("doc_id")
+    dst_idx = F.pmod(
+        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
+    )
+    edges = (
+        load(spark, sf_dir, "documents")
+        .filter(d % 3 == 0)
+        .select(
+            F.concat(F.lit("host"), (d % 23).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return triangle_count(edges)
+
+
 def q68_host_pagerank(spark, sf_dir):
     """Crawl-frontier host PageRank (operators/linkgraph.
     host_pagerank): 3 synchronous iterations, damping 85/100, over
@@ -3134,6 +3160,7 @@ QUERIES = {
     "q114_retention_cohorts": q114_retention_cohorts,
     "q117_event_spikes": q117_event_spikes,
     "q118_star_rollup": q118_star_rollup,
+    "q119_triangles": q119_triangles,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4112,6 +4139,51 @@ SELECT n_rows,
   CAST((SELECT MIN(v) FROM r
         WHERE cum >= (99 * n_rows + 99) // 100) AS BIGINT) AS p99
 FROM tot
+""",
+        "q119_triangles": """
+WITH e0 AS (
+  SELECT 'host' || CAST(doc_id % 23 AS VARCHAR) AS src,
+         'host' || CAST((doc_id * 2654435761) % 4294967296 % 23
+                        AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 3 = 0
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS dg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+),
+ori AS (
+  SELECT
+    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+         THEN u.a ELSE u.b END AS u,
+    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+         THEN u.b ELSE u.a END AS w,
+    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)
+         THEN db.dg ELSE da.dg END AS dw
+  FROM und u
+  JOIN deg da ON da.v = u.a
+  JOIN deg db ON db.v = u.b
+),
+wed AS (
+  SELECT o1.u, o1.w AS v1, o2.w AS v2
+  FROM ori o1 JOIN ori o2 ON o1.u = o2.u
+  WHERE o1.dw < o2.dw OR (o1.dw = o2.dw AND o1.w < o2.w)
+),
+tri AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wed w JOIN ori c ON c.u = w.v1 AND c.w = w.v2
+),
+vx AS (
+  SELECT u AS host FROM tri
+  UNION ALL SELECT v1 FROM tri
+  UNION ALL SELECT v2 FROM tri
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM vx GROUP BY 1
 """,
         "q118_star_rollup": """
 SELECT n.n_name,
