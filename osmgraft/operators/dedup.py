@@ -825,3 +825,28 @@ def embed_ann_lsh(
         "b",
         F.round(F.col("_cos"), 6).alias("cos_r"),
     )
+
+
+def reciprocal_nn(knn: DataFrame) -> DataFrame:
+    """Mutual-kNN pairs from a (query_id, neighbor_id, rank, ...)
+    kNN table: (a, b, rank_ab, rank_ba) with a < b, kept iff each
+    side appears in the other's top-k — the standard high-precision
+    near-duplicate confirmation (one-directional kNN edges are
+    asymmetric; hubs collect inbound edges they do not reciprocate).
+
+    Plan: the kNN table is pinned (it feeds both join sides), then
+    ONE pair-keyed self-join over N*k rows — never touches vectors
+    again. Feed it embed_knn_exact for oracle-exact small scale or
+    the banded/IVF ANN candidates (q45/q47) at 100 TB."""
+    knn = knn.localCheckpoint(eager=False)
+    l = knn.select(
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("rank").alias("rank_ab"),
+    )
+    r = knn.select(
+        F.col("neighbor_id").alias("a"),
+        F.col("query_id").alias("b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return l.join(r, ["a", "b"]).where(F.col("a") < F.col("b"))

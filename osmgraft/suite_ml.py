@@ -203,6 +203,50 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q120_reciprocal_nn(spark, sf_dir):
+    """Mutual-kNN near-dup confirmation (dedup.reciprocal_nn):
+    pairs where each vector is in the other's exact top-4 —
+    asymmetric hub edges drop out; one pair-keyed self-join over
+    the pinned kNN table."""
+    from .suite import load
+    from .operators.dedup import reciprocal_nn
+
+    emb = load(spark, sf_dir, "embeddings")
+    knn = embed_knn_exact(emb, F.lit(True), k=4)
+    return reciprocal_nn(knn)
+
+
+_RNN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+    list_dot_product(q.v, n.v) / sqrt(q.n2) / sqrt(n.n2) AS c
+  FROM n q JOIN n ON n.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+knn AS (
+  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= 4
+)
+SELECT l.query_id AS a, l.neighbor_id AS b,
+       l.rank AS rank_ab, r.rank AS rank_ba
+FROM knn l
+JOIN knn r ON r.query_id = l.neighbor_id
+          AND r.neighbor_id = l.query_id
+WHERE l.query_id < l.neighbor_id
+"""
+
+
 # ---------------------------------------------------------------
 # q32: LSH-bucketed ANN candidate pairs
 # ---------------------------------------------------------------
@@ -614,6 +658,7 @@ ML_QUERIES = {
     "q29_minhash_lsh": q29_minhash_lsh,
     "q30_simhash": q30_simhash,
     "q31_embed_knn": q31_embed_knn,
+    "q120_reciprocal_nn": q120_reciprocal_nn,
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
     "q44_dedup_clusters": q44_dedup_clusters,
     "q55_dedup_keep_list": q55_dedup_keep_list,
@@ -628,6 +673,7 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q29_minhash_lsh": _minhash_oracle(),
         "q30_simhash": _simhash_oracle(),
         "q31_embed_knn": _EMB_ORACLE,
+        "q120_reciprocal_nn": _RNN_ORACLE,
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
         "q44_dedup_clusters": _cluster_oracle(),
         "q55_dedup_keep_list": _keep_oracle(),

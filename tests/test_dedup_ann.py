@@ -265,3 +265,25 @@ def test_ivf_ann_recall_against_exact_knn(spark):
             assert v == exact[k_]
     recall = len(set(ivf) & set(exact)) / len(exact)
     assert recall >= 0.3, recall
+
+
+def test_reciprocal_nn_drops_asymmetric_edges(spark):
+    """Crafted kNN table: only mutual pairs survive, ordered a<b,
+    ranks preserved from each direction."""
+    from osmgraft.operators.dedup import reciprocal_nn
+
+    knn = spark.createDataFrame(
+        [
+            # 1 and 2 mutual; 3 points at 1 but 1 not at 3 (hub)
+            (1, 2, 1), (2, 1, 2),
+            (3, 1, 1),
+            # 4 and 5 mutual
+            (4, 5, 1), (5, 4, 1),
+        ],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {
+        (r.a, r.b, r.rank_ab, r.rank_ba)
+        for r in reciprocal_nn(knn).collect()
+    }
+    assert got == {(1, 2, 1, 2), (4, 5, 1, 1)}
