@@ -503,3 +503,76 @@ def kmv_intersect(
         jacc.alias("jacc"),
         (jacc * u_est).alias("inter_est"),
     )
+
+
+def grouped_binned_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: tuple[int, ...] = (50, 90, 99),
+    bin_shift: int = 4,
+) -> DataFrame:
+    """Per-GROUP binned-quantile sketch — binned_quantiles with the
+    cumulative window and the per-percentile argmins partitioned by
+    the group (per-language length percentiles, per-domain quality
+    brackets): no SinglePartition funnel anywhere, state bounded by
+    groups x range/2^bin_shift bins, same deterministic [lo, hi]
+    certificate per row.  One corpus pass; everything after the
+    first groupBy runs over the bin table."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    hist = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.shiftright(v, bin_shift).alias("bin"),
+    ).agg(F.count("*").cast("long").alias("_c"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn(
+        "cum_le", F.sum("_c").over(w)
+    ).localCheckpoint(eager=False)
+    tot = cum.groupBy("grp").agg(
+        F.max("cum_le").cast("long").alias("n_rows")
+    )
+    joined = cum.join(tot, "grp")
+    agg_row = joined.groupBy("grp", "n_rows").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum_le")
+                    >= F.expr(f"({p} * n_rows + 99) div 100"),
+                    F.col("bin"),
+                )
+            ).alias(f"_b{p}")
+            for p in ps
+        ]
+    )
+    rows = agg_row.select(
+        "grp",
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("p"),
+                        F.col(f"_b{p}").alias("bin"),
+                    )
+                    for p in ps
+                ]
+            )
+        ).alias("s"),
+    ).select("grp", "s.p", "s.bin", "n_rows")
+    return rows.join(
+        cum.select("grp", "bin", "cum_le"), ["grp", "bin"], "left"
+    ).select(
+        "grp",
+        "p",
+        "bin",
+        F.shiftleft(F.col("bin"), bin_shift).alias("lo"),
+        (F.shiftleft(F.col("bin") + 1, bin_shift) - 1).alias("hi"),
+        "cum_le",
+        "n_rows",
+    )

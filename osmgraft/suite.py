@@ -599,6 +599,22 @@ def q118_star_rollup(spark, sf_dir):
     )
 
 
+def q121_grouped_quantiles(spark, sf_dir):
+    """Per-language token-count percentile sketch
+    (sketches.grouped_binned_quantiles): the q105 certified
+    [lo,hi] brackets, partitioned by the lang column — every
+    window/argmin is group-keyed, no SinglePartition funnel."""
+    from .operators.sketches import grouped_binned_quantiles
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+    )
+    return grouped_binned_quantiles(
+        docs, "lang", "ntok", (50, 90, 99), 3
+    )
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3161,6 +3177,7 @@ QUERIES = {
     "q117_event_spikes": q117_event_spikes,
     "q118_star_rollup": q118_star_rollup,
     "q119_triangles": q119_triangles,
+    "q121_grouped_quantiles": q121_grouped_quantiles,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4227,6 +4244,40 @@ SELECT CAST(f.cohort AS BIGINT) AS cohort,
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM ua u JOIN first f USING (user_id)
 GROUP BY 1, 2
+""",
+        "q121_grouped_quantiles": """
+WITH vals AS (
+  SELECT lang AS grp,
+    CAST(len(string_split(text, ' ')) AS BIGINT) >> 3 AS bin
+  FROM documents
+),
+hist AS (
+  SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, c,
+    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY bin
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_le
+  FROM hist
+),
+tot AS (
+  SELECT grp, MAX(cum_le) AS n_rows FROM cum GROUP BY 1
+),
+pick AS (
+  SELECT c.grp, t.n_rows, p.p,
+    MIN(CASE WHEN c.cum_le >= (p.p * t.n_rows + 99) // 100
+         THEN c.bin END) AS bin
+  FROM cum c
+  JOIN tot t USING (grp)
+  CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) p
+  GROUP BY 1, 2, 3
+)
+SELECT k.grp, CAST(k.p AS BIGINT) AS p, k.bin,
+       CAST(k.bin << 3 AS BIGINT) AS lo,
+       CAST(((k.bin + 1) << 3) - 1 AS BIGINT) AS hi,
+       c.cum_le, CAST(k.n_rows AS BIGINT) AS n_rows
+FROM pick k LEFT JOIN cum c ON c.grp = k.grp AND c.bin = k.bin
 """,
         "q78_sessionize": """
 WITH e AS (

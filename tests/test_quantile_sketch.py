@@ -79,3 +79,47 @@ def test_single_corpus_scan(spark):
     out = binned_quantiles(df, "v")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 1000") <= 1
+
+
+def test_grouped_quantiles_match_global_per_group(spark):
+    """Each group's grouped-sketch rows equal the global sketch
+    run on that group alone (partitioned windows change nothing),
+    and the certificate still brackets the exact ceil-rank value."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.sketches import (
+        binned_quantiles,
+        grouped_binned_quantiles,
+    )
+
+    df = spark.range(900).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        ((F.col("id") * 37) % 501 - 50).cast("long").alias("v"),
+    )
+    got = {
+        (r.grp, r.p): (r.bin, r.lo, r.hi, r.cum_le, r.n_rows)
+        for r in grouped_binned_quantiles(
+            df, "grp", "v", (50, 90, 99), 3
+        ).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = {
+            r.p: (r.bin, r.lo, r.hi, r.cum_le, r.n_rows)
+            for r in binned_quantiles(
+                df.where(F.col("grp") == g).select("v"),
+                "v",
+                (50, 90, 99),
+                3,
+            ).collect()
+        }
+        for p, row in solo.items():
+            assert got[(g, p)] == row
+        # exact ceil-rank value inside [lo, hi]
+        vals = sorted(
+            r.v
+            for r in df.where(F.col("grp") == g).collect()
+        )
+        for p in (50, 90, 99):
+            exact = vals[(p * len(vals) + 99) // 100 - 1]
+            bin_, lo, hi, _, _ = got[(g, p)]
+            assert lo <= exact <= hi
