@@ -164,3 +164,68 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return verts.groupBy("host").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame, k: int = 2, max_passes: int = 12
+) -> DataFrame:
+    """Vertices of the k-core (every vertex has >= k neighbors
+    INSIDE the subgraph) by iterative peeling — the degeneracy
+    member of the graph family (PageRank: q68, components: q44,
+    triangles: q119).
+
+    Per pass: one degree groupBy over the surviving undirected
+    edges + two semi-joins dropping edges with a sub-k endpoint;
+    the pass result is lazily checkpointed and ONE count drives
+    the convergence check (the one-driver-job-per-pass discipline
+    the relation closures use). Peeling is monotone, so stopping
+    early at a stable pass equals running all `max_passes` — which
+    is what lets the SQL oracle simply unroll the full pass count.
+    Warns if still shrinking at the cap (the q44/q27 convention).
+
+    Returns distinct (host,) vertices of the k-core."""
+    import warnings
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = und
+    n_cur = cur.count()
+    for _ in range(max_passes):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionByName(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("v")
+        nxt = (
+            cur.join(
+                keep.select(F.col("v").alias("a")), "a", "left_semi"
+            )
+            .join(
+                keep.select(F.col("v").alias("b")), "b", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        warnings.warn(
+            f"k_core: still peeling after {max_passes} passes; "
+            "result is the pass-capped superset",
+            stacklevel=2,
+        )
+    return (
+        cur.select(F.col("a").alias("host"))
+        .unionByName(cur.select(F.col("b").alias("host")))
+        .distinct()
+    )

@@ -615,6 +615,65 @@ def q121_grouped_quantiles(spark, sf_dir):
     )
 
 
+def q122_k_core(spark, sf_dir):
+    """2-core of a sparsified host graph (linkgraph.k_core):
+    iterative peel, one driver job per pass, lazily checkpointed
+    passes — monotone, so the early-stopped fixed point equals the
+    oracle's fully-unrolled 12 passes."""
+    from .operators.linkgraph import k_core
+
+    d = F.col("doc_id")
+    dst_idx = F.pmod(
+        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(97)
+    )
+    edges = (
+        load(spark, sf_dir, "documents")
+        .filter(d % 7 == 0)
+        .select(
+            F.concat(F.lit("host"), (d % 97).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return k_core(edges, k=2)
+
+
+def _kcore_oracle(k: int = 2, passes: int = 12) -> str:
+    stages = ["""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (
+    SELECT 'host' || CAST(doc_id % 97 AS VARCHAR) AS src,
+           'host' || CAST((doc_id * 2654435761) % 4294967296 % 97
+                          AS VARCHAR) AS dst
+    FROM documents WHERE doc_id % 7 = 0
+  ) WHERE src <> dst
+)"""]
+    for i in range(1, passes + 1):
+        stages.append(f"""d{i} AS MATERIALIZED (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM e{i - 1}
+    UNION ALL SELECT b FROM e{i - 1}
+  ) GROUP BY 1
+),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN d{i} x ON x.v = e.a AND x.d >= {k}
+  JOIN d{i} y ON y.v = e.b AND y.d >= {k}
+)""")
+        
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"""
+SELECT DISTINCT host FROM (
+  SELECT a AS host FROM e{passes}
+  UNION ALL SELECT b FROM e{passes}
+)"""
+    )
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3178,6 +3237,7 @@ QUERIES = {
     "q118_star_rollup": q118_star_rollup,
     "q119_triangles": q119_triangles,
     "q121_grouped_quantiles": q121_grouped_quantiles,
+    "q122_k_core": q122_k_core,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4245,6 +4305,7 @@ SELECT CAST(f.cohort AS BIGINT) AS cohort,
 FROM ua u JOIN first f USING (user_id)
 GROUP BY 1, 2
 """,
+        "q122_k_core": _kcore_oracle(),
         "q121_grouped_quantiles": """
 WITH vals AS (
   SELECT lang AS grp,

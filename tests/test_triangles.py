@@ -54,3 +54,49 @@ def test_random_brute_force(spark):
         (rng.choice(verts), rng.choice(verts)) for _ in range(60)
     ]
     assert _run(spark, edges) == _brute(edges)
+
+
+def test_k_core_peels_pendant_trees(spark):
+    """Known graph: a 4-cycle with pendant chains — the 2-core is
+    exactly the cycle; k=3 empties it."""
+    from osmgraft.operators.linkgraph import k_core
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # cycle
+        ("a", "p"), ("p", "q"),                            # chain
+        ("c", "r"),                                        # leaf
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert {r.host for r in k_core(df, k=2).collect()} == {
+        "a", "b", "c", "d",
+    }
+    assert k_core(df, k=3).count() == 0
+
+
+def test_k_core_matches_python_peel(spark):
+    import random
+
+    from osmgraft.operators.linkgraph import k_core
+
+    rng = random.Random(23)
+    verts = [f"v{i}" for i in range(30)]
+    edges = [
+        (rng.choice(verts), rng.choice(verts)) for _ in range(45)
+    ]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    cur = set(und)
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, c in deg.items() if c >= 2}
+        nxt = {
+            (a, b) for a, b in cur if a in keep and b in keep
+        }
+        if nxt == cur:
+            break
+        cur = nxt
+    want = {v for e in cur for v in e}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert {r.host for r in k_core(df, k=2).collect()} == want
