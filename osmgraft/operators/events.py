@@ -125,15 +125,30 @@ def event_spikes(
     Plan: one groupBy(type, hour) count (map-side combined), one
     tiny groupBy(type) rollup, one type-keyed join — nothing holds
     per-event state; output (event_type, hr, cnt, total, n_hours)."""
+    return spikes_from_counts(hour_counts(events), factor)
+
+
+def hour_counts(events: DataFrame) -> DataFrame:
+    """(event_type, hr, cnt) — the bounded state event_spikes and
+    its streaming twin both maintain (hr = days-since-epoch * 24 +
+    hour, timezone-free)."""
     hr = (
         F.expr("datediff(to_date(ts), DATE'1970-01-01')") * 24
         + F.hour("ts")
     ).cast("long")
-    counts = events.select(
+    return events.select(
         "event_type", hr.alias("hr")
     ).groupBy("event_type", "hr").agg(
         F.count("*").cast("long").alias("cnt")
     )
+
+
+def spikes_from_counts(
+    counts: DataFrame, factor: int = 2
+) -> DataFrame:
+    """Finish an (event_type, hr, cnt) table — batch-built or
+    drained from streaming_hour_counts — into the flagged-hours
+    report event_spikes documents."""
     stats = counts.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("total"),
         F.count("*").cast("long").alias("n_hours"),

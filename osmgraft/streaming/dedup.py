@@ -414,3 +414,28 @@ def streaming_kmv(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hour_counts(
+    spark: SparkSession,
+    events_dir: str,
+    schema: str = "event_type string, ts timestamp",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of events.hour_counts (the q117 spike
+    detector's state): per-(type, hour) counts maintained
+    continuously — a non-windowed groupBy count, no watermark
+    needed, state bounded by types x active hours.  The drained
+    table equals the batch hour_counts of all arrived rows exactly
+    (sums are split-invariant), so it feeds
+    events.spikes_from_counts for live anomaly flags at every
+    micro-batch boundary."""
+    from ..operators.events import hour_counts
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    return hour_counts(stream)

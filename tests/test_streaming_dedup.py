@@ -423,3 +423,72 @@ def test_streaming_kmv_equals_batch_sketch(spark, tmp_path):
     assert drain() == batch(500)
     _write(docs, 500, 2000, mode="append")
     assert drain() == batch(2000)
+
+
+def test_streaming_hour_counts_equals_batch_spikes(
+    spark, tmp_path
+):
+    """streaming_hour_counts drained over two arrivals equals the
+    batch hour_counts, and the finished spike flags match the
+    batch event_spikes."""
+    import datetime as dt
+
+    from osmgraft.operators.events import (
+        event_spikes,
+        hour_counts,
+        spikes_from_counts,
+    )
+    from osmgraft.streaming.dedup import streaming_hour_counts
+
+    def _rows(lo, hi):
+        base = dt.datetime(1970, 1, 5)
+        return spark.createDataFrame(
+            [
+                (
+                    "t" + str(i % 2),
+                    base
+                    + dt.timedelta(hours=(i * i) % 7, minutes=i % 60),
+                )
+                for i in range(lo, hi)
+            ],
+            "event_type string, ts timestamp",
+        )
+
+    docs = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _rows(0, 300).coalesce(1).write.mode("overwrite").parquet(docs)
+
+    def sink(b, _bid):
+        b.write.mode("overwrite").parquet(out)
+
+    def drain():
+        q = (
+            streaming_hour_counts(spark, docs)
+            .writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    drain()
+    _rows(300, 900).coalesce(1).write.mode("append").parquet(docs)
+    drained = drain()
+    want_counts = {
+        (r.event_type, r.hr, r.cnt)
+        for r in hour_counts(_rows(0, 900)).collect()
+    }
+    assert {
+        (r.event_type, r.hr, r.cnt) for r in drained.collect()
+    } == want_counts
+    got_flags = {
+        tuple(r)
+        for r in spikes_from_counts(drained).collect()
+    }
+    want_flags = {
+        tuple(r) for r in event_spikes(_rows(0, 900)).collect()
+    }
+    assert got_flags == want_flags
