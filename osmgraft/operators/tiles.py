@@ -279,3 +279,71 @@ def vectorize_tiles(
         (y1 + sub - 1).alias("y2"),
         "n",
     )
+
+
+def tile_blur(
+    rollup: DataFrame,
+    shift: int = 20,
+    cell_col: str = "cell",
+    n_col: str = "n",
+) -> DataFrame:
+    """Integer 3x3 kernel smoothing of a tile rollup — the heatmap
+    densification step: every cell SCATTERS its count to its
+    neighbors with the separable binomial weights (2-|du|)(2-|dv|)
+    (4 center, 2 edge, 1 corner, sum 16), so
+
+        smoothed_num(c) = sum over neighbors b of w * n(b)
+
+    is exact integers; `smoothed` = num div 16 is the normalized
+    value. Grid-clamped (no wraparound): border cells lose the
+    off-grid share of their kernel, the standard crop convention.
+
+    Plan: one in-row 9-way explode over the (already tiny) rollup
+    + one bounded groupBy sum — the corpus is never re-read; at
+    100 TB the rollup is cells-sized, not docs-sized."""
+    from ..geo.cells import LAT_OFFSET, LON_OFFSET, _lon_bits
+
+    bits = _lon_bits(shift)
+    cu_max = (2 * LON_OFFSET) >> shift
+    cv_max = (2 * LAT_OFFSET) >> shift
+    base = rollup.select(
+        (F.col(cell_col) % F.lit(1 << bits)).alias("cu"),
+        F.expr(f"{cell_col} div {1 << bits}").alias("cv"),
+        F.col(n_col).alias("_n"),
+    )
+    scattered = (
+        base.select(
+            "cu",
+            "cv",
+            "_n",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("du"),
+        )
+        .select(
+            "cv",
+            "_n",
+            "du",
+            (F.col("cu") + F.col("du")).alias("nu"),
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dv"),
+        )
+        .select(
+            "_n",
+            "nu",
+            (F.col("cv") + F.col("dv")).alias("nv"),
+            (
+                (F.lit(2) - F.abs("du")) * (F.lit(2) - F.abs("dv"))
+            ).cast("long").alias("w"),
+        )
+        .where(
+            F.col("nu").between(0, cu_max)
+            & F.col("nv").between(0, cv_max)
+        )
+    )
+    return scattered.groupBy(
+        (F.col("nv") * (1 << bits) + F.col("nu")).alias("cell")
+    ).agg(
+        F.sum(F.col("w") * F.col("_n")).alias("smoothed_num"),
+    ).select(
+        "cell",
+        "smoothed_num",
+        F.expr("smoothed_num div 16").alias("smoothed"),
+    )

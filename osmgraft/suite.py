@@ -674,6 +674,28 @@ SELECT DISTINCT host FROM (
     )
 
 
+def q123_tile_blur(spark, sf_dir):
+    """3x3 integer kernel smoothing of the shift-20 doc-density
+    rollup (tiles.tile_blur): separable binomial weights
+    4/2/1 div 16, scatter + bounded groupBy over the cells-sized
+    rollup — the corpus is read once for the rollup itself."""
+    from .operators.tiles import tile_blur
+
+    cells = doc_points(spark, sf_dir).select(
+        (
+            F.shiftleft(
+                F.shiftright(F.col("lat_i") + F.lit(900_000_000), 20),
+                12,
+            )
+            + F.shiftright(F.col("lon_i") + F.lit(1_800_000_000), 20)
+        ).alias("cell")
+    )
+    rollup = cells.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return tile_blur(rollup, shift=20)
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3238,6 +3260,7 @@ QUERIES = {
     "q119_triangles": q119_triangles,
     "q121_grouped_quantiles": q121_grouped_quantiles,
     "q122_k_core": q122_k_core,
+    "q123_tile_blur": q123_tile_blur,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4339,6 +4362,36 @@ SELECT k.grp, CAST(k.p AS BIGINT) AS p, k.bin,
        CAST(((k.bin + 1) << 3) - 1 AS BIGINT) AS hi,
        c.cum_le, CAST(k.n_rows AS BIGINT) AS n_rows
 FROM pick k LEFT JOIN cum c ON c.grp = k.grp AND c.bin = k.bin
+""",
+        "q123_tile_blur": """
+WITH pts AS (
+  SELECT doc_id,
+         CAST(""" + LAT_EXPR + """ AS BIGINT) AS lat_i,
+         CAST(""" + LON_EXPR + """ AS BIGINT) AS lon_i
+  FROM documents
+),
+rollup AS (
+  SELECT ((lat_i + 900000000) >> 20) * 4096
+         + ((lon_i + 1800000000) >> 20) AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1
+),
+base AS (
+  SELECT cell % 4096 AS cu, cell // 4096 AS cv, n FROM rollup
+),
+sc AS (
+  SELECT cu + a.du AS nu, cv + b.dv AS nv,
+         CAST((2 - abs(a.du)) * (2 - abs(b.dv)) AS BIGINT) AS w, n
+  FROM base
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS du) a
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS dv) b
+  WHERE cu + a.du BETWEEN 0 AND 3433
+    AND cv + b.dv BETWEEN 0 AND 1716
+)
+SELECT nv * 4096 + nu AS cell,
+       CAST(SUM(w * n) AS BIGINT) AS smoothed_num,
+       CAST(SUM(w * n) // 16 AS BIGINT) AS smoothed
+FROM sc GROUP BY 1
 """,
         "q78_sessionize": """
 WITH e AS (

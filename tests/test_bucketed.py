@@ -57,3 +57,27 @@ def test_bucketed_resolution_no_exchange(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 200
+
+
+def test_tile_blur_kernel_exact(spark):
+    """Single-cell impulse spreads the exact binomial kernel;
+    total mass is conserved away from borders."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.geo.cells import _lon_bits
+    from osmgraft.operators.tiles import tile_blur
+
+    bits = _lon_bits(20)
+    mid = 800 * (1 << bits) + 1200  # interior cell
+    rollup = spark.createDataFrame(
+        [(mid, 16)], "cell long, n long"
+    )
+    got = {
+        r.cell: (r.smoothed_num, r.smoothed)
+        for r in tile_blur(rollup, shift=20).collect()
+    }
+    assert len(got) == 9
+    assert got[mid] == (64, 4)  # 4*16, div 16
+    assert got[mid + 1] == (32, 2)
+    assert got[mid + (1 << bits) + 1] == (16, 1)
+    assert sum(v[0] for v in got.values()) == 16 * 16  # mass * 16
