@@ -204,14 +204,18 @@ FROM ranked WHERE rank <= 3
 
 
 def q120_reciprocal_nn(spark, sf_dir):
-    """Mutual-kNN near-dup confirmation (dedup.reciprocal_nn):
-    pairs where each vector is in the other's exact top-4 —
-    asymmetric hub edges drop out; one pair-keyed self-join over
-    the pinned kNN table."""
+    """Mutual-kNN near-dup confirmation (dedup.reciprocal_nn)
+    over a 1-in-5 vector sample: pairs where each vector is in the
+    other's exact top-4 — asymmetric hub edges drop out; one
+    pair-keyed self-join over the pinned kNN table. (The exact
+    all-pairs kNN input is the ORACLE-scale path; at 100 TB feed
+    reciprocal_nn the q45/q47 ANN candidates instead.)"""
     from .suite import load
     from .operators.dedup import reciprocal_nn
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 5 == 0
+    )
     knn = embed_knn_exact(emb, F.lit(True), k=4)
     return reciprocal_nn(knn)
 
@@ -219,6 +223,7 @@ def q120_reciprocal_nn(spark, sf_dir):
 _RNN_ORACLE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id % 5 = 0
 ),
 n AS (
   SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e
