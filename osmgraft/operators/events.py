@@ -161,3 +161,22 @@ def spikes_from_counts(
         )
         .select("event_type", "hr", "cnt", "total", "n_hours")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Markov transition counts over each user's time-ordered
+    event sequence: (prev_type, event_type, n) — the behavioral
+    matrix funnels and sessionizers start from. One user-keyed
+    window (ordered by ts, event_id for a total order) + one
+    bounded groupBy; nothing holds per-event state past the
+    window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )

@@ -130,3 +130,46 @@ def weighted_systematic_sample(
     return cum.withColumn("hits", hits.cast("long")).where(
         F.col("hits") >= 1
     )
+
+
+def spatial_shard_plan(
+    pts: DataFrame,
+    n_shards: int = 8,
+    shift: int = 20,
+    order: int = 12,
+) -> DataFrame:
+    """Spatially-contiguous training shards: documents are ranked
+    along the Hilbert curve (geo/hilbert.py — every curve step is
+    between adjacent cells) and cut into n_shards equal-size
+    ranges, so each shard is a compact geographic region with
+    |size difference| <= 1 — the geo-locality counterpart of
+    shard_plan's hash shuffle (a geo-trained model reads spatial
+    neighborhoods together; a hash shard scatters them).
+
+    shard = (pos * n_shards) div N over the dense curve rank,
+    computed with indexing.with_global_index's three-pass range
+    partition — no global sort funnel, no SinglePartition.
+    Returns (doc_id, hd, shard)."""
+    from ..geo.cells import LAT_OFFSET, LON_OFFSET
+    from ..geo.hilbert import with_hilbert
+    from .indexing import with_global_index
+
+    n = pts.count()
+    cells = pts.select(
+        "doc_id",
+        F.shiftright(F.col("lon_i") + F.lit(LON_OFFSET), shift)
+        .alias("_cu"),
+        F.shiftright(F.col("lat_i") + F.lit(LAT_OFFSET), shift)
+        .alias("_cv"),
+    )
+    hd = with_hilbert(cells, "_cu", "_cv", order=order).drop(
+        "_cu", "_cv"
+    )
+    ranked = with_global_index(
+        hd, ["hd", "doc_id"], index_col="pos", start=0
+    )
+    return ranked.select(
+        "doc_id",
+        "hd",
+        F.expr(f"(pos * {n_shards}) div {n}").alias("shard"),
+    )

@@ -696,6 +696,51 @@ def q123_tile_blur(spark, sf_dir):
     return tile_blur(rollup, shift=20)
 
 
+def q124_spatial_shards(spark, sf_dir):
+    """Spatially-contiguous export shards
+    (export.spatial_shard_plan): docs ranked along the Hilbert
+    curve and cut into 8 equal ranges — each shard is a compact
+    region; rank via the three-pass distributed index, no global
+    sort funnel."""
+    from .operators.export import spatial_shard_plan
+
+    return spatial_shard_plan(doc_points(spark, sf_dir))
+
+
+def _q124_oracle() -> str:
+    from .geo.hilbert import hilbert_sql
+
+    stages = hilbert_sql("src", "cu", "cv", 12)
+    return f"""
+WITH {_PTS_CTE},
+src AS (
+  SELECT doc_id AS carry,
+         ((lon_i + 1800000000) >> 20) AS cu,
+         ((lat_i + 900000000) >> 20) AS cv
+  FROM pts
+),
+{stages},
+ranked AS (
+  SELECT carry AS doc_id, hd,
+    CAST(ROW_NUMBER() OVER (ORDER BY hd, carry) - 1 AS BIGINT)
+      AS pos
+  FROM hfinal
+)
+SELECT doc_id, hd,
+  CAST((pos * 8) // (SELECT COUNT(*) FROM pts) AS BIGINT) AS shard
+FROM ranked
+"""
+
+
+def q125_transitions(spark, sf_dir):
+    """Per-user event transition matrix (events.event_transitions):
+    (prev_type, type, n) over time-ordered per-user sequences —
+    one user-keyed window + one bounded groupBy."""
+    from .operators.events import event_transitions
+
+    return event_transitions(load(spark, sf_dir, "events"))
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3261,6 +3306,8 @@ QUERIES = {
     "q121_grouped_quantiles": q121_grouped_quantiles,
     "q122_k_core": q122_k_core,
     "q123_tile_blur": q123_tile_blur,
+    "q124_spatial_shards": q124_spatial_shards,
+    "q125_transitions": q125_transitions,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4329,6 +4376,7 @@ FROM ua u JOIN first f USING (user_id)
 GROUP BY 1, 2
 """,
         "q122_k_core": _kcore_oracle(),
+        "q124_spatial_shards": _q124_oracle(),
         "q121_grouped_quantiles": """
 WITH vals AS (
   SELECT lang AS grp,
@@ -4392,6 +4440,17 @@ SELECT nv * 4096 + nu AS cell,
        CAST(SUM(w * n) AS BIGINT) AS smoothed_num,
        CAST(SUM(w * n) // 16 AS BIGINT) AS smoothed
 FROM sc GROUP BY 1
+""",
+        "q125_transitions": """
+WITH seq AS (
+  SELECT event_type,
+    LAG(event_type) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
 """,
         "q78_sessionize": """
 WITH e AS (

@@ -205,3 +205,34 @@ def test_weighted_sample_guards(spark):
         weighted_systematic_sample(df, ["doc_id"], "w", 0)
     with pytest.raises(ValueError):
         weighted_systematic_sample(df, ["doc_id"], "w", 10**9)
+
+
+def test_spatial_shards_contiguous_and_balanced(spark):
+    """Shards are equal-size (+-1), contiguous along the curve
+    (max hd of shard s <= min hd of shard s+1), and invariant
+    under input partitioning."""
+    from osmgraft.operators.export import spatial_shard_plan
+    from osmgraft.suite import doc_points
+
+    pts = doc_points(spark, "/root/testdata/sf0.001")
+    out = spatial_shard_plan(pts.repartition(7), n_shards=4)
+    rows = out.collect()
+    n = len(rows)
+    sizes = {}
+    bounds = {}
+    for r in rows:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+        lo, hi = bounds.get(r.shard, (r.hd, r.hd))
+        bounds[r.shard] = (min(lo, r.hd), max(hi, r.hd))
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for s in range(3):
+        assert bounds[s][1] <= bounds[s + 1][0]
+    again = {
+        (r.doc_id, r.shard)
+        for r in spatial_shard_plan(
+            pts.coalesce(1), n_shards=4
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.shard) for r in rows}
+    assert n == pts.count()
