@@ -145,3 +145,66 @@ def diff_changefile(
         F.lit(True).alias("deleted"),
     )
     return upserts.unionByName(deletes)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Temporal as-of join (SURVEY J9): every left row picks the
+    most recent right row with the same key and right_ts <=
+    left_ts — events enriched with the dimension version in force
+    at their time.
+
+    The scale-correct plan is the tagged-union sweep, NOT a range
+    join: union both sides ordered by (key, ts, side-tag with the
+    right side first at equal ts for inclusive <=), then one keyed
+    window carries the right payload forward with
+    last(ignorenulls). ONE shuffle-sort total; a range join would
+    explode per-key row pairs and a per-row subquery would not
+    distribute. Left rows with no prior right version keep NULL
+    payloads.
+
+    Returns the left rows + the as-of payload columns."""
+    from pyspark.sql import Window
+
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    lcols = [c for c in left.columns]
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(
+            right.select(pay.alias("_p")).schema["_p"].dataType
+        ).alias("_p"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_row"),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        pay.alias("_p"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in lcols]).alias("_row")
+            ).schema["_row"].dataType
+        ).alias("_row"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = (
+        l.unionByName(r)
+        .withColumn("_pp", F.last("_p", ignorenulls=True).over(w))
+        .where(F.col("_tag") == 1)
+    )
+    return swept.select(
+        *[F.col(f"_row.{c}").alias(c) for c in lcols],
+        *[F.col(f"_pp.{c}").alias(c) for c in payload_cols],
+    )

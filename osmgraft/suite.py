@@ -741,6 +741,38 @@ def q125_transitions(spark, sf_dir):
     return event_transitions(load(spark, sf_dir, "events"))
 
 
+def q126_asof_enrich(spark, sf_dir):
+    """Temporal as-of join (merge.asof_join, SURVEY J9): every
+    event picks the profile version in force at its timestamp
+    (latest version row with vts <= ts per user). ONE keyed
+    shuffle-sort (tagged-union sweep) — the oracle is the
+    INDEPENDENT correlated-subquery formulation, so the sweep's
+    semantics are checked, not replayed."""
+    from .operators.merge import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    vers = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select(
+            "user_id",
+            F.to_date("ts").cast("timestamp").alias("vts"),
+            F.expr(
+                "datediff(to_date(ts), DATE'1970-01-01')"
+            ).cast("long").alias("version_day"),
+        )
+        .distinct()
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        vers,
+        key="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        payload_cols=["version_day"],
+    )
+    return out.select("event_id", "user_id", "version_day")
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3308,6 +3340,7 @@ QUERIES = {
     "q123_tile_blur": q123_tile_blur,
     "q124_spatial_shards": q124_spatial_shards,
     "q125_transitions": q125_transitions,
+    "q126_asof_enrich": q126_asof_enrich,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4451,6 +4484,19 @@ WITH seq AS (
 SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
+""",
+        "q126_asof_enrich": """
+WITH vers AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(ts AS DATE) AS TIMESTAMP) AS vts,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS version_day
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT e.event_id, e.user_id,
+  (SELECT MAX(v.version_day) FROM vers v
+   WHERE v.user_id = e.user_id AND v.vts <= e.ts) AS version_day
+FROM events e
 """,
         "q78_sessionize": """
 WITH e AS (

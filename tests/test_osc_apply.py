@@ -93,3 +93,38 @@ def _pf(s: str) -> int:
     s = s.lstrip("-")
     whole, _, frac = s.partition(".")
     return sign * (int(whole) * 10**7 + int(frac.ljust(7, "0")))
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """Boundary inclusivity (vts == ts matches), no-prior ->
+    NULL, latest-wins, and the single-shuffle plan."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.merge import asof_join
+
+    t = lambda h: dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+    left = spark.createDataFrame(
+        [
+            (1, "u", t(0)),   # before any version -> NULL
+            (2, "u", t(5)),   # == v5 exactly -> 5
+            (3, "u", t(7)),   # between v5 and v10 -> 5
+            (4, "u", t(12)),  # after v10 -> 10
+            (5, "w", t(9)),   # other key, no versions -> NULL
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(5), 5), ("u", t(10), 10)],
+        "user_id string, vts timestamp, version long",
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", "vts", ["version"]
+    )
+    got = {r.event_id: r.version for r in out.collect()}
+    assert got == {1: None, 2: 5, 3: 5, 4: 10, 5: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial sections; count the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1  # one keyed shuffle-sort
