@@ -83,3 +83,63 @@ def apply_change_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_asof_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    versions: DataFrame,
+    key: str,
+    ts_col: str,
+    right_ts: str,
+    payload_cols: list[str],
+    schema: str = "event_id long, user_id long, ts timestamp",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Continuous twin of operators/merge.asof_join (q126): every
+    STREAMED event is enriched with the dimension version in force
+    at its event time — the latest right row with right_ts <= ts
+    per key.
+
+    The batch sweep needs a per-key total order, which a stream
+    cannot hold statelessly, so the STATIC dimension is packed to
+    ONE row per key carrying its whole version history as an array
+    sorted by right_ts (bounded by versions-per-key, never by the
+    corpus), BROADCAST into a stream-static left equi-join, and
+    the as-of pick is an in-row array_max over the <=-ts prefix.
+    Stateless by construction: append mode, no watermark, no state
+    store; restarts are safe because re-processing a file yields
+    identical rows (idempotent-sink discipline). Events whose key
+    has no prior version keep NULL payloads, same as the batch
+    operator. Duplicate (key, right_ts) version rows are resolved
+    by the lexicographically greatest payload — the same class of
+    tie the batch sweep leaves to sort order.
+
+    Drained results equal merge.asof_join on the arrived events
+    exactly (tested)."""
+    from pyspark.sql import functions as F
+
+    packed = versions.groupBy(F.col(key)).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(right_ts).alias("_vts"),
+                    *[F.col(c) for c in payload_cols],
+                )
+            )
+        ).alias("_vers")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(events_dir)
+    )
+    ev_cols = stream.columns
+    joined = stream.join(F.broadcast(packed), on=key, how="left")
+    pick = F.array_max(
+        F.filter("_vers", lambda v: v["_vts"] <= F.col(ts_col))
+    )
+    return joined.select(
+        *ev_cols, *[pick[c].alias(c) for c in payload_cols]
+    )

@@ -61,3 +61,76 @@ def test_change_stream_applies_batches(spark, tmp_path):
     assert 1000 not in got2
     assert 7 not in got2
     assert len(got2) == 99
+
+
+def test_streaming_asof_equals_batch(spark, tmp_path):
+    """streaming_asof_enrich drained over two arrival batches
+    equals merge.asof_join on all arrived events — including the
+    NULL-payload (no prior version) rows — and appending events
+    after a restart only adds rows for the new arrivals."""
+    from osmgraft.operators.merge import asof_join
+    from osmgraft.streaming.changes import streaming_asof_enrich
+    from osmgraft.suite import load
+
+    sf = "/root/testdata/sf0.001"
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    vers = (
+        ev.where(F.col("event_id") % 5 == 0)
+        .select(
+            "user_id",
+            F.to_date("ts").cast("timestamp").alias("vts"),
+            F.expr("datediff(to_date(ts), DATE'1970-01-01')")
+            .cast("long")
+            .alias("version_day"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _ev(lo, hi):
+        return ev.where(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        )
+
+    edir = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _ev(0, 150).coalesce(1).write.mode("overwrite").parquet(edir)
+
+    def drain():
+        q = (
+            streaming_asof_enrich(
+                spark, edir, vers, "user_id", "ts", "vts",
+                ["version_day"],
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["event_id"], r["version_day"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def want(hi):
+        return {
+            (r["event_id"], r["version_day"])
+            for r in asof_join(
+                _ev(0, hi), vers, "user_id", "ts", "vts",
+                ["version_day"],
+            ).collect()
+        }
+
+    first = drain()
+    assert first == want(150) and len(first) == 150
+    # some events must predate every version row (NULL payload)
+    assert any(v is None for _, v in first)
+
+    _ev(150, 300).coalesce(1).write.mode("append").parquet(edir)
+    assert drain() == want(300)
