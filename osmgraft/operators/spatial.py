@@ -540,3 +540,154 @@ def hilbert_bbox_filter(
         & (F.col(lat_col) <= y2)
     )
     return out.drop(*drop)
+
+
+def polyset_frames(spark, polyset: PolygonSet):
+    """PolygonSet -> (edges, polys) DataFrames — the polygon side
+    as DATA for assign_regions_partitioned. Edges come out in
+    geo/pip.build_edges normal form (x1 < x2, exactly-vertical
+    edges already dropped from the crossing set). Built as JVM
+    literal explodes (LocalRelation), not createDataFrame — no
+    Python-RDD roundtrip in a registered query."""
+    erows = []
+    prows = []
+    for i, es in enumerate(polyset.polys):
+        for x1, y1, x2, y2 in zip(es.x1, es.y1, es.x2, es.y2):
+            erows.append(
+                F.struct(
+                    F.lit(i).alias("poly_idx"),
+                    F.lit(int(x1)).cast("long").alias("x1"),
+                    F.lit(int(y1)).cast("long").alias("y1"),
+                    F.lit(int(x2)).cast("long").alias("x2"),
+                    F.lit(int(y2)).cast("long").alias("y2"),
+                )
+            )
+        bx1, by1, bx2, by2 = es.bbox
+        prows.append(
+            F.struct(
+                F.lit(i).alias("poly_idx"),
+                F.lit(polyset.names[i]).alias("name"),
+                F.lit(int(polyset.admin_levels[i])).alias("admin"),
+                F.lit(int(bx1)).cast("long").alias("bx1"),
+                F.lit(int(by1)).cast("long").alias("by1"),
+                F.lit(int(bx2)).cast("long").alias("bx2"),
+                F.lit(int(by2)).cast("long").alias("by2"),
+            )
+        )
+    edges = (
+        spark.range(1)
+        .select(F.explode(F.array(*erows)).alias("e"))
+        .select("e.*")
+    )
+    polys = (
+        spark.range(1)
+        .select(F.explode(F.array(*prows)).alias("p"))
+        .select("p.*")
+    )
+    return edges, polys
+
+
+def assign_regions_partitioned(
+    df: DataFrame,
+    edges: DataFrame,
+    polys: DataFrame,
+    id_col: str = "doc_id",
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    strip_shift: int = 22,
+) -> DataFrame:
+    """The broadcast-free sibling of `assign_regions`, for when the
+    POLYGON side is itself big distributed data (millions of admin
+    polygons / cadastral parcels) and no driver-built index fits.
+    Same output as assign_regions (same q03 oracle, tested equal);
+    entirely different physical plan: both sides shuffle on a
+    longitude-strip key and the exact ray cast runs as a relational
+    parity aggregate — pure Catalyst, no broadcast variable, no
+    Python stage, no driver polygon object.
+
+    edges: (poly_idx, x1, y1, x2, y2) in build_edges normal form
+    (x1 < x2; exactly-vertical edges dropped — they can never
+    satisfy the half-open x1 <= px < px2 crossing window,
+    osmconvert.c:1907-1910). polys: (poly_idx, name, admin,
+    bx1..by2 bbox).
+
+    Plan: each edge explodes to the lon strips its x-span covers
+    (span/2^strip_shift rows — strip_shift is the replication-vs-
+    skew knob); each point computes its strip in-row; ONE shuffle
+    equi-join on strip pairs every point with exactly the edges
+    whose crossing window can contain it (a pair exists iff
+    x1 <= px < x2 can hold, so dropping all other edges cannot
+    change the parity — they contribute 0 crossings). The
+    northward-ray crossing count then becomes SUM(pred) % 2 per
+    (point, polygon) — the same per-edge predicate as the numpy
+    kernel (geo/pip.crossings) and the q03 DuckDB oracle — and the
+    osmassignpoly admin tie-break (closed form of the state
+    machine at osmassignpoly.c:1758-1783) is a min_by/max-style
+    aggregate per point. Dense-city strip skew is plain join-key
+    skew: AQE skew-join splits it, and strip_shift trades edge
+    replication against strip width.
+
+    Returns (id_col, region, subregion) for points inside >= 1
+    polygon — assign_regions' keep_noregion=False contract."""
+    e = edges.join(polys, "poly_idx").withColumn(
+        "_strips",
+        F.sequence(
+            F.shiftright(F.col("x1") + F.lit(LON_OFFSET), strip_shift),
+            F.shiftright(
+                F.col("x2") - F.lit(1) + F.lit(LON_OFFSET), strip_shift
+            ),
+        ),
+    )
+    e = e.select(
+        "poly_idx", "name", "admin", "x1", "y1", "x2", "y2",
+        "bx1", "by1", "bx2", "by2",
+        F.explode("_strips").alias("_strip"),
+    )
+    px = F.col(lon_col)
+    py = F.col(lat_col)
+    pts = df.select(
+        F.col(id_col),
+        px.alias("_px"),
+        py.alias("_py"),
+        F.shiftright(px + F.lit(LON_OFFSET), strip_shift).alias(
+            "_strip"
+        ),
+    )
+    pairs = pts.join(e, "_strip").where(
+        (F.col("_px") >= F.col("bx1"))
+        & (F.col("_px") <= F.col("bx2"))
+        & (F.col("_py") >= F.col("by1"))
+        & (F.col("_py") <= F.col("by2"))
+    )
+    n1 = F.col("y1") > F.col("_py")
+    n2 = F.col("y2") > F.col("_py")
+    south = (F.col("_py") - F.col("y1")) * (
+        F.col("x2") - F.col("x1")
+    ) < (F.col("_px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    cross = (
+        (F.col("x1") <= F.col("_px"))
+        & (F.col("_px") < F.col("x2"))
+        & ((n1 & n2) | ((n1 != n2) & south))
+    )
+    ins = (
+        pairs.groupBy(id_col, "poly_idx", "name", "admin")
+        .agg(
+            F.sum(F.when(cross, 1).otherwise(0)).alias("_c")
+        )
+        .where(F.col("_c") % 2 == 1)
+    )
+    out = ins.groupBy(id_col).agg(
+        F.min_by(
+            "name", F.struct(F.col("admin"), F.col("poly_idx"))
+        ).alias("region"),
+        F.min_by(
+            "name",
+            F.struct((-F.col("admin")).alias("na"), F.col("poly_idx")),
+        ).alias("_sub"),
+        (F.max("admin") > F.min("admin")).alias("_mixed"),
+    )
+    return out.select(
+        id_col,
+        "region",
+        F.when(F.col("_mixed"), F.col("_sub")).alias("subregion"),
+    )

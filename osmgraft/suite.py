@@ -773,6 +773,24 @@ def q126_asof_enrich(spark, sf_dir):
     return out.select("event_id", "user_id", "version_day")
 
 
+def q127_assign_partitioned(spark, sf_dir):
+    """G1/J5 without the broadcast
+    (spatial.assign_regions_partitioned): the polygon side as
+    DATA — a lon-strip shuffle equi-join pairs points with
+    strip-local edges and the exact ray cast runs as a relational
+    crossing-parity aggregate, admin tie-break as min_by. Same
+    oracle as q03; this is the physical plan that survives a
+    polygon side too big for any driver-built index."""
+    from .operators.spatial import (
+        assign_regions_partitioned,
+        polyset_frames,
+    )
+
+    pts = doc_points(spark, sf_dir)
+    edges, polys = polyset_frames(spark, fixture_polyset())
+    return assign_regions_partitioned(pts, edges, polys)
+
+
 def q78_sessionize(spark, sf_dir):
     """Event sessionization (operators/events.sessionize):
     gaps-and-islands with a 30-minute inactivity gap over the
@@ -3341,6 +3359,7 @@ QUERIES = {
     "q124_spatial_shards": q124_spatial_shards,
     "q125_transitions": q125_transitions,
     "q126_asof_enrich": q126_asof_enrich,
+    "q127_assign_partitioned": q127_assign_partitioned,
     "q79_bloom_seen": q79_bloom_seen,
     "q80_lm_fluency": q80_lm_fluency,
     "q81_classifier_gate": q81_classifier_gate,
@@ -4011,6 +4030,9 @@ WHERE lon_i >= 110000000 AND lon_i <= 125000000
 """,
         "q02_pip_border": pip_oracle_sql(),
         "q03_assign_regions": assign_oracle_sql(),
+        # same semantics, different physical plan (no broadcast):
+        # the oracle is intentionally shared with q03
+        "q127_assign_partitioned": assign_oracle_sql(),
         "q04_cell_tiles": f"""
 WITH {_PTS_CTE}
 SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}

@@ -46,3 +46,38 @@ def test_catalyst_equals_arrow_kernel(pts, keep_noregion):
     finally:
         spatial.JVM_EDGE_LIMIT = old
     assert cat == udf
+
+
+def test_partitioned_equals_broadcast(spark, pts):
+    """assign_regions_partitioned (lon-strip shuffle join +
+    relational crossing parity) equals the broadcast/kernel path
+    on the hash-scattered grid — including boundary points, the
+    hole in Concavia, overlap tie-breaks, and null coords (no
+    strip -> dropped, same as keep_noregion=False). Run with
+    auto-broadcast OFF so the strip join is a genuine shuffle
+    join; the plan must contain no Python stage and no cartesian
+    product."""
+    want = {
+        r.doc_id: (r.region, r.subregion)
+        for r in spatial.assign_regions(pts, fixture_polyset())
+        .select("doc_id", "region", "subregion")
+        .collect()
+    }
+    edges, polys = spatial.polyset_frames(spark, fixture_polyset())
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = spatial.assign_regions_partitioned(pts, edges, polys)
+        got = {
+            r.doc_id: (r.region, r.subregion) for r in out.collect()
+        }
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and len(got) > 100
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "EvalPython" not in final and "InPandas" not in final
+    assert (
+        "SortMergeJoin" in final or "ShuffledHashJoin" in final
+    )  # the strip join really shuffles both sides
