@@ -390,3 +390,115 @@ def dilate_cover(
         )
         .distinct()
     )
+
+
+def snap_to_ways(
+    points: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    shift: int = 20,
+) -> DataFrame:
+    """Map matching: snap each point to the nearest WAY SEGMENT
+    within one grid cell side S = 2**shift — (doc_id, way_id,
+    seg_idx, dist2), one row per matched point.  The reference
+    geocodes text to a node and assigns nodes to polygons
+    (osmposition pages / osmassignpoly); snapping a coordinate to
+    the nearest road segment is the complementary primitive a
+    geocoding pipeline needs for address interpolation and GPS/
+    IP-derived coordinates, and the reference's node-based passes
+    cannot express it (a segment's interior is invisible to them,
+    same gap way_cell_cover fills).
+
+    Semantics (planar fixed-point, like q05's dist2): dist2 is the
+    squared Euclidean point-to-segment distance in 1e-7-degree
+    units, computed in IEEE doubles with a pinned op order; a point
+    matches iff dist2 <= S*S, and the reported segment is the
+    argmin with ties broken by (way_id, seg_idx).  EXACTNESS: the
+    candidate cell join cannot change the result — if the nearest
+    point Q of a segment is within S of P then |Qx-Px| <= S and
+    |Qy-Py| <= S, so Q's cell is within +-1 of P's cell in each
+    axis; Q lies on the segment, so the way's supercover
+    (way_cell_cover) contains Q's cell and the pair survives the
+    radius-1 corridor join.  Segments farther than S are dropped by
+    the dist2 filter on BOTH paths, so the output equals the
+    all-pairs oracle row for row (tested against a literal
+    cross-join at small scale).
+
+    Plan: way_cell_cover's supercover (one refs⋈nodes shuffle +
+    bounded explodes) -> broadcast dilated cover equi-join
+    (cell_corridor_join: the corpus side is touched once, no
+    geometry cross-join) -> candidate ways rejoin their segments
+    (ways are short; bounded fan-out) -> pure-Catalyst scoring ->
+    per-doc min via one window.  At 100 TB the points side streams
+    through two equi-joins; the way side is the broadcast-small
+    side by contract (roads, not pages).  All products are
+    double*double (int64 deltas convert exactly; products round
+    identically in every IEEE engine), divisions happen in the
+    same order as the DuckDB oracle, so dist2 hash-matches
+    bit-for-bit."""
+    if not 0 < shift <= 30:
+        raise ValueError("shift must be in (0, 30] for exact int64")
+    s = 1 << shift
+
+    cover = way_cell_cover(ways, nodes, shift=shift)
+    cand = cell_corridor_join(cover, points, shift=shift, radius=1)
+
+    pos = ways.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"),
+            F.col("lon_i").alias("ax"),
+            F.col("lat_i").alias("ay"),
+        ),
+        "ref",
+    )
+    w = Window.partitionBy("way_id").orderBy("j")
+    seg = pos.select(
+        "way_id",
+        (F.col("j") + 1).cast("long").alias("seg_idx"),
+        "ax",
+        "ay",
+        F.lead("ax").over(w).alias("bx"),
+        F.lead("ay").over(w).alias("by"),
+    ).where(F.col("bx").isNotNull())
+
+    scored = (
+        cand.join(
+            points.select(
+                "doc_id",
+                F.col("lon_i").alias("px"),
+                F.col("lat_i").alias("py"),
+            ),
+            "doc_id",
+        )
+        .join(seg, "way_id")
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    apx = d(F.col("px") - F.col("ax"))
+    apy = d(F.col("py") - F.col("ay"))
+    abx = d(F.col("bx") - F.col("ax"))
+    aby = d(F.col("by") - F.col("ay"))
+    bpx = d(F.col("px") - F.col("bx"))
+    bpy = d(F.col("py") - F.col("by"))
+    dot = apx * abx + apy * aby
+    len2 = abx * abx + aby * aby
+    ap2 = apx * apx + apy * apy
+    bp2 = bpx * bpx + bpy * bpy
+    dist2 = (
+        F.when((dot <= 0) | (len2 == 0), ap2)
+        .when(dot >= len2, bp2)
+        .otherwise(ap2 - (dot / len2) * dot)
+    )
+    scored = scored.select(
+        "doc_id", "way_id", "seg_idx", dist2.alias("dist2")
+    ).where(F.col("dist2") <= F.lit(float(s) * float(s)))
+
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.asc("dist2"), F.asc("way_id"), F.asc("seg_idx")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -335,6 +335,20 @@ def q112_way_area(spark, sf_dir):
     return way_signed_area(ways, _nodes(spark, sf_dir))
 
 
+def q128_snap_to_ways(spark, sf_dir):
+    """Map matching: every document coordinate snapped to the
+    nearest synthetic-way SEGMENT within one shift-20 cell side
+    (operators/linecover.snap_to_ways) — supercover + dilated-cell
+    candidate join, IEEE-pinned point-to-segment distance, argmin
+    with (way_id, seg_idx) tie-break; bit-matches the literal
+    cross-join oracle."""
+    from .operators.linecover import snap_to_ways
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    return snap_to_ways(_nodes(spark, sf_dir), ways, _nodes(spark, sf_dir), shift=20)
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -348,6 +362,7 @@ GRAPH_QUERIES = {
     "q107_route_corridor": q107_route_corridor,
     "q109_way_length": q109_way_length,
     "q112_way_area": q112_way_area,
+    "q128_snap_to_ways": q128_snap_to_ways,
 }
 
 _RELS_CTE = f"""
@@ -656,6 +671,52 @@ FROM sl GROUP BY 1
 SELECT way_id, cell FROM pcells
 UNION
 SELECT way_id, cell FROM scells
+""",
+        # nearest-segment snap: literal all-pairs point-to-segment
+        # argmin with the SAME double op order as the operator
+        # (int64 deltas cast exactly; products/divisions IEEE-
+        # pinned); threshold = (2^20)^2, ties (way_id, seg_idx)
+        "q128_snap_to_ways": f"""
+{g},
+spos AS (
+  SELECT r.way_id, r.j, p.lon_i AS ax, p.lat_i AS ay
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+sseg AS (
+  SELECT way_id, j AS seg_idx, ax, ay,
+         LEAD(ax) OVER (PARTITION BY way_id ORDER BY j) AS bx,
+         LEAD(ay) OVER (PARTITION BY way_id ORDER BY j) AS by
+  FROM spos
+),
+sc AS (
+  SELECT p.doc_id, s.way_id, s.seg_idx,
+    CAST(p.lon_i - s.ax AS DOUBLE) AS apx,
+    CAST(p.lat_i - s.ay AS DOUBLE) AS apy,
+    CAST(s.bx - s.ax AS DOUBLE) AS abx,
+    CAST(s.by - s.ay AS DOUBLE) AS aby,
+    CAST(p.lon_i - s.bx AS DOUBLE) AS bpx,
+    CAST(p.lat_i - s.by AS DOUBLE) AS bpy
+  FROM pts p CROSS JOIN sseg s WHERE s.bx IS NOT NULL
+),
+dd AS (
+  SELECT doc_id, way_id, seg_idx,
+    CASE WHEN apx*abx + apy*aby <= 0
+              OR abx*abx + aby*aby = 0
+         THEN apx*apx + apy*apy
+         WHEN apx*abx + apy*aby >= abx*abx + aby*aby
+         THEN bpx*bpx + bpy*bpy
+         ELSE (apx*apx + apy*apy)
+              - ((apx*abx + apy*aby) / (abx*abx + aby*aby))
+                * (apx*abx + apy*aby)
+    END AS dist2
+  FROM sc
+)
+SELECT doc_id, way_id, CAST(seg_idx AS BIGINT) AS seg_idx, dist2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY dist2, way_id, seg_idx) AS rn
+  FROM dd WHERE dist2 <= 1099511627776.0
+) WHERE rn = 1
 """,
         # corridor: dilate the %100-sampled ways' cover by 1 cell,
         # equi-join document cells (operators/linecover.py
