@@ -691,3 +691,55 @@ def assign_regions_partitioned(
         "region",
         F.when(F.col("_mixed"), F.col("_sub")).alias("subregion"),
     )
+
+
+def hex_center_cols(
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    a: int = 1 << 19,
+    b: int | None = None,
+) -> tuple[Column, Column]:
+    """Exact hexagonal binning: (hex_v, hex_u) center columns of
+    the hexagon containing a point — the engine-native take on the
+    H3-style hex heatmap (square cells: geo/cells.py; hexes tile
+    with lower quantization anisotropy, the reason heatmap pipelines
+    prefer them).
+
+    The hex grid is the Voronoi diagram of a two-sublattice center
+    set in offset space (u, v) = (lon_i + LON_OFFSET,
+    lat_i + LAT_OFFSET): even centers (2a*i, 2b*j), odd centers
+    (2a*i + a, 2b*j + b).  With b = round(a*sqrt(3)) the cells are
+    regular hexagons up to integer rounding (center pitch 2a
+    horizontal vs sqrt(a^2+b^2) diagonal).  EXACT and fully in-row:
+    the nearest center of a rectangular sublattice is coordinate-
+    wise rounding (axes independent), so the global nearest is the
+    better of TWO integer candidates — ties resolved by smaller
+    (d2, v, u) struct compare, identical in every engine since all
+    values are non-negative int64 (deltas <= a, b; d2 <= a^2 + b^2).
+    Rounding ties (point exactly halfway) round UP via
+    (x + half) div period, again engine-identical on non-negative
+    ints.
+
+    Plan: pure Catalyst expressions, no join, no explode — a hex
+    heatmap is scan + one groupBy at any scale."""
+    if b is None:
+        b = round(a * 3 ** 0.5)
+    u = F.col(lon_col) + F.lit(LON_OFFSET)
+    v = F.col(lat_col) + F.lit(LAT_OFFSET)
+
+    from ..geo.bboxtags import _div
+
+    def cand(off_u: int, off_v: int):
+        cu = _div(u - off_u + F.lit(a), 2 * a) * F.lit(2 * a) + F.lit(
+            off_u
+        )
+        cv = _div(v - off_v + F.lit(b), 2 * b) * F.lit(2 * b) + F.lit(
+            off_v
+        )
+        d2 = (u - cu) * (u - cu) + (v - cv) * (v - cv)
+        return F.struct(
+            d2.alias("d2"), cv.alias("cv"), cu.alias("cu")
+        )
+
+    best = F.least(cand(0, 0), cand(a, b))
+    return best["cv"].alias("hex_v"), best["cu"].alias("hex_u")

@@ -318,6 +318,57 @@ def q04_cell_tiles(spark, sf_dir):
     )
 
 
+def _hex_oracle_sql() -> str:
+    a = 1 << 19
+    b = round(a * 3 ** 0.5)
+    return f"""
+WITH {_PTS_CTE},
+uv AS (
+  SELECT lon_i + {LON_OFFSET} AS u, lat_i + {LAT_OFFSET} AS v
+  FROM pts
+),
+k AS (
+  SELECT u, v,
+    ((u + {a}) // {2 * a}) * {2 * a} AS eu,
+    ((v + {b}) // {2 * b}) * {2 * b} AS ev,
+    (u // {2 * a}) * {2 * a} + {a} AS ou,
+    (v // {2 * b}) * {2 * b} + {b} AS ov
+  FROM uv
+),
+d AS (
+  SELECT eu, ev, ou, ov,
+    (u - eu) * (u - eu) + (v - ev) * (v - ev) AS de,
+    (u - ou) * (u - ou) + (v - ov) * (v - ov) AS do_
+  FROM k
+),
+pick AS (
+  SELECT CASE WHEN (de, ev, eu) <= (do_, ov, ou)
+              THEN ev ELSE ov END AS hex_v,
+         CASE WHEN (de, ev, eu) <= (do_, ov, ou)
+              THEN eu ELSE ou END AS hex_u
+  FROM d
+)
+SELECT hex_v, hex_u, COUNT(*) AS n_docs
+FROM pick GROUP BY 1, 2
+"""
+
+
+def q129_hex_heatmap(spark, sf_dir):
+    """Hexagonal heatmap: exact two-sublattice integer-Voronoi hex
+    binning (operators/spatial.hex_center_cols, a=2^19) + one
+    groupBy — the H3-style companion to q04's square tiles, still
+    scan + single shuffle at any scale."""
+    from .operators.spatial import hex_center_cols
+
+    hv, hu = hex_center_cols()
+    return (
+        doc_points(spark, sf_dir)
+        .select(hv, hu)
+        .groupBy("hex_v", "hex_u")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def q05_knn_city(spark, sf_dir):
     """J8: exact kNN against broadcast gazetteer (k=3)."""
     terms, lat_i, lon_i, _ = gazetteer_arrays()
@@ -3332,6 +3383,7 @@ QUERIES = {
     "q02_pip_border": q02_pip_border,
     "q03_assign_regions": q03_assign_regions,
     "q04_cell_tiles": q04_cell_tiles,
+    "q129_hex_heatmap": q129_hex_heatmap,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -4040,6 +4092,11 @@ SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
        COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
 FROM pts GROUP BY 1
 """,
+        # two-sublattice integer-Voronoi hex binning: a = 2^19,
+        # b = round(a*sqrt(3)); all offsets non-negative so // ==
+        # Spark div; argmin by tuple (d2, cv, cu), same as the
+        # operator's struct least()
+        "q129_hex_heatmap": _hex_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),
