@@ -502,3 +502,123 @@ def snap_to_ways(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def interpolate_housenumbers(
+    ways_hn: DataFrame,
+    nodes: DataFrame,
+    step: int = 2,
+) -> DataFrame:
+    """OSM addr:interpolation semantics (the address-way scheme the
+    reference's osmposition geocoder consumes node-by-node,
+    osmposition.c address harvesting): a way carrying housenumbers
+    h_first / h_last at its ends implies addresses h_first,
+    h_first+step, ..., h_last placed proportionally BY POLYLINE
+    DISTANCE along the way.  Input (way_id, refs, h_first, h_last)
+    x nodes; output (way_id, housenumber, lon_d, lat_d) as doubles.
+
+    Exact cross-engine: segment lengths are IEEE
+    sqrt(dx*dx + dy*dy) of exactly-converted int64 deltas; the
+    running distance is a WINDOW prefix sum (ordered -> the same
+    left-to-right fp accumulation in every engine, unlike a groupBy
+    sum); the target distance is total * ((h - h0) / (h1 - h0));
+    the owning segment is the half-open [cum_prev, cum) match with
+    the final segment closed at the top, so every target matches
+    exactly one segment even on exact-boundary doubles; the
+    position is a + u * delta with u = (t - cum_prev) / seg_len.
+    Every op is mul/div/add/sub/sqrt in a pinned order, so the
+    doubles hash-match DuckDB bit-for-bit.
+
+    Plan: one refs⋈nodes shuffle + two per-way windows + a bounded
+    in-row sequence explode (one row per housenumber) + one
+    bounded equi-join housenumbers⋈segments on way_id; no
+    cartesian, no UDF, no driver loop."""
+    pos = ways_hn.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"),
+            F.col("lon_i").alias("ax"),
+            F.col("lat_i").alias("ay"),
+        ),
+        "ref",
+    )
+    w = Window.partitionBy("way_id").orderBy("j")
+    seg = pos.select(
+        "way_id",
+        "j",
+        "ax",
+        "ay",
+        F.lead("ax").over(w).alias("bx"),
+        F.lead("ay").over(w).alias("by"),
+    ).where(F.col("bx").isNotNull())
+
+    dxd = (F.col("bx") - F.col("ax")).cast("double")
+    dyd = (F.col("by") - F.col("ay")).cast("double")
+    seg = seg.withColumn(
+        "seg_len", F.sqrt(dxd * dxd + dyd * dyd)
+    )
+    wc = (
+        Window.partitionBy("way_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = seg.withColumn("cum", F.sum("seg_len").over(wc))
+    seg = seg.withColumn(
+        "cum_prev",
+        F.lag("cum", 1, 0.0).over(Window.partitionBy("way_id").orderBy("j")),
+    ).withColumn(
+        "is_last",
+        F.col("j")
+        == F.max("j").over(Window.partitionBy("way_id")),
+    )
+    totals = seg.groupBy("way_id").agg(F.max("cum").alias("total"))
+
+    hs = ways_hn.select(
+        "way_id",
+        F.col("h_first").cast("long").alias("h0"),
+        F.col("h_last").cast("long").alias("h1"),
+    ).select(
+        "way_id",
+        "h0",
+        "h1",
+        F.explode(
+            F.sequence("h0", "h1", F.lit(step).cast("long"))
+        ).alias("housenumber"),
+    )
+    hs = hs.join(totals, "way_id").select(
+        "way_id",
+        "housenumber",
+        (
+            F.col("total")
+            * (
+                (F.col("housenumber") - F.col("h0")).cast("double")
+                / (F.col("h1") - F.col("h0")).cast("double")
+            )
+        ).alias("t"),
+    )
+
+    j = hs.join(seg, "way_id").where(
+        (F.col("cum_prev") <= F.col("t"))
+        & ((F.col("t") < F.col("cum")) | F.col("is_last"))
+    )
+    u = (F.col("t") - F.col("cum_prev")) / F.col("seg_len")
+    lon_d = F.col("ax").cast("double") + u * (
+        F.col("bx") - F.col("ax")
+    ).cast("double")
+    lat_d = F.col("ay").cast("double") + u * (
+        F.col("by") - F.col("ay")
+    ).cast("double")
+    # zero-length owning segment (t == cum_prev == cum): position
+    # is the segment start, not 0/0
+    zl = F.col("seg_len") == 0.0
+    return j.select(
+        "way_id",
+        "housenumber",
+        F.when(zl, F.col("ax").cast("double"))
+        .otherwise(lon_d)
+        .alias("lon_d"),
+        F.when(zl, F.col("ay").cast("double"))
+        .otherwise(lat_d)
+        .alias("lat_d"),
+    )

@@ -349,6 +349,26 @@ def q128_snap_to_ways(spark, sf_dir):
     return snap_to_ways(_nodes(spark, sf_dir), ways, _nodes(spark, sf_dir), shift=20)
 
 
+def q130_addr_interp(spark, sf_dir):
+    """OSM addr:interpolation: housenumbers h0..h1 step 2 placed
+    proportionally by polyline distance along every synthetic way
+    (operators/linecover.interpolate_housenumbers); window prefix
+    sums + pinned double arithmetic hash-match the oracle
+    bit-for-bit."""
+    from .operators.linecover import interpolate_housenumbers
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways_hn = synth_ways(docs, n).select(
+        "way_id",
+        "refs",
+        F.lit(2).cast("long").alias("h_first"),
+        (2 + 2 * (3 + F.col("way_id") % 7))
+        .cast("long")
+        .alias("h_last"),
+    )
+    return interpolate_housenumbers(ways_hn, _nodes(spark, sf_dir))
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -363,6 +383,7 @@ GRAPH_QUERIES = {
     "q109_way_length": q109_way_length,
     "q112_way_area": q112_way_area,
     "q128_snap_to_ways": q128_snap_to_ways,
+    "q130_addr_interp": q130_addr_interp,
 }
 
 _RELS_CTE = f"""
@@ -671,6 +692,76 @@ FROM sl GROUP BY 1
 SELECT way_id, cell FROM pcells
 UNION
 SELECT way_id, cell FROM scells
+""",
+        # addr:interpolation: same window prefix sums (ROWS frame ==
+        # Spark's rowsBetween; j unique so RANGE would equal too),
+        # LAG default 0.0, half-open segment pick closed at the top,
+        # identical double op order throughout
+        "q130_addr_interp": f"""
+{g},
+ipos AS (
+  SELECT r.way_id, r.j, p.lon_i AS ax, p.lat_i AS ay
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+iseg0 AS (
+  SELECT way_id, j, ax, ay,
+         LEAD(ax) OVER (PARTITION BY way_id ORDER BY j) AS bx,
+         LEAD(ay) OVER (PARTITION BY way_id ORDER BY j) AS by
+  FROM ipos
+),
+iseg1 AS (
+  SELECT *,
+    sqrt(CAST(bx - ax AS DOUBLE) * CAST(bx - ax AS DOUBLE)
+       + CAST(by - ay AS DOUBLE) * CAST(by - ay AS DOUBLE))
+      AS seg_len
+  FROM iseg0 WHERE bx IS NOT NULL
+),
+iseg2 AS (
+  SELECT *,
+    SUM(seg_len) OVER (PARTITION BY way_id ORDER BY j
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM iseg1
+),
+iseg AS (
+  SELECT *,
+    LAG(cum, 1, 0.0) OVER (PARTITION BY way_id ORDER BY j)
+      AS cum_prev,
+    j = MAX(j) OVER (PARTITION BY way_id) AS is_last
+  FROM iseg2
+),
+itot AS (SELECT way_id, MAX(cum) AS total FROM iseg2 GROUP BY 1),
+ihn0 AS (
+  SELECT way_id, CAST(2 AS BIGINT) AS h0,
+         CAST(2 + 2 * (3 + way_id % 7) AS BIGINT) AS h1
+  FROM ways
+),
+ihn AS (
+  SELECT way_id, h0, h1,
+         unnest(generate_series(h0, h1, 2)) AS housenumber
+  FROM ihn0
+),
+itgt AS (
+  SELECT n.way_id, n.housenumber,
+    t.total * (CAST(n.housenumber - n.h0 AS DOUBLE)
+               / CAST(n.h1 - n.h0 AS DOUBLE)) AS t
+  FROM ihn n JOIN itot t ON t.way_id = n.way_id
+),
+ij AS (
+  SELECT g.way_id, g.housenumber, g.t, s.ax, s.ay, s.bx, s.by,
+         s.seg_len, s.cum_prev
+  FROM itgt g JOIN iseg s ON s.way_id = g.way_id
+  WHERE s.cum_prev <= g.t AND (g.t < s.cum OR s.is_last)
+)
+SELECT way_id, housenumber,
+  CASE WHEN seg_len = 0.0 THEN CAST(ax AS DOUBLE)
+       ELSE CAST(ax AS DOUBLE)
+            + ((t - cum_prev) / seg_len) * CAST(bx - ax AS DOUBLE)
+  END AS lon_d,
+  CASE WHEN seg_len = 0.0 THEN CAST(ay AS DOUBLE)
+       ELSE CAST(ay AS DOUBLE)
+            + ((t - cum_prev) / seg_len) * CAST(by - ay AS DOUBLE)
+  END AS lat_d
+FROM ij
 """,
         # nearest-segment snap: literal all-pairs point-to-segment
         # argmin with the SAME double op order as the operator
