@@ -155,3 +155,90 @@ def streaming_corridor_probe(
     return pts.join(F.broadcast(dil), "cell").select(
         "way_id", "doc_id", "cell"
     )
+
+
+def streaming_snap_probe(
+    spark: SparkSession,
+    points_dir: str,
+    cell_index: DataFrame,
+    shift: int = 20,
+    schema: str = "doc_id long, lat_i long, lon_i long",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of operators/linecover.snap_to_ways: points
+    arriving as a stream are map-matched to the nearest static way
+    segment within one cell side — stateless append mode, so the
+    per-point argmin cannot be a window; instead the static side is
+    operators/linecover.snap_cell_index (cell -> bounded candidate
+    segment list) and the argmin runs IN-ROW as a higher-order
+    aggregate fold over the list, comparing (dist2, way_id,
+    seg_idx) structs with least().  Scoring is the same pinned
+    IEEE double op sequence as the batch operator, so drained
+    results equal snap_to_ways on the same points exactly
+    (tested).  The stream side computes its cell in-row and makes
+    ONE broadcast equi-join; no state, no watermark, restart-safe
+    by idempotence."""
+    from pyspark.sql import functions as F
+
+    from ..operators.linecover import point_cell_col
+
+    s = 1 << shift
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "true")
+        .parquet(points_dir)
+    )
+    pts = stream.select(
+        "doc_id",
+        F.col("lon_i").alias("px"),
+        F.col("lat_i").alias("py"),
+        point_cell_col("lat_i", "lon_i", shift).alias("cell"),
+    )
+    joined = pts.join(F.broadcast(cell_index), "cell")
+
+    def score(e):
+        d = lambda c: c.cast("double")  # noqa: E731
+        apx = d(F.col("px") - e["ax"])
+        apy = d(F.col("py") - e["ay"])
+        abx = d(e["bx"] - e["ax"])
+        aby = d(e["by"] - e["ay"])
+        bpx = d(F.col("px") - e["bx"])
+        bpy = d(F.col("py") - e["by"])
+        dot = apx * abx + apy * aby
+        len2 = abx * abx + aby * aby
+        ap2 = apx * apx + apy * apy
+        bp2 = bpx * bpx + bpy * bpy
+        return (
+            F.when((dot <= 0) | (len2 == 0), ap2)
+            .when(dot >= len2, bp2)
+            .otherwise(ap2 - (dot / len2) * dot)
+        )
+
+    init = F.struct(
+        F.lit(float("inf")).alias("dist2"),
+        F.lit(2**63 - 1).cast("long").alias("way_id"),
+        F.lit(2**63 - 1).cast("long").alias("seg_idx"),
+    )
+    best = F.aggregate(
+        F.col("segs"),
+        init,
+        lambda acc, e: F.least(
+            acc,
+            F.struct(
+                score(e).alias("dist2"),
+                e["way_id"].alias("way_id"),
+                e["seg_idx"].alias("seg_idx"),
+            ),
+        ),
+    )
+    return (
+        joined.withColumn("_best", best)
+        .where(F.col("_best.dist2") <= F.lit(float(s) * float(s)))
+        .select(
+            "doc_id",
+            F.col("_best.way_id").alias("way_id"),
+            F.col("_best.seg_idx").alias("seg_idx"),
+            F.col("_best.dist2").alias("dist2"),
+        )
+    )
