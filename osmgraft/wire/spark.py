@@ -10,11 +10,12 @@ Two paths, mirroring how Parquet sinks behave:
   such parts. Returns the collected manifest (path, rows per part);
   the manifest collect is one tiny row per part, not data.
 
-- write_wire_single: the extract path (differential tests, small
-  regional extracts — the reference's own use case). Streams
-  ordered rows through the encoder on the driver via
-  toLocalIterator; memory is O(1 partition), but the write itself
-  is single-stream by definition of "one file".
+- write_wire_single: one complete, globally id-ordered file. Also
+  parallel: body chunks are encoded on the EXECUTORS (o5m resets
+  state at 0xff, PBF blobs are independent, XML objects are
+  self-contained, so per-range chunks concatenate byte-identically
+  to a serial render); the driver only streams header + chunks +
+  footer, so its memory is O(1 chunk) and its CPU is I/O-bound.
 """
 
 from __future__ import annotations
