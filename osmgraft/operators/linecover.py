@@ -392,6 +392,74 @@ def dilate_cover(
     )
 
 
+def segment_candidates(
+    points: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    shift: int = 20,
+) -> DataFrame:
+    """All (doc_id, way_id, seg_idx, dist2) candidate pairs with
+    dist2 <= S*S (S = 2**shift) — the shared candidate stage of
+    snap_to_ways (argmin) and viterbi_map_match (top-k per step).
+    COMPLETE within the threshold: see snap_to_ways' cell-geometry
+    argument; scoring is the pinned IEEE double op order the
+    DuckDB oracles replay bit-for-bit."""
+    if not 0 < shift <= 30:
+        raise ValueError("shift must be in (0, 30] for exact int64")
+    s = 1 << shift
+
+    cover = way_cell_cover(ways, nodes, shift=shift)
+    cand = cell_corridor_join(cover, points, shift=shift, radius=1)
+
+    pos = ways.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"),
+            F.col("lon_i").alias("ax"),
+            F.col("lat_i").alias("ay"),
+        ),
+        "ref",
+    )
+    w = Window.partitionBy("way_id").orderBy("j")
+    seg = pos.select(
+        "way_id",
+        (F.col("j") + 1).cast("long").alias("seg_idx"),
+        "ax",
+        "ay",
+        F.lead("ax").over(w).alias("bx"),
+        F.lead("ay").over(w).alias("by"),
+    ).where(F.col("bx").isNotNull())
+
+    scored = cand.join(
+        points.select(
+            "doc_id",
+            F.col("lon_i").alias("px"),
+            F.col("lat_i").alias("py"),
+        ),
+        "doc_id",
+    ).join(seg, "way_id")
+    d = lambda c: c.cast("double")  # noqa: E731
+    apx = d(F.col("px") - F.col("ax"))
+    apy = d(F.col("py") - F.col("ay"))
+    abx = d(F.col("bx") - F.col("ax"))
+    aby = d(F.col("by") - F.col("ay"))
+    bpx = d(F.col("px") - F.col("bx"))
+    bpy = d(F.col("py") - F.col("by"))
+    dot = apx * abx + apy * aby
+    len2 = abx * abx + aby * aby
+    ap2 = apx * apx + apy * apy
+    bp2 = bpx * bpx + bpy * bpy
+    dist2 = (
+        F.when((dot <= 0) | (len2 == 0), ap2)
+        .when(dot >= len2, bp2)
+        .otherwise(ap2 - (dot / len2) * dot)
+    )
+    return scored.select(
+        "doc_id", "way_id", "seg_idx", dist2.alias("dist2")
+    ).where(F.col("dist2") <= F.lit(float(s) * float(s)))
+
+
 def snap_to_ways(
     points: DataFrame,
     ways: DataFrame,
@@ -436,64 +504,7 @@ def snap_to_ways(
     identically in every IEEE engine), divisions happen in the
     same order as the DuckDB oracle, so dist2 hash-matches
     bit-for-bit."""
-    if not 0 < shift <= 30:
-        raise ValueError("shift must be in (0, 30] for exact int64")
-    s = 1 << shift
-
-    cover = way_cell_cover(ways, nodes, shift=shift)
-    cand = cell_corridor_join(cover, points, shift=shift, radius=1)
-
-    pos = ways.select(
-        "way_id", F.posexplode("refs").alias("j", "ref")
-    ).join(
-        nodes.select(
-            F.col("doc_id").alias("ref"),
-            F.col("lon_i").alias("ax"),
-            F.col("lat_i").alias("ay"),
-        ),
-        "ref",
-    )
-    w = Window.partitionBy("way_id").orderBy("j")
-    seg = pos.select(
-        "way_id",
-        (F.col("j") + 1).cast("long").alias("seg_idx"),
-        "ax",
-        "ay",
-        F.lead("ax").over(w).alias("bx"),
-        F.lead("ay").over(w).alias("by"),
-    ).where(F.col("bx").isNotNull())
-
-    scored = (
-        cand.join(
-            points.select(
-                "doc_id",
-                F.col("lon_i").alias("px"),
-                F.col("lat_i").alias("py"),
-            ),
-            "doc_id",
-        )
-        .join(seg, "way_id")
-    )
-    d = lambda c: c.cast("double")  # noqa: E731
-    apx = d(F.col("px") - F.col("ax"))
-    apy = d(F.col("py") - F.col("ay"))
-    abx = d(F.col("bx") - F.col("ax"))
-    aby = d(F.col("by") - F.col("ay"))
-    bpx = d(F.col("px") - F.col("bx"))
-    bpy = d(F.col("py") - F.col("by"))
-    dot = apx * abx + apy * aby
-    len2 = abx * abx + aby * aby
-    ap2 = apx * apx + apy * apy
-    bp2 = bpx * bpx + bpy * bpy
-    dist2 = (
-        F.when((dot <= 0) | (len2 == 0), ap2)
-        .when(dot >= len2, bp2)
-        .otherwise(ap2 - (dot / len2) * dot)
-    )
-    scored = scored.select(
-        "doc_id", "way_id", "seg_idx", dist2.alias("dist2")
-    ).where(F.col("dist2") <= F.lit(float(s) * float(s)))
-
+    scored = segment_candidates(points, ways, nodes, shift=shift)
     wd = Window.partitionBy("doc_id").orderBy(
         F.asc("dist2"), F.asc("way_id"), F.asc("seg_idx")
     )
@@ -673,5 +684,123 @@ def snap_cell_index(
                     "way_id", "seg_idx", "ax", "ay", "bx", "by"
                 )
             ).alias("segs")
+        )
+    )
+
+
+def viterbi_map_match(
+    trace_pts: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    n_steps: int,
+    k: int = 3,
+    shift: int = 20,
+    switch_penalty: float = float(1 << 38),
+) -> DataFrame:
+    """HMM (Viterbi) map matching of point SEQUENCES — the standard
+    GPS-trace workload: per trace, the minimum-cost assignment of
+    every step to a way segment, cost = sum of squared
+    point-to-segment distances (emissions) + switch_penalty per
+    way change (transitions).  Input (trace_id, step, lat_i,
+    lon_i) with steps exactly 0..n_steps-1; output (trace_id,
+    total_cost, path) where path = "way-seg>way-seg>..." — only
+    traces with >= 1 candidate at EVERY step produce a row (a
+    dead step kills the trace, the oracle does the same).
+
+    The DP is UNROLLED RELATIONALLY: candidates per (trace, step)
+    come from segment_candidates (exact within S = 2**shift)
+    ranked to the top-k by (dist2, way_id, seg_idx); each DP step
+    is one equi-join on trace_id + one groupBy-min over
+    (cost, path) structs — k^2 rows per trace per step, n_steps-1
+    shuffles total, every comparison a total order so the argmin
+    is engine-exact.  Costs accumulate left-to-right
+    ((cost + trans) + dist2), so the doubles replay bit-for-bit in
+    the DuckDB oracle.  Bounded n_steps is the distributed-fleet
+    shape (traces shard freely; state fan-out is k per trace);
+    for very long traces the alternative is one applyInPandas DP
+    per trace keyed by trace_id.
+
+    trace_id must be non-negative; steps must fit the packing
+    (step < 2**12)."""
+    packed = trace_pts.select(
+        (F.col("trace_id") * F.lit(4096) + F.col("step")).alias(
+            "doc_id"
+        ),
+        "lat_i",
+        "lon_i",
+    )
+    cand = segment_candidates(packed, ways, nodes, shift=shift)
+    cand = cand.select(
+        F.expr("doc_id div 4096").alias("trace_id"),
+        (F.col("doc_id") % 4096).alias("step"),
+        "way_id",
+        "seg_idx",
+        "dist2",
+    )
+    wk = Window.partitionBy("trace_id", "step").orderBy(
+        F.asc("dist2"), F.asc("way_id"), F.asc("seg_idx")
+    )
+    cand = (
+        cand.withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+    lbl = F.concat(
+        F.col("way_id").cast("string"),
+        F.lit("-"),
+        F.col("seg_idx").cast("string"),
+    )
+    states = cand.where(F.col("step") == 0).select(
+        "trace_id",
+        "way_id",
+        "seg_idx",
+        F.col("dist2").alias("cost"),
+        lbl.alias("path"),
+    )
+    for t in range(1, n_steps):
+        ct = cand.where(F.col("step") == t).select(
+            "trace_id",
+            F.col("way_id").alias("way2"),
+            F.col("seg_idx").alias("seg2"),
+            F.col("dist2").alias("d2"),
+        )
+        trans = F.when(
+            F.col("way2") == F.col("way_id"), F.lit(0.0)
+        ).otherwise(F.lit(float(switch_penalty)))
+        ncost = (F.col("cost") + trans) + F.col("d2")
+        npath = F.concat(
+            F.col("path"),
+            F.lit(">"),
+            F.col("way2").cast("string"),
+            F.lit("-"),
+            F.col("seg2").cast("string"),
+        )
+        states = (
+            states.join(ct, "trace_id")
+            .select(
+                "trace_id",
+                F.col("way2").alias("way_id"),
+                F.col("seg2").alias("seg_idx"),
+                ncost.alias("cost"),
+                npath.alias("path"),
+            )
+            .groupBy("trace_id", "way_id", "seg_idx")
+            .agg(F.min(F.struct("cost", "path")).alias("_m"))
+            .select(
+                "trace_id",
+                "way_id",
+                "seg_idx",
+                F.col("_m.cost").alias("cost"),
+                F.col("_m.path").alias("path"),
+            )
+        )
+    return (
+        states.groupBy("trace_id")
+        .agg(F.min(F.struct("cost", "path")).alias("_m"))
+        .select(
+            "trace_id",
+            F.col("_m.cost").alias("total_cost"),
+            F.col("_m.path").alias("path"),
         )
     )

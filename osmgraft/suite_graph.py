@@ -369,6 +369,60 @@ def q130_addr_interp(spark, sf_dir):
     return interpolate_housenumbers(ways_hn, _nodes(spark, sf_dir))
 
 
+def _synth_traces(nodes):
+    """Deterministic 5-step traces walking from every %50 document
+    point: step t at anchor + t*delta, deltas hashed from the id,
+    clamped to the world interior (so cell arithmetic never leaves
+    the grid).  Mirrored literally in the q131 oracle SQL."""
+    dlat = ((F.col("doc_id") * 7919) % 262145) - 131072
+    dlon = ((F.col("doc_id") * 104729) % 262145) - 131072
+    return (
+        nodes.where(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("trace_id"),
+            "lat_i",
+            "lon_i",
+            dlat.alias("_dlat"),
+            dlon.alias("_dlon"),
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("step"),
+        )
+        .select(
+            "trace_id",
+            F.col("step").cast("long").alias("step"),
+            F.greatest(
+                F.least(
+                    F.col("lat_i") + F.col("step") * F.col("_dlat"),
+                    F.lit(899000000),
+                ),
+                F.lit(-899000000),
+            ).alias("lat_i"),
+            F.greatest(
+                F.least(
+                    F.col("lon_i") + F.col("step") * F.col("_dlon"),
+                    F.lit(1799000000),
+                ),
+                F.lit(-1799000000),
+            ).alias("lon_i"),
+        )
+    )
+
+
+def q131_viterbi_match(spark, sf_dir):
+    """HMM map matching of synthetic 5-step traces against the
+    synthetic way network (operators/linecover.viterbi_map_match):
+    relationally-unrolled Viterbi, top-3 exact candidates per step,
+    way-switch penalty 2^38; costs and argmin paths hash-match the
+    chained-CTE DuckDB oracle bit-for-bit."""
+    from .operators.linecover import viterbi_map_match
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    nodes = _nodes(spark, sf_dir)
+    return viterbi_map_match(
+        _synth_traces(nodes), ways, nodes, n_steps=5, k=3, shift=20
+    )
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -384,6 +438,7 @@ GRAPH_QUERIES = {
     "q112_way_area": q112_way_area,
     "q128_snap_to_ways": q128_snap_to_ways,
     "q130_addr_interp": q130_addr_interp,
+    "q131_viterbi_match": q131_viterbi_match,
 }
 
 _RELS_CTE = f"""
@@ -439,6 +494,100 @@ def _cosr_values() -> str:
     return ", ".join(
         f"({i}, {v})" for i, v in enumerate(cosr_table())
     )
+
+
+_D2_CASE = """CASE WHEN apx*abx + apy*aby <= 0
+              OR abx*abx + aby*aby = 0
+         THEN apx*apx + apy*apy
+         WHEN apx*abx + apy*aby >= abx*abx + aby*aby
+         THEN bpx*bpx + bpy*bpy
+         ELSE (apx*apx + apy*apy)
+              - ((apx*abx + apy*aby) / (abx*abx + aby*aby))
+                * (apx*abx + apy*aby)
+    END"""
+
+
+def _viterbi_oracle_sql(g: str, n_steps: int = 5, k: int = 3) -> str:
+    """Chained-CTE Viterbi mirror of linecover.viterbi_map_match:
+    same candidate ranking, same (cost, path) struct argmin, same
+    left-to-right double accumulation and switch penalty 2^38."""
+    pen = float(1 << 38)
+    head = f"""
+{g},
+vpts AS (
+  SELECT p.doc_id AS trace_id, CAST(t.s AS BIGINT) AS step,
+    GREATEST(LEAST(p.lon_i + t.s * (((p.doc_id * 104729) % 262145)
+        - 131072), 1799000000), -1799000000) AS px,
+    GREATEST(LEAST(p.lat_i + t.s * (((p.doc_id * 7919) % 262145)
+        - 131072), 899000000), -899000000) AS py
+  FROM pts p CROSS JOIN LATERAL
+    (SELECT unnest(range(0, {n_steps})) AS s) t
+  WHERE p.doc_id % 20 = 0
+),
+vpos AS (
+  SELECT r.way_id, r.j, p.lon_i AS ax, p.lat_i AS ay
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+vseg AS (
+  SELECT way_id, j AS seg_idx, ax, ay,
+         LEAD(ax) OVER (PARTITION BY way_id ORDER BY j) AS bx,
+         LEAD(ay) OVER (PARTITION BY way_id ORDER BY j) AS by
+  FROM vpos
+),
+vsc AS (
+  SELECT q.trace_id, q.step, s.way_id, s.seg_idx,
+    CAST(q.px - s.ax AS DOUBLE) AS apx,
+    CAST(q.py - s.ay AS DOUBLE) AS apy,
+    CAST(s.bx - s.ax AS DOUBLE) AS abx,
+    CAST(s.by - s.ay AS DOUBLE) AS aby,
+    CAST(q.px - s.bx AS DOUBLE) AS bpx,
+    CAST(q.py - s.by AS DOUBLE) AS bpy
+  FROM vpts q CROSS JOIN vseg s WHERE s.bx IS NOT NULL
+),
+vd AS (
+  SELECT trace_id, step, way_id, seg_idx, {_D2_CASE} AS d2
+  FROM vsc
+),
+vk AS (
+  SELECT trace_id, step, way_id, seg_idx, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY trace_id, step
+              ORDER BY d2, way_id, seg_idx) AS rn
+    FROM vd WHERE d2 <= 1099511627776.0
+  ) WHERE rn <= {k}
+),
+v0 AS (
+  SELECT trace_id, way_id, seg_idx, d2 AS cost,
+         CAST(way_id AS VARCHAR) || '-' || CAST(seg_idx AS VARCHAR)
+           AS path
+  FROM vk WHERE step = 0
+)"""
+    steps = []
+    for t in range(1, n_steps):
+        steps.append(f""",
+v{t}m AS (
+  SELECT trace_id, way_id, seg_idx,
+         MIN({{'cost': c2, 'path': p2}}) AS m
+  FROM (
+    SELECT s.trace_id, c.way_id, c.seg_idx,
+      (s.cost + CASE WHEN c.way_id = s.way_id THEN 0.0
+                     ELSE {pen!r} END) + c.d2 AS c2,
+      s.path || '>' || CAST(c.way_id AS VARCHAR) || '-'
+             || CAST(c.seg_idx AS VARCHAR) AS p2
+    FROM v{t - 1} s JOIN vk c
+      ON c.trace_id = s.trace_id AND c.step = {t}
+  ) GROUP BY 1, 2, 3
+),
+v{t} AS (
+  SELECT trace_id, way_id, seg_idx,
+         m.cost AS cost, m.path AS path
+  FROM v{t}m
+)""")
+    tail = f"""
+SELECT trace_id, m.cost AS total_cost, m.path AS path FROM (
+  SELECT trace_id, MIN({{'cost': cost, 'path': path}}) AS m
+  FROM v{n_steps - 1} GROUP BY 1
+)"""
+    return head + "".join(steps) + tail
 
 
 def graph_oracle_sqls(pts_cte: str) -> dict[str, str]:
@@ -693,6 +842,8 @@ SELECT way_id, cell FROM pcells
 UNION
 SELECT way_id, cell FROM scells
 """,
+        # relationally-unrolled Viterbi, chained-CTE mirror
+        "q131_viterbi_match": _viterbi_oracle_sql(g),
         # addr:interpolation: same window prefix sums (ROWS frame ==
         # Spark's rowsBetween; j unique so RANGE would equal too),
         # LAG default 0.0, half-open segment pick closed at the top,
