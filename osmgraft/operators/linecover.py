@@ -804,3 +804,76 @@ def viterbi_map_match(
             F.col("_m.path").alias("path"),
         )
     )
+
+
+def hop_distance(
+    ways: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    n_hops: int,
+) -> DataFrame:
+    """Multi-source shortest NETWORK distance, hop-bounded: for
+    every node reachable from the seed set in <= n_hops way-segment
+    hops, the minimum accumulated segment length (the
+    isochrone/distance-to-facility primitive routing engines build
+    on; the reference measures geometry but has no router).  Input
+    seeds (doc_id); output (doc_id, dist) with dist in fixed-point
+    units, 0 for the seeds themselves.
+
+    Edges are consecutive resolved refs in BOTH directions, weight
+    = floor(sqrt(dx^2 + dy^2)) — int64 after an IEEE-pinned
+    double sqrt, so accumulation is INTEGER addition and min: no
+    fp-order caveats anywhere.  The relaxation is relational
+    Bellman-Ford, unrolled: one equi-join + one groupBy-min per
+    hop, each pass touching only (node, dist) pairs — the textbook
+    distributed SSSP for bounded radius (unbounded would use the
+    <=12-pass fixed-point pattern of graph.py with convergence
+    detection).  The oracle replays the same n_hops chained
+    relaxations."""
+    pos = ways.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"),
+            F.col("lon_i").alias("ax"),
+            F.col("lat_i").alias("ay"),
+        ),
+        "ref",
+    )
+    w = Window.partitionBy("way_id").orderBy("j")
+    seg = pos.select(
+        F.col("ref").alias("u"),
+        F.lead("ref").over(w).alias("v"),
+        "ax",
+        "ay",
+        F.lead("ax").over(w).alias("bx"),
+        F.lead("ay").over(w).alias("by"),
+    ).where(F.col("v").isNotNull())
+    dxd = (F.col("bx") - F.col("ax")).cast("double")
+    dyd = (F.col("by") - F.col("ay")).cast("double")
+    seg = seg.select(
+        "u", "v", F.floor(F.sqrt(dxd * dxd + dyd * dyd)).alias("w")
+    )
+    edges = seg.unionByName(
+        seg.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "w"
+        )
+    )
+
+    dist = seeds.select(
+        F.col("doc_id").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for _ in range(n_hops):
+        relax = dist.join(
+            edges, dist["node"] == edges["u"]
+        ).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(F.col("node").alias("doc_id"), "dist")

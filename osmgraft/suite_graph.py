@@ -423,6 +423,18 @@ def q131_viterbi_match(spark, sf_dir):
     )
 
 
+def q132_hop_distance(spark, sf_dir):
+    """Hop-bounded multi-source network distance from the border
+    bbox's nodes over the synthetic way network (4 relaxation
+    passes, integer weights — operators/linecover.hop_distance)."""
+    from .operators.linecover import hop_distance
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    nodes = _nodes(spark, sf_dir)
+    return hop_distance(ways, nodes, _inside(nodes), n_hops=4)
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -439,6 +451,7 @@ GRAPH_QUERIES = {
     "q128_snap_to_ways": q128_snap_to_ways,
     "q130_addr_interp": q130_addr_interp,
     "q131_viterbi_match": q131_viterbi_match,
+    "q132_hop_distance": q132_hop_distance,
 }
 
 _RELS_CTE = f"""
@@ -587,6 +600,55 @@ SELECT trace_id, m.cost AS total_cost, m.path AS path FROM (
   SELECT trace_id, MIN({{'cost': cost, 'path': path}}) AS m
   FROM v{n_steps - 1} GROUP BY 1
 )"""
+    return head + "".join(steps) + tail
+
+
+def _hop_oracle_sql(g: str, n_hops: int = 4) -> str:
+    """Chained-relaxation mirror of linecover.hop_distance —
+    integer weights, so no fp caveats at all."""
+    head = f"""
+{g},
+hpos AS (
+  SELECT r.way_id, r.j, r.ref, p.lon_i AS ax, p.lat_i AS ay
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+hseg AS (
+  SELECT way_id, j, ref AS u, ax, ay,
+         LEAD(ref) OVER (PARTITION BY way_id ORDER BY j) AS v,
+         LEAD(ax) OVER (PARTITION BY way_id ORDER BY j) AS bx,
+         LEAD(ay) OVER (PARTITION BY way_id ORDER BY j) AS by
+  FROM hpos
+),
+hw AS (
+  SELECT u, v,
+    CAST(floor(sqrt(
+      CAST(bx - ax AS DOUBLE) * CAST(bx - ax AS DOUBLE)
+      + CAST(by - ay AS DOUBLE) * CAST(by - ay AS DOUBLE)))
+      AS BIGINT) AS w
+  FROM hseg WHERE v IS NOT NULL
+),
+hedges AS (
+  SELECT u, v, w FROM hw
+  UNION ALL
+  SELECT v AS u, u AS v, w FROM hw
+),
+hd0 AS (
+  SELECT DISTINCT doc_id AS node, CAST(0 AS BIGINT) AS dist
+  FROM inside
+)"""
+    steps = []
+    for t in range(1, n_hops + 1):
+        steps.append(f""",
+hd{t} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM hd{t - 1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM hd{t - 1} d JOIN hedges e ON e.u = d.node
+  ) GROUP BY 1
+)""")
+    tail = f"""
+SELECT node AS doc_id, dist FROM hd{n_hops}"""
     return head + "".join(steps) + tail
 
 
@@ -844,6 +906,8 @@ SELECT way_id, cell FROM scells
 """,
         # relationally-unrolled Viterbi, chained-CTE mirror
         "q131_viterbi_match": _viterbi_oracle_sql(g),
+        # hop-bounded Bellman-Ford, integer weights
+        "q132_hop_distance": _hop_oracle_sql(g),
         # addr:interpolation: same window prefix sums (ROWS frame ==
         # Spark's rowsBetween; j unique so RANGE would equal too),
         # LAG default 0.0, half-open segment pick closed at the top,
