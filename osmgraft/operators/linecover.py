@@ -397,19 +397,34 @@ def segment_candidates(
     ways: DataFrame,
     nodes: DataFrame,
     shift: int = 20,
+    cosr: bool = False,
+    radius: int = 1,
 ) -> DataFrame:
     """All (doc_id, way_id, seg_idx, dist2) candidate pairs with
     dist2 <= S*S (S = 2**shift) — the shared candidate stage of
     snap_to_ways (argmin) and viterbi_map_match (top-k per step).
     COMPLETE within the threshold: see snap_to_ways' cell-geometry
     argument; scoring is the pinned IEEE double op order the
-    DuckDB oracles replay bit-for-bit."""
+    DuckDB oracles replay bit-for-bit.
+
+    cosr=True evaluates the GEODESIC metric the reference uses for
+    lengths (way_length): per segment, x-deltas are scaled by the
+    cosr table value at the segment's midpoint latitude band
+    ((c * dx) / 2^32 in doubles), so east-west distances shrink
+    toward the poles exactly like osmconvert's bbox-width scaling
+    (osmconvert.c:9035-9045).  Scaled distance <= planar distance,
+    so completeness needs a wider candidate ring: pass radius >=
+    ceil(1/cos(max |lat| in the data)) (radius=2 covers |lat| <=
+    60 degrees; the scaled x-reach S/c then fits inside radius
+    cells, the y-reach is unchanged)."""
     if not 0 < shift <= 30:
         raise ValueError("shift must be in (0, 30] for exact int64")
     s = 1 << shift
 
     cover = way_cell_cover(ways, nodes, shift=shift)
-    cand = cell_corridor_join(cover, points, shift=shift, radius=1)
+    cand = cell_corridor_join(
+        cover, points, shift=shift, radius=radius
+    )
 
     pos = ways.select(
         "way_id", F.posexplode("refs").alias("j", "ref")
@@ -440,11 +455,26 @@ def segment_candidates(
         "doc_id",
     ).join(seg, "way_id")
     d = lambda c: c.cast("double")  # noqa: E731
-    apx = d(F.col("px") - F.col("ax"))
+    if cosr:
+        from ..geo.bboxtags import _div, cosr_table
+
+        tab = F.lit(cosr_table())
+        idx = F.least(
+            _div(
+                _div(F.abs(F.col("ay") + F.col("by")), 2), 1_000_000
+            ),
+            F.lit(900),
+        )
+        cd = d(F.element_at(tab, (idx + 1).cast("int")))
+        two32 = F.lit(4294967296.0)
+        sx = lambda c: cd * d(c) / two32  # noqa: E731
+    else:
+        sx = d
+    apx = sx(F.col("px") - F.col("ax"))
     apy = d(F.col("py") - F.col("ay"))
-    abx = d(F.col("bx") - F.col("ax"))
+    abx = sx(F.col("bx") - F.col("ax"))
     aby = d(F.col("by") - F.col("ay"))
-    bpx = d(F.col("px") - F.col("bx"))
+    bpx = sx(F.col("px") - F.col("bx"))
     bpy = d(F.col("py") - F.col("by"))
     dot = apx * abx + apy * aby
     len2 = abx * abx + aby * aby
@@ -877,3 +907,28 @@ def hop_distance(
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select(F.col("node").alias("doc_id"), "dist")
+
+
+def snap_to_ways_geodesic(
+    points: DataFrame,
+    ways: DataFrame,
+    nodes: DataFrame,
+    shift: int = 20,
+    radius: int = 2,
+) -> DataFrame:
+    """snap_to_ways under the reference's geodesic metric
+    (segment_candidates cosr=True): east-west deltas scaled by the
+    cosr table at the segment's midpoint latitude band, matching
+    osmconvert's length/width scaling.  radius must satisfy the
+    cosr completeness rule (2 covers |lat| <= 60 degrees)."""
+    scored = segment_candidates(
+        points, ways, nodes, shift=shift, cosr=True, radius=radius
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.asc("dist2"), F.asc("way_id"), F.asc("seg_idx")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -435,6 +435,20 @@ def q132_hop_distance(spark, sf_dir):
     return hop_distance(ways, nodes, _inside(nodes), n_hops=4)
 
 
+def q133_snap_geodesic(spark, sf_dir):
+    """Geodesic map matching: every document point snapped to the
+    nearest synthetic-way segment under the reference's cosr
+    metric (x-deltas scaled at the segment-midpoint latitude band
+    — operators/linecover.snap_to_ways_geodesic, radius=2 per the
+    cosr completeness rule)."""
+    from .operators.linecover import snap_to_ways_geodesic
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    nodes = _nodes(spark, sf_dir)
+    return snap_to_ways_geodesic(nodes, ways, nodes, shift=20)
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -452,6 +466,7 @@ GRAPH_QUERIES = {
     "q130_addr_interp": q130_addr_interp,
     "q131_viterbi_match": q131_viterbi_match,
     "q132_hop_distance": q132_hop_distance,
+    "q133_snap_geodesic": q133_snap_geodesic,
 }
 
 _RELS_CTE = f"""
@@ -908,6 +923,51 @@ SELECT way_id, cell FROM scells
         "q131_viterbi_match": _viterbi_oracle_sql(g),
         # hop-bounded Bellman-Ford, integer weights
         "q132_hop_distance": _hop_oracle_sql(g),
+        # geodesic snap: cosr-scaled x-deltas at the segment
+        # midpoint band, same double op order as the operator
+        "q133_snap_geodesic": f"""
+{g},
+cosr(i, v) AS (VALUES {_cosr_values()}),
+gpos AS (
+  SELECT r.way_id, r.j, p.lon_i AS ax, p.lat_i AS ay
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+),
+gseg AS (
+  SELECT way_id, j AS seg_idx, ax, ay,
+         LEAD(ax) OVER (PARTITION BY way_id ORDER BY j) AS bx,
+         LEAD(ay) OVER (PARTITION BY way_id ORDER BY j) AS by
+  FROM gpos
+),
+gsegc AS (
+  SELECT s.*, c.v AS cv
+  FROM gseg s JOIN cosr c
+    ON c.i = LEAST(abs(s.ay + s.by) // 2 // 1000000, 900)
+  WHERE s.bx IS NOT NULL
+),
+gsc AS (
+  SELECT p.doc_id, s.way_id, s.seg_idx,
+    CAST(s.cv AS DOUBLE) * CAST(p.lon_i - s.ax AS DOUBLE)
+      / 4294967296.0 AS apx,
+    CAST(p.lat_i - s.ay AS DOUBLE) AS apy,
+    CAST(s.cv AS DOUBLE) * CAST(s.bx - s.ax AS DOUBLE)
+      / 4294967296.0 AS abx,
+    CAST(s.by - s.ay AS DOUBLE) AS aby,
+    CAST(s.cv AS DOUBLE) * CAST(p.lon_i - s.bx AS DOUBLE)
+      / 4294967296.0 AS bpx,
+    CAST(p.lat_i - s.by AS DOUBLE) AS bpy
+  FROM pts p CROSS JOIN gsegc s
+),
+gdd AS (
+  SELECT doc_id, way_id, seg_idx, {_D2_CASE} AS dist2
+  FROM gsc
+)
+SELECT doc_id, way_id, CAST(seg_idx AS BIGINT) AS seg_idx, dist2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY dist2, way_id, seg_idx) AS rn
+  FROM gdd WHERE dist2 <= 1099511627776.0
+) WHERE rn = 1
+""",
         # addr:interpolation: same window prefix sums (ROWS frame ==
         # Spark's rowsBetween; j unique so RANGE would equal too),
         # LAG default 0.0, half-open segment pick closed at the top,

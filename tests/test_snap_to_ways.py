@@ -150,3 +150,70 @@ def test_plan_has_no_cartesian_product(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_geodesic_randomized_vs_brute_force(spark):
+    """cosr-scaled snap vs an all-pairs replay of the same fp order,
+    at mid-latitudes (~47-56 deg) where the scaling bites and the
+    radius-2 completeness rule is exercised."""
+    from osmgraft.geo.bboxtags import cosr_table
+
+    from osmgraft.operators.linecover import snap_to_ways_geodesic
+
+    tab = cosr_table()
+    rng = random.Random(133)
+    base_lat = 500_000_000  # 50 deg
+    coords = {
+        i: (rng.randrange(-4 * S20, 4 * S20),
+            base_lat + rng.randrange(-4 * S20, 4 * S20))
+        for i in range(40)
+    }
+    ways_refs = [
+        (w, [rng.randrange(40) for _ in range(rng.randrange(2, 6))])
+        for w in range(0, 40, 4)
+    ]
+    points = [
+        (1000 + i,
+         rng.randrange(-5 * S20, 5 * S20),
+         base_lat + rng.randrange(-5 * S20, 5 * S20))
+        for i in range(120)
+    ]
+
+    def d2g(px, py, ax, ay, bx, by):
+        c = float(tab[min(abs(ay + by) // 2 // 1_000_000, 900)])
+        apx = c * float(px - ax) / 4294967296.0
+        apy = float(py - ay)
+        abx = c * float(bx - ax) / 4294967296.0
+        aby = float(by - ay)
+        bpx = c * float(px - bx) / 4294967296.0
+        bpy = float(py - by)
+        dot = apx * abx + apy * aby
+        len2 = abx * abx + aby * aby
+        if dot <= 0 or len2 == 0:
+            return apx * apx + apy * apy
+        if dot >= len2:
+            return bpx * bpx + bpy * bpy
+        return (apx * apx + apy * apy) - (dot / len2) * dot
+
+    s2 = float(S20) * float(S20)
+    want = {}
+    for doc_id, px, py in points:
+        best = None
+        for way_id, refs in ways_refs:
+            for j in range(len(refs) - 1):
+                d2v = d2g(px, py, *coords[refs[j]], *coords[refs[j + 1]])
+                if d2v <= s2:
+                    key = (d2v, way_id, j + 1)
+                    if best is None or key < best:
+                        best = key
+        if best is not None:
+            want[doc_id] = (best[1], best[2], best[0])
+
+    pts, ways, nodes = _frames(spark, points, ways_refs, coords)
+    rows = snap_to_ways_geodesic(pts, ways, nodes, shift=20).collect()
+    got = {
+        r["doc_id"]: (r["way_id"], r["seg_idx"], r["dist2"])
+        for r in rows
+    }
+    assert got == want
+    assert len(got) > 10
