@@ -446,6 +446,36 @@ def segment_candidates(
         F.lead("ay").over(w).alias("by"),
     ).where(F.col("bx").isNotNull())
 
+    d = lambda c: c.cast("double")  # noqa: E731
+    if cosr:
+        from ..geo.bboxtags import _div, cosr_table
+
+        # stage the table lookup as its OWN projection on the
+        # (small) segment side: referencing it from three scaled
+        # deltas would otherwise inline the 901-entry array
+        # literal three times into one codegen unit — the
+        # giant-expression Janino-compile tax (~7s/round at
+        # sf0.1, measured); as a segment column the literal
+        # appears once and the join carries one double
+        idx = F.least(
+            _div(
+                _div(F.abs(F.col("ay") + F.col("by")), 2), 1_000_000
+            ),
+            F.lit(900),
+        )
+        seg = seg.withColumn(
+            "_cv",
+            d(
+                F.element_at(
+                    F.lit(cosr_table()), (idx + 1).cast("int")
+                )
+            ),
+        )
+        two32 = F.lit(4294967296.0)
+        sx = lambda c: F.col("_cv") * d(c) / two32  # noqa: E731
+    else:
+        sx = d
+
     scored = cand.join(
         points.select(
             "doc_id",
@@ -454,22 +484,6 @@ def segment_candidates(
         ),
         "doc_id",
     ).join(seg, "way_id")
-    d = lambda c: c.cast("double")  # noqa: E731
-    if cosr:
-        from ..geo.bboxtags import _div, cosr_table
-
-        tab = F.lit(cosr_table())
-        idx = F.least(
-            _div(
-                _div(F.abs(F.col("ay") + F.col("by")), 2), 1_000_000
-            ),
-            F.lit(900),
-        )
-        cd = d(F.element_at(tab, (idx + 1).cast("int")))
-        two32 = F.lit(4294967296.0)
-        sx = lambda c: cd * d(c) / two32  # noqa: E731
-    else:
-        sx = d
     apx = sx(F.col("px") - F.col("ax"))
     apy = d(F.col("py") - F.col("ay"))
     abx = sx(F.col("bx") - F.col("ax"))
