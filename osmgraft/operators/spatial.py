@@ -743,3 +743,119 @@ def hex_center_cols(
 
     best = F.least(cand(0, 0), cand(a, b))
     return best["cv"].alias("hex_v"), best["cu"].alias("hex_u")
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    chars: int = 9,
+) -> Column:
+    """Standard geohash (base32, lon bit first) of a fixed-point
+    point, EXACT: the successive-halving definition of geohash is
+    floor(frac * 2^bits) of the normalized coordinate, and with
+    1e-7-degree integer inputs that is the exact integer division
+    ((lon_i + 1800000000) << lon_bits) div 3600000000 — no float
+    midpoints anywhere, so every engine produces the identical
+    string (spot-checked against the published geohash test
+    vector).  chars <= 10 keeps the shift in int64
+    (3.6e9 << 25 < 2^57).
+
+    In-row Catalyst only: two staged quantized columns (referenced
+    by every output bit — staging keeps the codegen unit small),
+    then one literal-alphabet lookup per character."""
+    if not 0 < chars <= 10:
+        raise ValueError("chars must be in (0, 10]")
+    bits = 5 * chars
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    ub = F.expr(
+        f"(({lon_col} + 1800000000) * {1 << lon_bits}) div 3600000000"
+    )
+    vb = F.expr(
+        f"(({lat_col} + 900000000) * {1 << lat_bits}) div 1800000000"
+    )
+
+    def bit(b: int) -> Column:
+        # stream bit b: even -> lon, odd -> lat, MSB first
+        if b % 2 == 0:
+            return F.shiftright(
+                F.col("_ghu"), lon_bits - 1 - b // 2
+            ).bitwiseAND(F.lit(1))
+        return F.shiftright(
+            F.col("_ghv"), lat_bits - 1 - (b - 1) // 2
+        ).bitwiseAND(F.lit(1))
+
+    parts = []
+    for c in range(chars):
+        val = F.lit(0)
+        for i in range(5):
+            val = val + F.shiftleft(bit(5 * c + i), 4 - i)
+        parts.append(
+            F.substring(F.lit(_GEOHASH32), val.cast("int") + 1, 1)
+        )
+    # callers add the staged columns via with_geohash; the raw
+    # expression references _ghu/_ghv
+    return F.concat(*parts)
+
+
+def with_geohash(
+    df: DataFrame,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    chars: int = 9,
+    out: str = "geohash",
+) -> DataFrame:
+    """df + geohash column; stages the two quantized ints as their
+    own projections (each is referenced by `5*chars` bit
+    extractions — inlining them would bloat one codegen unit)."""
+    bits = 5 * chars
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    staged = df.withColumn(
+        "_ghu",
+        F.expr(
+            f"(({lon_col} + 1800000000) * {1 << lon_bits})"
+            " div 3600000000"
+        ),
+    ).withColumn(
+        "_ghv",
+        F.expr(
+            f"(({lat_col} + 900000000) * {1 << lat_bits})"
+            " div 1800000000"
+        ),
+    )
+    return staged.withColumn(
+        out, geohash_col(lat_col, lon_col, chars)
+    ).drop("_ghu", "_ghv")
+
+
+def geohash_oracle_expr(
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    chars: int = 9,
+) -> str:
+    """The identical computation as DuckDB SQL (same integer ops,
+    same alphabet) — used by the q134 oracle."""
+    bits = 5 * chars
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    ub = f"((({lon_col} + 1800000000) * {1 << lon_bits}) // 3600000000)"
+    vb = f"((({lat_col} + 900000000) * {1 << lat_bits}) // 1800000000)"
+
+    def bit(b: int) -> str:
+        if b % 2 == 0:
+            return f"(({ub} >> {lon_bits - 1 - b // 2}) & 1)"
+        return f"(({vb} >> {lat_bits - 1 - (b - 1) // 2}) & 1)"
+
+    parts = []
+    for c in range(chars):
+        val = " + ".join(
+            f"({bit(5 * c + i)} << {4 - i})" for i in range(5)
+        )
+        parts.append(
+            f"substr('{_GEOHASH32}', CAST({val} AS INT) + 1, 1)"
+        )
+    return " || ".join(parts)

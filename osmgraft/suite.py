@@ -369,6 +369,28 @@ def q129_hex_heatmap(spark, sf_dir):
     )
 
 
+def _geohash_oracle_sql() -> str:
+    from .operators.spatial import geohash_oracle_expr
+
+    return f"""
+WITH {_PTS_CTE}
+SELECT doc_id, {geohash_oracle_expr()} AS geohash FROM pts
+"""
+
+
+def q134_geohash(spark, sf_dir):
+    """Standard geohash strings for every document point
+    (operators/spatial.with_geohash, 9 chars) — exact integer
+    quantization, no float midpoints, matches the published
+    geohash test vectors (unit-tested) and the same-arithmetic
+    DuckDB expression."""
+    from .operators.spatial import with_geohash
+
+    return with_geohash(doc_points(spark, sf_dir)).select(
+        "doc_id", "geohash"
+    )
+
+
 def q05_knn_city(spark, sf_dir):
     """J8: exact kNN against broadcast gazetteer (k=3)."""
     terms, lat_i, lon_i, _ = gazetteer_arrays()
@@ -3384,6 +3406,7 @@ QUERIES = {
     "q03_assign_regions": q03_assign_regions,
     "q04_cell_tiles": q04_cell_tiles,
     "q129_hex_heatmap": q129_hex_heatmap,
+    "q134_geohash": q134_geohash,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -4097,6 +4120,7 @@ FROM pts GROUP BY 1
         # Spark div; argmin by tuple (d2, cv, cu), same as the
         # operator's struct least()
         "q129_hex_heatmap": _hex_oracle_sql(),
+        "q134_geohash": _geohash_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),
