@@ -859,3 +859,127 @@ def geohash_oracle_expr(
             f"substr('{_GEOHASH32}', CAST({val} AS INT) + 1, 1)"
         )
     return " || ".join(parts)
+
+
+def geohash_bounds_cols(
+    code_col: str, chars: int
+) -> tuple[Column, Column, Column, Column]:
+    """Exact inverse of geohash_col: the half-open fixed-point
+    bounds [lat_lo, lat_hi) x [lon_lo, lon_hi) of a geohash cell.
+    A code's cell covers exactly the integers u with
+    floor(u * 2^b / L) == ub, i.e. u in
+    [ceil(ub*L / 2^b), ceil((ub+1)*L / 2^b)) — pure int64
+    (ub*L < 2^55 for chars <= 10), so encode/decode round-trip
+    exactly (property-tested), engine-identically."""
+    if not 0 < chars <= 10:
+        raise ValueError("chars must be in (0, 10]")
+    bits = 5 * chars
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+
+    def chval(c: int) -> Column:
+        return (
+            F.expr(f"instr('{_GEOHASH32}', substring({code_col},"
+                   f" {c + 1}, 1))") - 1
+        ).cast("long")
+
+    ub = F.lit(0).cast("long")
+    vb = F.lit(0).cast("long")
+    ui, vi = lon_bits, lat_bits
+    for c in range(chars):
+        v = chval(c)
+        for i in range(5):
+            b = 5 * c + i
+            bit = F.shiftright(v, 4 - i).bitwiseAND(F.lit(1))
+            if b % 2 == 0:
+                ui -= 1
+                ub = ub + F.shiftleft(bit, ui)
+            else:
+                vi -= 1
+                vb = vb + F.shiftleft(bit, vi)
+
+    L_LON, L_LAT = 3600000000, 1800000000
+
+    # integer ceil-div via (a + d - 1) div d, over the staged
+    # _ghdu/_ghdv columns (added by with_geohash_bounds — each is
+    # referenced twice, staging keeps the literal chain single)
+    u_lo = F.expr(
+        f"(_ghdu * {L_LON} + {(1 << lon_bits) - 1})"
+        f" div {1 << lon_bits}"
+    )
+    u_hi = F.expr(
+        f"((_ghdu + 1) * {L_LON} + {(1 << lon_bits) - 1})"
+        f" div {1 << lon_bits}"
+    )
+    v_lo = F.expr(
+        f"(_ghdv * {L_LAT} + {(1 << lat_bits) - 1})"
+        f" div {1 << lat_bits}"
+    )
+    v_hi = F.expr(
+        f"((_ghdv + 1) * {L_LAT} + {(1 << lat_bits) - 1})"
+        f" div {1 << lat_bits}"
+    )
+    # the staged _ghdu/_ghdv columns are added by
+    # with_geohash_bounds from the ub/vb expressions built above
+    return ub, vb, (u_lo, u_hi, v_lo, v_hi)
+
+
+def with_geohash_bounds(
+    df: DataFrame, code_col: str, chars: int
+) -> DataFrame:
+    """df + (lon_lo, lon_hi, lat_lo, lat_hi) half-open fixed-point
+    bounds of the geohash in `code_col` (exact integer inverse of
+    with_geohash; bounds are in raw 1e-7-degree coords, offsets
+    removed)."""
+    ub, vb, (u_lo, u_hi, v_lo, v_hi) = geohash_bounds_cols(
+        code_col, chars
+    )
+    staged = df.withColumn("_ghdu", ub).withColumn("_ghdv", vb)
+    return (
+        staged.withColumn(
+            "lon_lo", u_lo - F.lit(1800000000)
+        )
+        .withColumn("lon_hi", u_hi - F.lit(1800000000))
+        .withColumn("lat_lo", v_lo - F.lit(900000000))
+        .withColumn("lat_hi", v_hi - F.lit(900000000))
+        .drop("_ghdu", "_ghdv")
+    )
+
+
+def geohash_bounds_oracle_exprs(
+    code: str, chars: int
+) -> tuple[str, str, str, str]:
+    """DuckDB twins of with_geohash_bounds: SQL expressions for
+    (lon_lo, lon_hi, lat_lo, lat_hi) — identical integer ops."""
+    bits = 5 * chars
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    uterms, vterms = [], []
+    ui, vi = lon_bits, lat_bits
+    for c in range(chars):
+        v = f"(instr('{_GEOHASH32}', substr({code}, {c + 1}, 1)) - 1)"
+        for i in range(5):
+            b = 5 * c + i
+            bit = f"(({v} >> {4 - i}) & 1)"
+            if b % 2 == 0:
+                ui -= 1
+                uterms.append(f"({bit} << {ui})")
+            else:
+                vi -= 1
+                vterms.append(f"({bit} << {vi})")
+    ub = "(" + " + ".join(uterms) + ")"
+    vb = "(" + " + ".join(vterms) + ")"
+    L_LON, L_LAT = 3600000000, 1800000000
+
+    def ceil_div(x, L, bcount):
+        return f"(({x} * {L} + {(1 << bcount) - 1}) // {1 << bcount})"
+
+    lon_lo = f"({ceil_div(ub, L_LON, lon_bits)} - 1800000000)"
+    lon_hi = (
+        f"({ceil_div(f'({ub} + 1)', L_LON, lon_bits)} - 1800000000)"
+    )
+    lat_lo = f"({ceil_div(vb, L_LAT, lat_bits)} - 900000000)"
+    lat_hi = (
+        f"({ceil_div(f'({vb} + 1)', L_LAT, lat_bits)} - 900000000)"
+    )
+    return lon_lo, lon_hi, lat_lo, lat_hi

@@ -378,6 +378,26 @@ SELECT doc_id, {geohash_oracle_expr()} AS geohash FROM pts
 """
 
 
+def _geohash_rollup_oracle_sql() -> str:
+    from .operators.spatial import (
+        geohash_bounds_oracle_exprs,
+        geohash_oracle_expr,
+    )
+
+    lon_lo, lon_hi, lat_lo, lat_hi = geohash_bounds_oracle_exprs(
+        "gh5", 5
+    )
+    return f"""
+WITH {_PTS_CTE},
+g AS (SELECT {geohash_oracle_expr(chars=5)} AS gh5 FROM pts),
+agg AS (SELECT gh5, COUNT(*) AS n_docs FROM g GROUP BY gh5)
+SELECT gh5, n_docs,
+       {lon_lo} AS lon_lo, {lon_hi} AS lon_hi,
+       {lat_lo} AS lat_lo, {lat_hi} AS lat_hi
+FROM agg
+"""
+
+
 def q134_geohash(spark, sf_dir):
     """Standard geohash strings for every document point
     (operators/spatial.with_geohash, 9 chars) — exact integer
@@ -388,6 +408,25 @@ def q134_geohash(spark, sf_dir):
 
     return with_geohash(doc_points(spark, sf_dir)).select(
         "doc_id", "geohash"
+    )
+
+
+def q135_geohash_rollup(spark, sf_dir):
+    """Geohash-5 prefix rollup with exact decoded cell bounds:
+    counts per 5-char geohash plus the half-open fixed-point bbox
+    of each cell (operators/spatial.with_geohash_bounds — the
+    exact integer inverse of the encoder, round-trip
+    property-tested)."""
+    from .operators.spatial import with_geohash, with_geohash_bounds
+
+    gh = with_geohash(
+        doc_points(spark, sf_dir), chars=5, out="gh5"
+    )
+    agg = gh.groupBy("gh5").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return with_geohash_bounds(agg, "gh5", 5).select(
+        "gh5", "n_docs", "lon_lo", "lon_hi", "lat_lo", "lat_hi"
     )
 
 
@@ -3407,6 +3446,7 @@ QUERIES = {
     "q04_cell_tiles": q04_cell_tiles,
     "q129_hex_heatmap": q129_hex_heatmap,
     "q134_geohash": q134_geohash,
+    "q135_geohash_rollup": q135_geohash_rollup,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -4121,6 +4161,7 @@ FROM pts GROUP BY 1
         # operator's struct least()
         "q129_hex_heatmap": _hex_oracle_sql(),
         "q134_geohash": _geohash_oracle_sql(),
+        "q135_geohash_rollup": _geohash_rollup_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),
