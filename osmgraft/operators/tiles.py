@@ -347,3 +347,97 @@ def tile_blur(
         "smoothed_num",
         F.expr("smoothed_num div 16").alias("smoothed"),
     )
+
+
+def quadtree_rollup(
+    pts: DataFrame,
+    cap: int = 8,
+    leaf_shift: int = 20,
+    levels: int = 6,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+) -> DataFrame:
+    """Adaptive quadtree tiling: split every cell holding more than
+    `cap` documents into its 4 children, down to at most `levels`
+    levels (level 0 = coarsest, shift leaf_shift + levels - 1; the
+    leaf level uses leaf_shift). Returns one row per occupied leaf:
+    (level, qcell, n_docs, min_doc). This is the skew-adaptive
+    variant of the fixed-grid tile materializer (osmgeobase.c zoom
+    grid): megacity hotspots get fine cells, empty countryside
+    stays coarse, so downstream per-tile work is load-balanced by
+    construction.
+
+    Scale plan — the document table is shuffled exactly ONCE (the
+    leaf-cell algebraic count); every decision after that runs on
+    the per-leaf-cell count table, which is <= one row per occupied
+    leaf cell regardless of corpus size:
+      1. fcnt: groupBy(leaf latb, lonb) count/min — partial-agg,
+         skew-proof.
+      2. posexplode each leaf cell into its `levels` ancestor cells
+         and sum counts per (level, cell) — the pyramid, one small
+         shuffle.
+      3. per leaf cell, the assigned node is the COARSEST ancestor
+         whose population is <= cap (else the leaf): a struct-min
+         over (level, cell), no iteration — the quadtree's "split
+         while over capacity" recursion is equivalent to this
+         closed form because populations are monotonically
+         non-increasing with depth.
+      4. roll leaf stats up to the assigned node (algebraic).
+    """
+    top = levels - 1
+    fine = pts.select(
+        F.shiftright(
+            F.col(lat_col) + F.lit(LAT_OFFSET), leaf_shift
+        ).cast("long").alias("latb"),
+        F.shiftright(
+            F.col(lon_col) + F.lit(LON_OFFSET), leaf_shift
+        ).cast("long").alias("lonb"),
+        "doc_id",
+    )
+    fcnt = fine.groupBy("latb", "lonb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    cells = [
+        F.shiftleft(
+            F.shiftright(F.col("latb"), top - lvl),
+            _lon_bits(leaf_shift + top - lvl),
+        ).bitwiseOR(F.shiftright(F.col("lonb"), top - lvl))
+        for lvl in range(levels)
+    ]
+    anc = fcnt.select(
+        "latb",
+        "lonb",
+        "n",
+        "min_doc",
+        F.posexplode(F.array(*cells)).alias("l", "cell"),
+    )
+    lvlcnt = anc.groupBy("l", "cell").agg(
+        F.sum("n").alias("ln")
+    )
+    asg = (
+        anc.join(lvlcnt, ["l", "cell"])
+        .groupBy("latb", "lonb")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("ln") <= cap, F.struct("l", "cell")
+                )
+            ).alias("w"),
+            F.min("n").alias("n"),
+            F.min("min_doc").alias("min_doc"),
+        )
+    )
+    leaf_cell = F.shiftleft(
+        F.col("latb"), _lon_bits(leaf_shift)
+    ).bitwiseOR(F.col("lonb"))
+    placed = asg.select(
+        F.coalesce(F.col("w.l"), F.lit(top)).alias("level"),
+        F.coalesce(F.col("w.cell"), leaf_cell).alias("qcell"),
+        "n",
+        "min_doc",
+    )
+    return placed.groupBy("level", "qcell").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.min("min_doc").alias("min_doc"),
+    )
