@@ -983,3 +983,100 @@ def geohash_bounds_oracle_exprs(
         f"({ceil_div(f'({vb} + 1)', L_LAT, lat_bits)} - 900000000)"
     )
     return lon_lo, lon_hi, lat_lo, lat_hi
+
+
+def border_edge_list(polyset) -> list[tuple]:
+    """All border segments of a PolygonSet as
+    (poly_idx, edge_id, name, ax, ay, bx, by) — the ray-cast edges
+    first, then the exactly-vertical segments build_edges keeps
+    aside (vertical edges are invisible to crossing counts but are
+    real boundary for DISTANCE), file order, global edge_id. This
+    enumeration is the deterministic contract shared with the SQL
+    oracle."""
+    rows = []
+    eid = 0
+    for i, es in enumerate(polyset.polys):
+        name = polyset.names[i]
+        for x1, y1, x2, y2 in zip(es.x1, es.y1, es.x2, es.y2):
+            rows.append(
+                (i, eid, name, int(x1), int(y1), int(x2), int(y2))
+            )
+            eid += 1
+        for vx, vy1, vy2 in zip(es.vx, es.vy1, es.vy2):
+            rows.append(
+                (i, eid, name, int(vx), int(vy1), int(vx), int(vy2))
+            )
+            eid += 1
+    return rows
+
+
+def border_distance(
+    df: DataFrame,
+    polyset,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+) -> DataFrame:
+    """Signed distance-to-border: for every point, the squared
+    planar distance (fixed-point units, exact-double — see below)
+    to the NEAREST border segment of any polygon in `polyset`,
+    which polygon owns that segment, the point's assigned region
+    (osmassignpoly semantics, null = outside everything), and the
+    signed variant (negative inside). The "distance to the
+    coastline/admin border" primitive.
+
+    Plan: map-only at any scale. The polygon side is a constant
+    (~30 segments for the fixture set) folded in-row via
+    F.least over per-edge (dist2, poly_idx, edge_id, name)
+    structs — no join, no shuffle, whole-stage codegen; the
+    region flag rides the same Catalyst assign path as q03.
+
+    Exactness: deltas are int64 differences cast to double
+    (exact: < 2^53); all products stay below 2^53 so dot/len2/
+    cross terms are exactly representable; the one division
+    (dot/len2) and the final multiply are IEEE-pinned, so DuckDB
+    replays bit-for-bit with the same pinned op order
+    (dist2 = ap2 - (dot/len2)*dot on the interior branch)."""
+    edges = border_edge_list(polyset)
+    if not edges:
+        raise ValueError("empty polyset")
+
+    structs = []
+    for pi, eid, name, ax, ay, bx, by in edges:
+        abx = float(bx - ax)
+        aby = float(by - ay)
+        len2 = float((bx - ax) ** 2 + (by - ay) ** 2)
+        apx = (F.col(lon_col) - F.lit(ax)).cast("double")
+        apy = (F.col(lat_col) - F.lit(ay)).cast("double")
+        bpx = (F.col(lon_col) - F.lit(bx)).cast("double")
+        bpy = (F.col(lat_col) - F.lit(by)).cast("double")
+        dot = apx * F.lit(abx) + apy * F.lit(aby)
+        ap2 = apx * apx + apy * apy
+        bp2 = bpx * bpx + bpy * bpy
+        d2 = (
+            F.when(dot <= 0, ap2)
+            .when(dot >= F.lit(len2), bp2)
+            .otherwise(ap2 - (dot / F.lit(len2)) * dot)
+        )
+        structs.append(
+            F.struct(
+                d2.alias("d2"),
+                F.lit(pi).alias("pi"),
+                F.lit(eid).alias("eid"),
+                F.lit(name).alias("nm"),
+            )
+        )
+
+    out = assign_regions(
+        df, polyset, lat_col=lat_col, lon_col=lon_col,
+        keep_noregion=True,
+    )
+    out = out.withColumn("_w", F.least(*structs))
+    return out.select(
+        "doc_id",
+        "region",
+        F.col("_w.nm").alias("nearest"),
+        F.col("_w.d2").alias("dist2"),
+        F.when(F.col("region").isNotNull(), -F.col("_w.d2"))
+        .otherwise(F.col("_w.d2"))
+        .alias("signed_d2"),
+    )
