@@ -180,3 +180,30 @@ def event_transitions(events: DataFrame) -> DataFrame:
     return steps.groupBy("prev_type", "event_type").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+def od_matrix(
+    located_events: DataFrame,
+    region_col: str = "region",
+    outside: str = "OUT",
+) -> DataFrame:
+    """Origin->destination flow matrix over per-user event
+    sequences: each user's time-ordered events yield one trip per
+    consecutive pair of located events, counted per
+    (from_region, to_region). Events outside every region are a
+    real state (`outside`), mapped BEFORE the lag so a leading
+    null can't masquerade as "no previous event". One user-keyed
+    shuffle (the window) + one bounded groupBy (#regions^2 rows) —
+    the region assignment itself is in-row, so the whole OD
+    pipeline costs a single shuffle at any corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = F.coalesce(F.col(region_col), F.lit(outside))
+    steps = located_events.select(
+        r.alias("to_region"),
+        F.lag(r).over(w).alias("from_region"),
+    ).where(F.col("from_region").isNotNull())
+    return steps.groupBy("from_region", "to_region").agg(
+        F.count("*").cast("long").alias("n_trips")
+    )
