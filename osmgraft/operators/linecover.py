@@ -946,3 +946,46 @@ def snap_to_ways_geodesic(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def bearing_octants(traces: DataFrame) -> DataFrame:
+    """Exact integer compass classification of every trace step:
+    each consecutive (step, step+1) pair yields its displacement
+    (dx east, dy north), the squared step length, and the compass
+    OCTANT — sector k covering bearings [k*45, (k+1)*45) degrees
+    clockwise from north, k in 0..7, -1 for a stationary step.
+
+    Octant boundaries are the axes and the exact diagonals, so
+    membership is pure int64 sign/magnitude comparison — no atan2,
+    no floats, engine-identical by construction (the float-free
+    sibling of the cosr-scaled length op). One trace-keyed window
+    shuffle; the classification is in-row."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("trace_id").orderBy("step")
+    seq = traces.select(
+        "trace_id",
+        "step",
+        (F.lead("lon_i").over(w) - F.col("lon_i")).alias("dx"),
+        (F.lead("lat_i").over(w) - F.col("lat_i")).alias("dy"),
+    ).where(F.col("dx").isNotNull())
+    dx, dy = F.col("dx"), F.col("dy")
+    octant = (
+        F.when((dx == 0) & (dy == 0), -1)
+        .when((dx >= 0) & (dy > 0) & (dx < dy), 0)
+        .when((dx > 0) & (dy > 0) & (dx >= dy), 1)
+        .when((dx > 0) & (dy <= 0) & (-dy < dx), 2)
+        .when((dx > 0) & (dy < 0) & (-dy >= dx), 3)
+        .when((dx <= 0) & (dy < 0) & (-dx < -dy), 4)
+        .when((dx < 0) & (dy < 0) & (-dx >= -dy), 5)
+        .when((dx < 0) & (dy >= 0) & (dy < -dx), 6)
+        .otherwise(7)
+    )
+    return seq.select(
+        "trace_id",
+        "step",
+        "dx",
+        "dy",
+        octant.cast("long").alias("octant"),
+        (dx * dx + dy * dy).cast("long").alias("d2"),
+    )

@@ -430,6 +430,185 @@ def q135_geohash_rollup(spark, sf_dir):
     )
 
 
+def q137_border_distance(spark, sf_dir):
+    """Signed distance-to-border (spatial.border_distance): every
+    document's squared distance to the nearest admin border
+    segment (ALL boundary segments, including the exactly-vertical
+    ones the ray-cast ignores), the owning polygon, the assigned
+    region, and the signed variant (negative inside). Map-only:
+    the ~30-segment constant folds in-row via a struct least —
+    no join, no shuffle at any corpus size."""
+    from .operators.spatial import border_distance
+
+    return border_distance(
+        doc_points(spark, sf_dir), fixture_polyset()
+    )
+
+
+def _border_distance_oracle_sql() -> str:
+    from .operators.spatial import border_edge_list
+
+    ps = fixture_polyset()
+    bvals = ",".join(
+        f"({pi},{eid},'{nm}',{ax},{ay},{bx},{by})"
+        for pi, eid, nm, ax, ay, bx, by in border_edge_list(ps)
+    )
+    pred = _CROSSING_PRED.format(lat="c.lat_i", lon="c.lon_i")
+    return f"""
+WITH {_PTS_CTE},
+be(pi, eid, nm, ax, ay, bx, by) AS (VALUES {bvals}),
+cedges(poly_idx, x1, y1, x2, y2) AS (VALUES {_edges_values(ps)}),
+polys(poly_idx, name, admin, bx1, by1, bx2, by2)
+  AS (VALUES {_polys_values(ps)}),
+pd AS (
+  SELECT p.doc_id, e.pi, e.eid, e.nm,
+    CAST(p.lon_i - e.ax AS DOUBLE) AS apx,
+    CAST(p.lat_i - e.ay AS DOUBLE) AS apy,
+    CAST(p.lon_i - e.bx AS DOUBLE) AS bpx,
+    CAST(p.lat_i - e.by AS DOUBLE) AS bpy,
+    CAST(e.bx - e.ax AS DOUBLE) AS abx,
+    CAST(e.by - e.ay AS DOUBLE) AS aby,
+    CAST(CAST(e.bx - e.ax AS BIGINT) * CAST(e.bx - e.ax AS BIGINT)
+         + CAST(e.by - e.ay AS BIGINT) * CAST(e.by - e.ay AS BIGINT)
+         AS DOUBLE) AS len2
+  FROM pts p CROSS JOIN be e
+),
+sc AS (
+  SELECT doc_id, pi, eid, nm, len2,
+    apx * abx + apy * aby AS dot,
+    apx * apx + apy * apy AS ap2,
+    bpx * bpx + bpy * bpy AS bp2
+  FROM pd
+),
+d AS (
+  SELECT doc_id,
+    MIN({{'d2': CASE WHEN dot <= 0 THEN ap2
+                     WHEN dot >= len2 THEN bp2
+                     ELSE ap2 - (dot / len2) * dot END,
+         'pi': pi, 'eid': eid, 'nm': nm}}) AS w
+  FROM sc GROUP BY doc_id
+),
+cand AS (
+  SELECT p.doc_id, p.lat_i, p.lon_i, po.poly_idx, po.name, po.admin
+  FROM pts p JOIN polys po
+    ON p.lon_i >= po.bx1 AND p.lon_i <= po.bx2
+   AND p.lat_i >= po.by1 AND p.lat_i <= po.by2
+),
+ins AS (
+  SELECT c.doc_id, c.poly_idx, c.name, c.admin
+  FROM cand c JOIN cedges e ON e.poly_idx = c.poly_idx
+  GROUP BY c.doc_id, c.poly_idx, c.name, c.admin
+  HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
+),
+ranked AS (
+  SELECT doc_id, name,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY admin ASC, poly_idx ASC) AS rmin
+  FROM ins
+),
+reg AS (
+  SELECT doc_id, MAX(CASE WHEN rmin = 1 THEN name END) AS region
+  FROM ranked GROUP BY doc_id
+)
+SELECT p.doc_id, r.region, d.w.nm AS nearest, d.w.d2 AS dist2,
+  CASE WHEN r.region IS NOT NULL THEN -d.w.d2 ELSE d.w.d2 END
+    AS signed_d2
+FROM pts p
+JOIN d ON p.doc_id = d.doc_id
+LEFT JOIN reg r ON p.doc_id = r.doc_id
+"""
+
+
+def _region_cte_sql(src: str, id_col: str) -> str:
+    """The q03 closed-form region assignment as reusable CTE text:
+    `reg({id_col}, region)` over source CTE `src` (which must
+    expose {id_col}, lat_i, lon_i)."""
+    ps = fixture_polyset()
+    pred = _CROSSING_PRED.format(lat="c.lat_i", lon="c.lon_i")
+    return f"""
+cedges(poly_idx, x1, y1, x2, y2) AS (VALUES {_edges_values(ps)}),
+polys(poly_idx, name, admin, bx1, by1, bx2, by2)
+  AS (VALUES {_polys_values(ps)}),
+cand AS (
+  SELECT s.{id_col}, s.lat_i, s.lon_i, po.poly_idx, po.name,
+         po.admin
+  FROM {src} s JOIN polys po
+    ON s.lon_i >= po.bx1 AND s.lon_i <= po.bx2
+   AND s.lat_i >= po.by1 AND s.lat_i <= po.by2
+),
+ins AS (
+  SELECT c.{id_col}, c.poly_idx, c.name, c.admin
+  FROM cand c JOIN cedges e ON e.poly_idx = c.poly_idx
+  GROUP BY c.{id_col}, c.poly_idx, c.name, c.admin
+  HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
+),
+ranked AS (
+  SELECT {id_col}, name,
+    ROW_NUMBER() OVER (PARTITION BY {id_col}
+                       ORDER BY admin ASC, poly_idx ASC) AS rmin
+  FROM ins
+),
+reg AS (
+  SELECT {id_col}, MAX(CASE WHEN rmin = 1 THEN name END) AS region
+  FROM ranked GROUP BY {id_col}
+)"""
+
+
+def q138_od_matrix(spark, sf_dir):
+    """Origin->destination region flow matrix (events.od_matrix):
+    events get deterministic planted coordinates (same hash spread
+    as document points), the region resolves in-row (q03's
+    Catalyst assign path, outside = 'OUT'), and each user's
+    time-ordered sequence contributes one trip per consecutive
+    pair. Single user-keyed shuffle; output bounded by
+    (#regions+1)^2."""
+    from .operators.events import od_matrix
+    from .operators.spatial import assign_regions
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(LAT_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lat_i"),
+        F.expr(LON_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lon_i"),
+    )
+    located = assign_regions(
+        ev, fixture_polyset(), keep_noregion=True
+    )
+    return od_matrix(located)
+
+
+def _od_matrix_oracle_sql() -> str:
+    lat = LAT_EXPR.replace("doc_id", "event_id")
+    lon = LON_EXPR.replace("doc_id", "event_id")
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts,
+         CAST({lat} AS BIGINT) AS lat_i,
+         CAST({lon} AS BIGINT) AS lon_i
+  FROM events
+),
+{_region_cte_sql("ev", "event_id")},
+r AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         COALESCE(g.region, 'OUT') AS region
+  FROM ev e LEFT JOIN reg g ON e.event_id = g.event_id
+),
+seq AS (
+  SELECT region AS to_region,
+    LAG(region) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS from_region
+  FROM r
+)
+SELECT from_region, to_region, COUNT(*) AS n_trips
+FROM seq WHERE from_region IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q05_knn_city(spark, sf_dir):
     """J8: exact kNN against broadcast gazetteer (k=3)."""
     terms, lat_i, lon_i, _ = gazetteer_arrays()
@@ -2816,6 +2995,70 @@ def q54_tile_pyramid(spark, sf_dir):
     return tile_pyramid(doc_points(spark, sf_dir), levels=4)
 
 
+_QT_CAP, _QT_LEAF, _QT_LEVELS = 8, 20, 6
+
+
+def q136_quadtree_tiles(spark, sf_dir):
+    """Adaptive quadtree tiling (tiles.quadtree_rollup): cells
+    split while population > 8, shifts 25 down to 20 — the
+    skew-adaptive tile materializer (hotspots get fine tiles,
+    sparse areas stay coarse). One shuffle over the corpus; the
+    whole tree decision runs on the per-leaf-cell count table."""
+    from .operators.tiles import quadtree_rollup
+
+    return quadtree_rollup(
+        doc_points(spark, sf_dir),
+        cap=_QT_CAP,
+        leaf_shift=_QT_LEAF,
+        levels=_QT_LEVELS,
+    )
+
+
+def _quadtree_oracle_sql() -> str:
+    top = _QT_LEVELS - 1
+    vals = ", ".join(
+        f"({lvl}, ((latb >> {top - lvl})"
+        f" * {1 << _lon_bits(_QT_LEAF + top - lvl)})"
+        f" + (lonb >> {top - lvl}))"
+        for lvl in range(_QT_LEVELS)
+    )
+    return f"""
+WITH {_PTS_CTE},
+fine AS (
+  SELECT (lat_i + {LAT_OFFSET}) >> {_QT_LEAF} AS latb,
+         (lon_i + {LON_OFFSET}) >> {_QT_LEAF} AS lonb, doc_id
+  FROM pts
+),
+fcnt AS (
+  SELECT latb, lonb, COUNT(*) AS n, MIN(doc_id) AS min_doc
+  FROM fine GROUP BY 1, 2
+),
+anc AS (
+  SELECT latb, lonb, n, min_doc, t.l, t.cell
+  FROM fcnt, LATERAL (VALUES {vals}) AS t(l, cell)
+),
+lvlcnt AS (
+  SELECT l, cell, SUM(n) AS ln FROM anc GROUP BY 1, 2
+),
+asg0 AS (
+  SELECT a.latb, a.lonb, MIN(a.n) AS n, MIN(a.min_doc) AS min_doc,
+         MIN(CASE WHEN c.ln <= {_QT_CAP}
+             THEN {{'l': a.l, 'cell': a.cell}} END) AS w
+  FROM anc a JOIN lvlcnt c ON a.l = c.l AND a.cell = c.cell
+  GROUP BY 1, 2
+),
+placed AS (
+  SELECT COALESCE(w.l, {top}) AS level,
+         COALESCE(w.cell,
+                  latb * {1 << _lon_bits(_QT_LEAF)} + lonb) AS qcell,
+         n, min_doc
+  FROM asg0
+)
+SELECT level, qcell, SUM(n) AS n_docs, MIN(min_doc) AS min_doc
+FROM placed GROUP BY 1, 2
+"""
+
+
 def q58_tile_incremental(spark, sf_dir):
     """C1 x G11: incremental tile-view maintenance — apply a
     changefile (mod-11 docs moved ~0.1 deg north, mod-17 docs
@@ -3447,6 +3690,8 @@ QUERIES = {
     "q129_hex_heatmap": q129_hex_heatmap,
     "q134_geohash": q134_geohash,
     "q135_geohash_rollup": q135_geohash_rollup,
+    "q137_border_distance": q137_border_distance,
+    "q138_od_matrix": q138_od_matrix,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -3530,6 +3775,7 @@ QUERIES = {
     "q49_tile_raster": q49_tile_raster,
     "q50_tile_vector": q50_tile_vector,
     "q54_tile_pyramid": q54_tile_pyramid,
+    "q136_quadtree_tiles": q136_quadtree_tiles,
     "q58_tile_incremental": q58_tile_incremental,
     "q59_url_dedup": q59_url_dedup,
     "q60_host_stats": q60_host_stats,
@@ -4001,6 +4247,7 @@ SELECT ((lat_i + {LAT_OFFSET}) >> {shift}) * {1 << lon_bits}
 FROM pts GROUP BY 1
 """,
         "q54_tile_pyramid": _pyramid_oracle(),
+        "q136_quadtree_tiles": _quadtree_oracle_sql(),
         "q58_tile_incremental": f"""
 WITH {_PTS_CTE},
 changes AS (
@@ -4162,6 +4409,8 @@ FROM pts GROUP BY 1
         "q129_hex_heatmap": _hex_oracle_sql(),
         "q134_geohash": _geohash_oracle_sql(),
         "q135_geohash_rollup": _geohash_rollup_oracle_sql(),
+        "q137_border_distance": _border_distance_oracle_sql(),
+        "q138_od_matrix": _od_matrix_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),

@@ -449,6 +449,17 @@ def q133_snap_geodesic(spark, sf_dir):
     return snap_to_ways_geodesic(nodes, ways, nodes, shift=20)
 
 
+def q139_bearing_octants(spark, sf_dir):
+    """Exact integer compass octants for every synthetic-trace
+    step (operators/linecover.bearing_octants): displacement,
+    squared length, and the [k*45,(k+1)*45)-degree sector from
+    pure int64 sign/diagonal comparisons — no atan2, no floats.
+    One trace-keyed window shuffle."""
+    from .operators.linecover import bearing_octants
+
+    return bearing_octants(_synth_traces(_nodes(spark, sf_dir)))
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -467,6 +478,7 @@ GRAPH_QUERIES = {
     "q131_viterbi_match": q131_viterbi_match,
     "q132_hop_distance": q132_hop_distance,
     "q133_snap_geodesic": q133_snap_geodesic,
+    "q139_bearing_octants": q139_bearing_octants,
 }
 
 _RELS_CTE = f"""
@@ -1111,6 +1123,37 @@ dcells AS (
   FROM pts
 )
 SELECT d.way_id, p.doc_id FROM dil d JOIN dcells p USING (cell)
+""",
+        "q139_bearing_octants": f"""
+WITH {pts_cte},
+tr AS (
+  SELECT p.doc_id AS trace_id, CAST(t.s AS BIGINT) AS step,
+    GREATEST(LEAST(p.lon_i + t.s * (((p.doc_id * 104729) % 262145)
+        - 131072), 1799000000), -1799000000) AS lon_i,
+    GREATEST(LEAST(p.lat_i + t.s * (((p.doc_id * 7919) % 262145)
+        - 131072), 899000000), -899000000) AS lat_i
+  FROM pts p CROSS JOIN LATERAL
+    (SELECT unnest(range(0, 5)) AS s) t
+  WHERE p.doc_id % 20 = 0
+),
+seq AS (
+  SELECT trace_id, step,
+    LEAD(lon_i) OVER w - lon_i AS dx,
+    LEAD(lat_i) OVER w - lat_i AS dy
+  FROM tr WINDOW w AS (PARTITION BY trace_id ORDER BY step)
+)
+SELECT trace_id, step, dx, dy,
+  CAST(CASE WHEN dx = 0 AND dy = 0 THEN -1
+       WHEN dx >= 0 AND dy > 0 AND dx < dy THEN 0
+       WHEN dx > 0 AND dy > 0 AND dx >= dy THEN 1
+       WHEN dx > 0 AND dy <= 0 AND -dy < dx THEN 2
+       WHEN dx > 0 AND dy < 0 AND -dy >= dx THEN 3
+       WHEN dx <= 0 AND dy < 0 AND -dx < -dy THEN 4
+       WHEN dx < 0 AND dy < 0 AND -dx >= -dy THEN 5
+       WHEN dx < 0 AND dy >= 0 AND dy < -dx THEN 6
+       ELSE 7 END AS BIGINT) AS octant,
+  dx * dx + dy * dy AS d2
+FROM seq WHERE dx IS NOT NULL
 """,
     }
 
