@@ -989,3 +989,103 @@ def bearing_octants(traces: DataFrame) -> DataFrame:
         octant.cast("long").alias("octant"),
         (dx * dx + dy * dy).cast("long").alias("d2"),
     )
+
+
+def trace_hausdorff_pairs(
+    traces: DataFrame, shift: int = 22
+) -> DataFrame:
+    """Discrete Hausdorff distance between nearby trace pairs,
+    exact int64: candidate pairs are traces sharing a radius-1
+    dilated grid cell of side S = 2**shift, then
+    H2 = max(max_i min_j d2, max_j min_i d2) over the step-point
+    matrix. Candidate completeness: if H <= S then every point of
+    A (in particular any one of them) lies within S of B, so the
+    pair shares a dilated cell — `within` (H2 <= S^2) is therefore
+    EXACTLY the set of all pairs at Hausdorff distance <= S, while
+    farther candidate pairs still report their true H2.
+
+    Scale: the self-join is cell-keyed (never all-pairs); the
+    d2 matrix is bounded by (#steps)^2 rows per candidate pair;
+    deltas within a candidate pair are bounded by ~3 cells + two
+    trace extents, so squares stay far inside int64. The shared
+    matrix is pinned with a lazy localCheckpoint because both
+    direction aggregates consume it."""
+    lon_bits = max(int((3_600_000_000 >> shift)).bit_length(), 1)
+    pack = 1 << lon_bits
+    latb = F.shiftright(F.col("lat_i") + 900000000, shift)
+    lonb = F.shiftright(F.col("lon_i") + 1800000000, shift)
+
+    tp = traces.select("trace_id", "step", "lat_i", "lon_i")
+    own = tp.select(
+        "trace_id", (latb * pack + lonb).alias("cell")
+    ).distinct()
+    neigh = F.array(
+        *[
+            (latb + dv) * pack + (lonb + du)
+            for dv in (-1, 0, 1)
+            for du in (-1, 0, 1)
+        ]
+    )
+    dil = (
+        tp.select("trace_id", F.explode(neigh).alias("cell"))
+        .distinct()
+        .withColumnRenamed("trace_id", "trace_b")
+    )
+    pairs = (
+        own.join(dil, "cell")
+        .where(F.col("trace_id") < F.col("trace_b"))
+        .select(F.col("trace_id").alias("trace_a"), "trace_b")
+        .distinct()
+    )
+
+    a = tp.select(
+        F.col("trace_id").alias("trace_a"),
+        F.col("step").alias("ai"),
+        F.col("lat_i").alias("alat"),
+        F.col("lon_i").alias("alon"),
+    )
+    b = tp.select(
+        F.col("trace_id").alias("trace_b"),
+        F.col("step").alias("bj"),
+        F.col("lat_i").alias("blat"),
+        F.col("lon_i").alias("blon"),
+    )
+    m = (
+        pairs.join(a, "trace_a")
+        .join(b, "trace_b")
+        .select(
+            "trace_a",
+            "trace_b",
+            "ai",
+            "bj",
+            (
+                (F.col("alat") - F.col("blat"))
+                * (F.col("alat") - F.col("blat"))
+                + (F.col("alon") - F.col("blon"))
+                * (F.col("alon") - F.col("blon"))
+            ).alias("d2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    h_ab = (
+        m.groupBy("trace_a", "trace_b", "ai")
+        .agg(F.min("d2").alias("md"))
+        .groupBy("trace_a", "trace_b")
+        .agg(F.max("md").alias("h_ab"))
+    )
+    h_ba = (
+        m.groupBy("trace_a", "trace_b", "bj")
+        .agg(F.min("d2").alias("md"))
+        .groupBy("trace_a", "trace_b")
+        .agg(F.max("md").alias("h_ba"))
+    )
+    s2 = 1 << (2 * shift)
+    return (
+        h_ab.join(h_ba, ["trace_a", "trace_b"])
+        .select(
+            "trace_a",
+            "trace_b",
+            F.greatest("h_ab", "h_ba").cast("long").alias("h2"),
+        )
+        .withColumn("within", F.col("h2") <= F.lit(s2))
+    )

@@ -449,6 +449,52 @@ def q133_snap_geodesic(spark, sf_dir):
     return snap_to_ways_geodesic(nodes, ways, nodes, shift=20)
 
 
+def q140_coverage_gaps(spark, sf_dir):
+    """Unmapped-hotspot detection: shift-20 grid cells that hold
+    documents but are crossed by NO way geometry — the per-cell
+    doc rollup anti-joined against the exact supercover of the
+    synthetic way network. Both sides are cell-keyed aggregates,
+    so the anti-join shuffles only per-cell rows (AQE handles the
+    megacity cell on the doc side)."""
+    from .operators.linecover import way_cell_cover
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    nodes = _nodes(spark, sf_dir)
+    cover = (
+        way_cell_cover(ways, nodes, shift=20)
+        .select("cell")
+        .distinct()
+    )
+    dcells = nodes.select(
+        (
+            F.shiftright(F.col("lat_i") + 900000000, 20) * 4096
+            + F.shiftright(F.col("lon_i") + 1800000000, 20)
+        ).alias("cell"),
+        "doc_id",
+    )
+    hot = dcells.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    return hot.join(cover, "cell", "left_anti")
+
+
+def q141_trace_hausdorff(spark, sf_dir):
+    """Trajectory similarity: exact discrete Hausdorff distance
+    between nearby synthetic traces
+    (operators/linecover.trace_hausdorff_pairs). Candidates come
+    from a radius-1 dilated cell self-join (side 2^22), never
+    all-pairs; `within` is provably the complete set of pairs at
+    H <= 2^22 — the same cell-geometry completeness argument as
+    the snap operators."""
+    from .operators.linecover import trace_hausdorff_pairs
+
+    return trace_hausdorff_pairs(
+        _synth_traces(_nodes(spark, sf_dir)), shift=22
+    )
+
+
 def q139_bearing_octants(spark, sf_dir):
     """Exact integer compass octants for every synthetic-trace
     step (operators/linecover.bearing_octants): displacement,
@@ -479,6 +525,8 @@ GRAPH_QUERIES = {
     "q132_hop_distance": q132_hop_distance,
     "q133_snap_geodesic": q133_snap_geodesic,
     "q139_bearing_octants": q139_bearing_octants,
+    "q140_coverage_gaps": q140_coverage_gaps,
+    "q141_trace_hausdorff": q141_trace_hausdorff,
 }
 
 _RELS_CTE = f"""
@@ -1123,6 +1171,83 @@ dcells AS (
   FROM pts
 )
 SELECT d.way_id, p.doc_id FROM dil d JOIN dcells p USING (cell)
+""",
+        "q140_coverage_gaps": f"""
+{g},
+{_COVER_CTES},
+cov AS (
+  SELECT cell FROM pcells UNION SELECT cell FROM scells
+),
+dcells AS (
+  SELECT ((lat_i + 900000000) >> 20) * 4096
+         + ((lon_i + 1800000000) >> 20) AS cell, doc_id
+  FROM pts
+),
+hot AS (
+  SELECT cell, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+  FROM dcells GROUP BY 1
+)
+SELECT h.cell, h.n_docs, h.min_doc
+FROM hot h LEFT JOIN cov c ON h.cell = c.cell
+WHERE c.cell IS NULL
+""",
+        "q141_trace_hausdorff": f"""
+WITH {pts_cte},
+tr AS (
+  SELECT p.doc_id AS trace_id, CAST(t.s AS BIGINT) AS step,
+    GREATEST(LEAST(p.lon_i + t.s * (((p.doc_id * 104729) % 262145)
+        - 131072), 1799000000), -1799000000) AS lon_i,
+    GREATEST(LEAST(p.lat_i + t.s * (((p.doc_id * 7919) % 262145)
+        - 131072), 899000000), -899000000) AS lat_i
+  FROM pts p CROSS JOIN LATERAL
+    (SELECT unnest(range(0, 5)) AS s) t
+  WHERE p.doc_id % 20 = 0
+),
+cl AS (
+  SELECT trace_id, (lat_i + 900000000) >> 22 AS latb,
+         (lon_i + 1800000000) >> 22 AS lonb
+  FROM tr
+),
+own AS (
+  SELECT DISTINCT trace_id, latb * 1024 + lonb AS cell FROM cl
+),
+dil AS (
+  SELECT DISTINCT trace_id AS trace_b,
+         (latb + dv.v) * 1024 + (lonb + du.u) AS cell
+  FROM cl
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS v) dv
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS u) du
+),
+prs AS (
+  SELECT DISTINCT o.trace_id AS trace_a, d.trace_b
+  FROM own o JOIN dil d ON o.cell = d.cell
+  WHERE o.trace_id < d.trace_b
+),
+m AS (
+  SELECT p.trace_a, p.trace_b, a.step AS ai, b.step AS bj,
+    (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+    + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i) AS d2
+  FROM prs p
+  JOIN tr a ON a.trace_id = p.trace_a
+  JOIN tr b ON b.trace_id = p.trace_b
+),
+hab AS (
+  SELECT trace_a, trace_b, MAX(md) AS h_ab FROM (
+    SELECT trace_a, trace_b, ai, MIN(d2) AS md
+    FROM m GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+hba AS (
+  SELECT trace_a, trace_b, MAX(md) AS h_ba FROM (
+    SELECT trace_a, trace_b, bj, MIN(d2) AS md
+    FROM m GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT hab.trace_a, hab.trace_b,
+       GREATEST(h_ab, h_ba) AS h2,
+       GREATEST(h_ab, h_ba) <= {1 << 44} AS within
+FROM hab JOIN hba
+  ON hab.trace_a = hba.trace_a AND hab.trace_b = hba.trace_b
 """,
         "q139_bearing_octants": f"""
 WITH {pts_cte},
