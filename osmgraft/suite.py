@@ -609,6 +609,110 @@ FROM seq WHERE from_region IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q142_density_clusters(spark, sf_dir):
+    """DBSCAN-style grid density clustering of the geocoded
+    corpus (operators/density.grid_density_clusters): cells of
+    side 2^22, core = 3x3 neighborhood holding >= 1/10 of the
+    placed corpus (scale-invariant minPts), components by the
+    engine's 12-pass bounded min-label idiom, border cells
+    attached, noise = null. Finds the megacity hotspot cluster;
+    one corpus shuffle, everything else on the per-cell table."""
+    from .operators.density import grid_density_clusters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    placed = docs.withColumn(
+        "_h",
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296),
+    ).where(F.col("_h") % 10 != 0)
+    pos = placed.select(
+        F.expr(
+            "case when _h % 10 <= 3 then 0"
+            " else (_h div 10) % 80 end"
+        ).alias("_city")
+    ).select(
+        (F.lit(472500000) + F.lit(4700000) * F.expr("_city div 10"))
+        .cast("long")
+        .alias("lat_i"),
+        (F.lit(102500000) + F.lit(3800000) * (F.col("_city") % 10))
+        .cast("long")
+        .alias("lon_i"),
+    )
+    return grid_density_clusters(pos, shift=22, density_denom=10)
+
+
+def _density_oracle_sql() -> str:
+    return """
+WITH RECURSIVE hashed AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+),
+placed AS (
+  SELECT CASE WHEN h % 10 <= 3 THEN 0
+              ELSE (h // 10) % 80 END AS city_idx
+  FROM hashed WHERE h % 10 <> 0
+),
+pos AS (
+  SELECT CAST(472500000 + 4700000 * (city_idx // 10) AS BIGINT)
+           AS lat_i,
+         CAST(102500000 + 3800000 * (city_idx % 10) AS BIGINT)
+           AS lon_i
+  FROM placed
+),
+c AS (
+  SELECT (lat_i + 900000000) >> 22 AS v,
+         (lon_i + 1800000000) >> 22 AS u,
+         COUNT(*) AS n_docs
+  FROM pos GROUP BY 1, 2
+),
+nb AS (
+  SELECT a.v, a.u, MIN(a.n_docs) AS n_docs, SUM(b.n_docs) AS nb9
+  FROM c a JOIN c b
+    ON b.v BETWEEN a.v - 1 AND a.v + 1
+   AND b.u BETWEEN a.u - 1 AND a.u + 1
+  GROUP BY a.v, a.u
+),
+cellsx AS (
+  SELECT v, u, v * 1024 + u AS cell, n_docs, nb9,
+         nb9 * 10 >= (SELECT SUM(n_docs) FROM c) AS is_core
+  FROM nb
+),
+core AS (SELECT cell, v, u FROM cellsx WHERE is_core),
+e0 AS (
+  SELECT a.cell AS ua, b.cell AS ub
+  FROM core a JOIN core b
+    ON b.v BETWEEN a.v - 1 AND a.v + 1
+   AND b.u BETWEEN a.u - 1 AND a.u + 1
+   AND a.cell <> b.cell
+),
+reach(u, w, pass) AS (
+  SELECT cell, cell, 0 FROM core
+  UNION
+  SELECT r.u, e.ub, r.pass + 1
+  FROM reach r JOIN e0 e ON e.ua = r.w
+  WHERE r.pass < 12
+),
+labels AS (
+  SELECT u AS cell, MIN(w) AS lbl FROM reach GROUP BY u
+),
+border AS (
+  SELECT x.cell, MIN(l.lbl) AS cluster
+  FROM cellsx x
+  JOIN core c2
+    ON c2.v BETWEEN x.v - 1 AND x.v + 1
+   AND c2.u BETWEEN x.u - 1 AND x.u + 1
+   AND c2.cell <> x.cell
+  JOIN labels l ON l.cell = c2.cell
+  WHERE NOT x.is_core
+  GROUP BY x.cell
+)
+SELECT x.cell, x.n_docs, x.nb9, x.is_core,
+       COALESCE(l.lbl, b.cluster) AS cluster
+FROM cellsx x
+LEFT JOIN labels l ON l.cell = x.cell
+LEFT JOIN border b ON b.cell = x.cell
+"""
+
+
 def q05_knn_city(spark, sf_dir):
     """J8: exact kNN against broadcast gazetteer (k=3)."""
     terms, lat_i, lon_i, _ = gazetteer_arrays()
@@ -3692,6 +3796,7 @@ QUERIES = {
     "q135_geohash_rollup": q135_geohash_rollup,
     "q137_border_distance": q137_border_distance,
     "q138_od_matrix": q138_od_matrix,
+    "q142_density_clusters": q142_density_clusters,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -4411,6 +4516,7 @@ FROM pts GROUP BY 1
         "q135_geohash_rollup": _geohash_rollup_oracle_sql(),
         "q137_border_distance": _border_distance_oracle_sql(),
         "q138_od_matrix": _od_matrix_oracle_sql(),
+        "q142_density_clusters": _density_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),
