@@ -3295,6 +3295,172 @@ def q60_host_stats(spark, sf_dir):
     return host_stats(docs.select("doc_id", url.alias("url")))
 
 
+def q143_host_geo_spread(spark, sf_dir):
+    """Per-registered-domain geographic footprint (webtext x geo
+    fusion): each document's planted point rolls up per eTLD+1
+    domain to doc count, distinct shift-20 tiles, the fixed-point
+    bbox, and the max axis span — the "is this site local or
+    global" signal used for geo-aware corpus mixing. One scan +
+    one domain-keyed shuffle; the eTLD+1 parse is pure codegen
+    (operators/urls.with_registered_domain)."""
+    from .operators.urls import with_registered_domain
+
+    pts = doc_points(spark, sf_dir)
+    d = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(
+            F.lit(".example.com"),
+            F.lit(".co.uk"),
+            F.lit(".org"),
+            F.lit(".com.au"),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    sub = (
+        F.when(d % 5 == 0, F.lit("www."))
+        .when(
+            d % 7 == 0,
+            F.concat(F.lit("sub"), (d % 3).cast("string"), F.lit(".")),
+        )
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.lit("host"),
+        (d % 23).cast("string"),
+        suffix,
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    withd = with_registered_domain(
+        pts.withColumn("url", url), "url", "reg_domain"
+    )
+    cell = (
+        F.shiftright(F.col("lat_i") + 900000000, 20) * 4096
+        + F.shiftright(F.col("lon_i") + 1800000000, 20)
+    )
+    agg = withd.groupBy("reg_domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(cell).cast("long").alias("n_cells"),
+        F.min("lat_i").alias("lat_min"),
+        F.max("lat_i").alias("lat_max"),
+        F.min("lon_i").alias("lon_min"),
+        F.max("lon_i").alias("lon_max"),
+    )
+    return agg.withColumn(
+        "span",
+        F.greatest(
+            F.col("lat_max") - F.col("lat_min"),
+            F.col("lon_max") - F.col("lon_min"),
+        ),
+    )
+
+
+_Q143_ORACLE = f"""
+WITH {_PTS_CTE},
+raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id%5=0 THEN 'www.'
+          WHEN doc_id%7=0 THEN 'sub' || CAST(doc_id%3 AS VARCHAR)
+            || '.'
+          ELSE '' END)
+    || 'host' || CAST(doc_id%23 AS VARCHAR)
+    || (CASE doc_id%4 WHEN 0 THEN '.example.com'
+         WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org'
+         ELSE '.com.au' END) AS host
+  FROM documents
+),
+reg AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 1,
+             len(string_split(host, '.'))), '.')
+           IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+               'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+               'co.in','co.kr','com.mx')
+         THEN array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 2,
+             len(string_split(host, '.'))), '.')
+         ELSE array_to_string(list_slice(string_split(host, '.'),
+             len(string_split(host, '.')) - 1,
+             len(string_split(host, '.'))), '.')
+    END AS reg_domain
+  FROM raw
+),
+j AS (
+  SELECT r.reg_domain, p.lat_i, p.lon_i,
+         ((p.lat_i + 900000000) >> 20) * 4096
+         + ((p.lon_i + 1800000000) >> 20) AS cell
+  FROM reg r JOIN pts p ON p.doc_id = r.doc_id
+),
+agg AS (
+  SELECT reg_domain, COUNT(*) AS n_docs,
+         COUNT(DISTINCT cell) AS n_cells,
+         MIN(lat_i) AS lat_min, MAX(lat_i) AS lat_max,
+         MIN(lon_i) AS lon_min, MAX(lon_i) AS lon_max
+  FROM j GROUP BY 1
+)
+SELECT *, GREATEST(lat_max - lat_min, lon_max - lon_min) AS span
+FROM agg
+"""
+
+
+def q144_region_text_stats(spark, sf_dir):
+    """Geo-sliced corpus report: token/length/long-doc rollups per
+    admin region (outside = 'OUT') — the per-region slice a
+    geo-aware training mix is built from. ONE scan of documents
+    (points derive from doc_id in-row, region resolves in the
+    same Catalyst pass), one bounded groupBy; sums stay integer so
+    the report is engine-exact."""
+    from .operators.spatial import assign_regions
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    pts = docs.select(
+        "doc_id",
+        "text",
+        F.expr(LAT_EXPR).cast("long").alias("lat_i"),
+        F.expr(LON_EXPR).cast("long").alias("lon_i"),
+    )
+    located = assign_regions(
+        pts, fixture_polyset(), keep_noregion=True
+    )
+    tl = F.length("text").cast("long")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return located.groupBy(
+        F.coalesce("region", F.lit("OUT")).alias("region")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("sum_tokens"),
+        F.sum(tl).cast("long").alias("sum_len"),
+        F.sum(F.when(tl >= 300, 1).otherwise(0))
+        .cast("long")
+        .alias("n_long"),
+    )
+
+
+def _region_text_oracle_sql() -> str:
+    return f"""
+WITH {_PTS_CTE},
+{_region_cte_sql("pts", "doc_id")},
+j AS (
+  SELECT COALESCE(g.region, 'OUT') AS region,
+    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(d.text) AS BIGINT) AS text_len
+  FROM documents d LEFT JOIN reg g ON d.doc_id = g.doc_id
+)
+SELECT region, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(text_len) AS BIGINT) AS sum_len,
+       CAST(SUM(CASE WHEN text_len >= 300 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_long
+FROM j GROUP BY 1
+"""
+
+
 def q61_corpus_filter(spark, sf_dir):
     """Composed corpus filter (FineWeb/CCNet shape): per-document
     keep verdict = lang=='en' AND len>=300 AND dup_frac<=0.2 AND
@@ -3797,6 +3963,8 @@ QUERIES = {
     "q137_border_distance": q137_border_distance,
     "q138_od_matrix": q138_od_matrix,
     "q142_density_clusters": q142_density_clusters,
+    "q143_host_geo_spread": q143_host_geo_spread,
+    "q144_region_text_stats": q144_region_text_stats,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -4517,6 +4685,8 @@ FROM pts GROUP BY 1
         "q137_border_distance": _border_distance_oracle_sql(),
         "q138_od_matrix": _od_matrix_oracle_sql(),
         "q142_density_clusters": _density_oracle_sql(),
+        "q143_host_geo_spread": _Q143_ORACLE,
+        "q144_region_text_stats": _region_text_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),
