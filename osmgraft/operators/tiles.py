@@ -384,7 +384,6 @@ def quadtree_rollup(
          non-increasing with depth.
       4. roll leaf stats up to the assigned node (algebraic).
     """
-    top = levels - 1
     fine = pts.select(
         F.shiftright(
             F.col(lat_col) + F.lit(LAT_OFFSET), leaf_shift
@@ -398,6 +397,22 @@ def quadtree_rollup(
         F.count("*").cast("long").alias("n"),
         F.min("doc_id").alias("min_doc"),
     )
+    return quadtree_from_counts(fcnt, cap, leaf_shift, levels)
+
+
+def quadtree_from_counts(
+    fcnt: DataFrame,
+    cap: int = 8,
+    leaf_shift: int = 20,
+    levels: int = 6,
+) -> DataFrame:
+    """The tree-decision half of quadtree_rollup, over a per-leaf-
+    cell count table (latb, lonb, n, min_doc) — steps 2-4 of the
+    scale plan. Separated so an incrementally-maintained leaf
+    count table (quadtree_rollup step 1 is the ONLY corpus-sized
+    pass) can re-derive the whole adaptive tree at count-table
+    cost."""
+    top = levels - 1
     cells = [
         F.shiftleft(
             F.shiftright(F.col("latb"), top - lvl),
@@ -441,3 +456,58 @@ def quadtree_rollup(
         F.sum("n").cast("long").alias("n_docs"),
         F.min("min_doc").alias("min_doc"),
     )
+
+
+def quadtree_rollup_incremental(
+    base_pts: DataFrame,
+    changes: DataFrame,
+    cap: int = 8,
+    leaf_shift: int = 20,
+    levels: int = 6,
+    key_col: str = "doc_id",
+    delete_col: str = "deleted",
+) -> DataFrame:
+    """Incrementally-maintained adaptive quadtree: apply a
+    changefile (key + new position + tombstone) to the LEAF COUNT
+    table by recomputing only affected leaf cells
+    (tile_rollup_incremental — the Iceberg partition-overwrite
+    idiom), then re-derive the whole tree with
+    quadtree_from_counts. Splits/merges anywhere in the tree are
+    handled for free because the tree decision is a pure function
+    of the count table and costs only count-table rows — the
+    corpus is never rescanned beyond the affected-cell slice.
+    At real scale base_pts' rollup is the stored artifact of the
+    previous build; here it derives in the same lineage so the
+    oracle can replay the post-change world from scratch."""
+    lb = _lon_bits(leaf_shift)
+
+    def with_leaf(df):
+        return df.withColumn(
+            "cell",
+            F.shiftleft(
+                F.shiftright(
+                    F.col("lat_i") + F.lit(LAT_OFFSET), leaf_shift
+                ),
+                lb,
+            ).bitwiseOR(
+                F.shiftright(
+                    F.col("lon_i") + F.lit(LON_OFFSET), leaf_shift
+                )
+            ),
+        )
+
+    bp = with_leaf(base_pts)
+    ch = with_leaf(changes)
+    base_tiles = tile_rollup(bp)
+    fcnt2 = tile_rollup_incremental(
+        base_tiles, bp, ch, key_col=key_col, delete_col=delete_col
+    )
+    fcnt = fcnt2.select(
+        F.shiftright(F.col("cell"), lb).alias("latb"),
+        F.col("cell").bitwiseAND(F.lit((1 << lb) - 1)).alias(
+            "lonb"
+        ),
+        F.col("n_docs").alias("n"),
+        "min_doc",
+    )
+    return quadtree_from_counts(fcnt, cap, leaf_shift, levels)

@@ -3118,7 +3118,7 @@ def q136_quadtree_tiles(spark, sf_dir):
     )
 
 
-def _quadtree_oracle_sql() -> str:
+def _quadtree_oracle_sql(src: str = "pts", extra: str = "") -> str:
     top = _QT_LEVELS - 1
     vals = ", ".join(
         f"({lvl}, ((latb >> {top - lvl})"
@@ -3127,11 +3127,11 @@ def _quadtree_oracle_sql() -> str:
         for lvl in range(_QT_LEVELS)
     )
     return f"""
-WITH {_PTS_CTE},
+WITH {_PTS_CTE},{extra}
 fine AS (
   SELECT (lat_i + {LAT_OFFSET}) >> {_QT_LEAF} AS latb,
          (lon_i + {LON_OFFSET}) >> {_QT_LEAF} AS lonb, doc_id
-  FROM pts
+  FROM {src}
 ),
 fcnt AS (
   SELECT latb, lonb, COUNT(*) AS n, MIN(doc_id) AS min_doc
@@ -3161,6 +3161,58 @@ placed AS (
 SELECT level, qcell, SUM(n) AS n_docs, MIN(min_doc) AS min_doc
 FROM placed GROUP BY 1, 2
 """
+
+
+_QT_CHANGES_CTE = """
+changes AS (
+  SELECT doc_id, lat_i + 1000000 AS lat_i, lon_i,
+         doc_id % 17 = 0 AS deleted
+  FROM pts WHERE doc_id % 11 = 0 OR doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, lat_i + 2000000, lon_i + 1500000, FALSE
+  FROM pts WHERE doc_id < 40
+),
+applied AS (
+  SELECT doc_id, lat_i, lon_i FROM pts
+  WHERE doc_id NOT IN (SELECT doc_id FROM changes)
+  UNION ALL
+  SELECT doc_id, lat_i, lon_i FROM changes WHERE NOT deleted
+),"""
+
+
+def q145_quadtree_incremental(spark, sf_dir):
+    """Incrementally-maintained adaptive quadtree
+    (tiles.quadtree_rollup_incremental): the q58 changefile (mod-11
+    docs moved, mod-17 deleted, 40 appended) refreshes ONLY the
+    affected leaf-cell counts, then the whole tree re-derives at
+    count-table cost — splits/merges anywhere in the tree for
+    free. The oracle recomputes the post-change quadtree from
+    scratch; equality proves the affected-set maintenance loses
+    nothing."""
+    from .operators.tiles import quadtree_rollup_incremental
+
+    pts = doc_points(spark, sf_dir)
+    moved = pts.filter(
+        (F.col("doc_id") % 11 == 0) | (F.col("doc_id") % 17 == 0)
+    ).select(
+        "doc_id",
+        (F.col("lat_i") + F.lit(1000000)).alias("lat_i"),
+        "lon_i",
+        (F.col("doc_id") % 17 == 0).alias("deleted"),
+    )
+    added = pts.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (F.col("lat_i") + F.lit(2000000)).alias("lat_i"),
+        (F.col("lon_i") + F.lit(1500000)).alias("lon_i"),
+        F.lit(False).alias("deleted"),
+    )
+    return quadtree_rollup_incremental(
+        pts,
+        moved.unionByName(added),
+        cap=_QT_CAP,
+        leaf_shift=_QT_LEAF,
+        levels=_QT_LEVELS,
+    )
 
 
 def q58_tile_incremental(spark, sf_dir):
@@ -4049,6 +4101,7 @@ QUERIES = {
     "q50_tile_vector": q50_tile_vector,
     "q54_tile_pyramid": q54_tile_pyramid,
     "q136_quadtree_tiles": q136_quadtree_tiles,
+    "q145_quadtree_incremental": q145_quadtree_incremental,
     "q58_tile_incremental": q58_tile_incremental,
     "q59_url_dedup": q59_url_dedup,
     "q60_host_stats": q60_host_stats,
@@ -4521,6 +4574,9 @@ FROM pts GROUP BY 1
 """,
         "q54_tile_pyramid": _pyramid_oracle(),
         "q136_quadtree_tiles": _quadtree_oracle_sql(),
+        "q145_quadtree_incremental": _quadtree_oracle_sql(
+            src="applied", extra=_QT_CHANGES_CTE
+        ),
         "q58_tile_incremental": f"""
 WITH {_PTS_CTE},
 changes AS (

@@ -83,3 +83,62 @@ def test_quadtree_offsets_match_cell_encode(spark):
     latb = (123456789 + LAT_OFFSET) >> shift
     lonb = (-987654321 + LON_OFFSET) >> shift
     assert r["qcell"] == (latb << _lon_bits(shift)) | lonb
+
+
+def test_incremental_equals_scratch_with_split_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.tiles import quadtree_rollup_incremental
+
+    # region X: exactly CAP docs (coarse node); adding 3 pushes it
+    # over -> must SPLIT. region Y: CAP+4 docs (split); deleting 5
+    # brings it under -> must MERGE back to the coarse node.
+    base = []
+    for k in range(CAP):
+        base.append((100 + k, 400000000 + k * 9000, 300000000 + k * 11000))
+    for k in range(CAP + 4):
+        base.append((200 + k, -500000000 + k * 9000, -700000000 + k * 11000))
+    base_df = spark.createDataFrame(
+        base, "doc_id long, lat_i long, lon_i long"
+    )
+    adds = [
+        (900 + j, 400000000 + j * 5000, 300000000 + j * 7000, False)
+        for j in range(3)
+    ]
+    dels = [
+        (200 + k, -500000000, -700000000, True) for k in range(5)
+    ]
+    ch_df = spark.createDataFrame(
+        adds + dels,
+        "doc_id long, lat_i long, lon_i long, deleted boolean",
+    )
+
+    inc = {
+        (r["level"], r["qcell"]): (r["n_docs"], r["min_doc"])
+        for r in quadtree_rollup_incremental(
+            base_df, ch_df, cap=CAP, leaf_shift=LEAF, levels=LEVELS
+        ).collect()
+    }
+    post = base_df.filter(~F.col("doc_id").isin([d[0] for d in dels])).unionByName(
+        spark.createDataFrame(
+            [(d, la, lo) for d, la, lo, _ in adds],
+            "doc_id long, lat_i long, lon_i long",
+        )
+    )
+    scratch = {
+        (r["level"], r["qcell"]): (r["n_docs"], r["min_doc"])
+        for r in quadtree_rollup(
+            post, cap=CAP, leaf_shift=LEAF, levels=LEVELS
+        ).collect()
+    }
+    assert inc == scratch
+    # the split happened: region X no longer fits one level-0 node
+    x_nodes = [
+        lv for (lv, _), (n, md) in inc.items() if md in (100, 900)
+    ]
+    assert any(lv > 0 for lv in x_nodes)
+    # the merge happened: region Y is back to a single level-0 node
+    y_nodes = [
+        (lv, n) for (lv, _), (n, md) in inc.items() if 200 <= md < 300
+    ]
+    assert y_nodes == [(0, CAP - 1)]
