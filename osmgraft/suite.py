@@ -713,6 +713,46 @@ LEFT JOIN border b ON b.cell = x.cell
 """
 
 
+def q146_region_raster(spark, sf_dir):
+    """Polygon -> filled raster mask
+    (spatial.rasterize_polygons): every shift-20 cell whose center
+    is inside each admin polygon — the region-mask primitive
+    (filled-area counterpart of the way supercover). Candidate
+    cells enumerate from the polygon bbox, bounded by raster
+    resolution, corpus-independent; parity is the same relational
+    ray cast as q127."""
+    from .operators.spatial import rasterize_polygons
+
+    return rasterize_polygons(spark, fixture_polyset(), shift=20)
+
+
+def _region_raster_oracle_sql() -> str:
+    ps = fixture_polyset()
+    pred = _CROSSING_PRED.format(lat="c._py", lon="c._px")
+    half = 1 << 19
+    return f"""
+WITH edges(poly_idx, x1, y1, x2, y2) AS (VALUES {_edges_values(ps)}),
+polys(poly_idx, name, admin, bx1, by1, bx2, by2)
+  AS (VALUES {_polys_values(ps)}),
+cand AS (
+  SELECT p.poly_idx, p.name, t.v, s.u,
+         (s.u << 20) + {half - 1800000000} AS _px,
+         (t.v << 20) + {half - 900000000} AS _py
+  FROM polys p
+  CROSS JOIN LATERAL (SELECT unnest(range(
+      (p.by1 + 900000000) >> 20,
+      ((p.by2 + 900000000) >> 20) + 1)) AS v) t
+  CROSS JOIN LATERAL (SELECT unnest(range(
+      (p.bx1 + 1800000000) >> 20,
+      ((p.bx2 + 1800000000) >> 20) + 1)) AS u) s
+)
+SELECT c.poly_idx, c.name, c.v * 4096 + c.u AS cell
+FROM cand c JOIN edges e ON e.poly_idx = c.poly_idx
+GROUP BY c.poly_idx, c.name, c.v, c.u
+HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
+"""
+
+
 def q05_knn_city(spark, sf_dir):
     """J8: exact kNN against broadcast gazetteer (k=3)."""
     terms, lat_i, lon_i, _ = gazetteer_arrays()
@@ -4017,6 +4057,7 @@ QUERIES = {
     "q142_density_clusters": q142_density_clusters,
     "q143_host_geo_spread": q143_host_geo_spread,
     "q144_region_text_stats": q144_region_text_stats,
+    "q146_region_raster": q146_region_raster,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -4743,6 +4784,7 @@ FROM pts GROUP BY 1
         "q142_density_clusters": _density_oracle_sql(),
         "q143_host_geo_spread": _Q143_ORACLE,
         "q144_region_text_stats": _region_text_oracle_sql(),
+        "q146_region_raster": _region_raster_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),
