@@ -242,3 +242,81 @@ def streaming_snap_probe(
             F.col("_best.dist2").alias("dist2"),
         )
     )
+
+
+def quadtree_maintenance_stream(
+    spark: SparkSession,
+    pts_path: str,
+    tree_out: str,
+    changes_dir: str,
+    checkpoint_dir: str,
+    cap: int = 8,
+    leaf_shift: int = 20,
+    levels: int = 6,
+):
+    """Continuously-maintained ADAPTIVE quadtree: each change
+    micro-batch refreshes only the affected leaf-cell counts
+    (operators/tiles.quadtree_rollup_incremental), then the whole
+    tree re-derives at count-table cost and the (small) tree
+    artifact is rewritten atomically — adaptive splits/merges
+    follow the hotspots as they move, while per-batch corpus work
+    stays O(|changes| + affected-cell rows).
+
+    Exactly-once across kills by the same order argument as
+    tile_maintenance_stream: the tree artifact is written BEFORE
+    the points snapshot swaps, so a re-run of a killed batch still
+    sees the old positions it needs and converges to the same
+    state (change_apply is idempotent; the tree write is a full
+    overwrite of a count-table-sized output)."""
+    from pyspark.sql import Window, functions as F
+
+    from ..operators.merge import change_apply
+    from ..operators.tiles import quadtree_rollup_incremental
+
+    stream = (
+        spark.readStream.schema(TILE_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .option("recursiveFileLookup", "true")
+        .parquet(changes_dir)
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sp = batch.sparkSession
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("seq").desc()
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "seq")
+        )
+        base = sp.read.parquet(pts_path)
+        tree = quadtree_rollup_incremental(
+            base,
+            latest,
+            cap=cap,
+            leaf_shift=leaf_shift,
+            levels=levels,
+        )
+        # 1) rewrite the tree artifact (count-table sized) ...
+        tmp_t = tree_out.rstrip("/") + f"__stage_{batch_id}"
+        tree.write.mode("overwrite").parquet(tmp_t)
+        sp.read.parquet(tmp_t).write.mode("overwrite").parquet(
+            tree_out
+        )
+        # 2) ... THEN swap the points snapshot
+        new_pts = change_apply(base, latest, ["doc_id"])
+        tmp_p = pts_path.rstrip("/") + f"__stage_{batch_id}"
+        new_pts.write.mode("overwrite").parquet(tmp_p)
+        sp.read.parquet(tmp_p).write.mode("overwrite").parquet(
+            pts_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
