@@ -753,6 +753,116 @@ HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
 """
 
 
+def q147_raster_fidelity(spark, sf_dir):
+    """Raster-approximation fidelity report: per polygon, the
+    exact ray-cast document count vs the count under the shift-20
+    raster mask (cell-center membership), plus the mask size — the
+    audit that tells you whether mask-lookup assignment (one
+    equi-join, no geometry) is good enough at a given resolution.
+    All three aggregates are per-poly relational passes over
+    broadcast literal edges / the corpus cell rollup."""
+    from .operators.spatial import polyset_frames, rasterize_polygons
+
+    ps = fixture_polyset()
+    pts = doc_points(spark, sf_dir)
+    edges, polys = polyset_frames(spark, ps)
+
+    mask = rasterize_polygons(spark, ps, shift=20)
+    n_cells = mask.groupBy("poly_idx", "name").agg(
+        F.count("*").cast("long").alias("n_cells")
+    )
+
+    dcells = pts.select(
+        (
+            F.shiftright(F.col("lat_i") + 900000000, 20) * 4096
+            + F.shiftright(F.col("lon_i") + 1800000000, 20)
+        ).alias("cell")
+    ).groupBy("cell").agg(F.count("*").cast("long").alias("nd"))
+    raster_n = (
+        mask.join(dcells, "cell")
+        .groupBy("poly_idx")
+        .agg(F.sum("nd").cast("long").alias("n_docs_raster"))
+    )
+
+    cand = pts.crossJoin(F.broadcast(edges))
+    n1 = F.col("y1") > F.col("lat_i")
+    n2 = F.col("y2") > F.col("lat_i")
+    south = (F.col("lat_i") - F.col("y1")) * (
+        F.col("x2") - F.col("x1")
+    ) < (F.col("lon_i") - F.col("x1")) * (
+        F.col("y2") - F.col("y1")
+    )
+    cross = (
+        (F.col("x1") <= F.col("lon_i"))
+        & (F.col("lon_i") < F.col("x2"))
+        & ((n1 & n2) | ((n1 != n2) & south))
+    )
+    exact_n = (
+        cand.groupBy("doc_id", "poly_idx")
+        .agg(F.sum(F.when(cross, 1).otherwise(0)).alias("_c"))
+        .where(F.col("_c") % 2 == 1)
+        .groupBy("poly_idx")
+        .agg(F.count("*").cast("long").alias("n_docs_exact"))
+    )
+
+    return (
+        n_cells.join(raster_n, "poly_idx", "left")
+        .join(exact_n, "poly_idx", "left")
+        .select(
+            "poly_idx",
+            "name",
+            "n_cells",
+            F.coalesce("n_docs_raster", F.lit(0)).alias(
+                "n_docs_raster"
+            ),
+            F.coalesce("n_docs_exact", F.lit(0)).alias(
+                "n_docs_exact"
+            ),
+        )
+    )
+
+
+def _raster_fidelity_oracle_sql() -> str:
+    ps = fixture_polyset()
+    mask_sql = _region_raster_oracle_sql().strip()
+    pred = _CROSSING_PRED.format(lat="p.lat_i", lon="p.lon_i")
+    return f"""
+WITH {_PTS_CTE},
+mask AS ({mask_sql}),
+ncells AS (
+  SELECT m.poly_idx, m.name, COUNT(*) AS n_cells
+  FROM mask m GROUP BY 1, 2
+),
+dcells AS (
+  SELECT ((lat_i + 900000000) >> 20) * 4096
+         + ((lon_i + 1800000000) >> 20) AS cell,
+         COUNT(*) AS nd
+  FROM pts GROUP BY 1
+),
+rn AS (
+  SELECT m.poly_idx, SUM(d.nd) AS n_docs_raster
+  FROM mask m JOIN dcells d ON m.cell = d.cell GROUP BY 1
+),
+pedges(poly_idx, x1, y1, x2, y2) AS (VALUES {_edges_values(ps)}),
+en AS (
+  SELECT poly_idx, COUNT(*) AS n_docs_exact FROM (
+    SELECT p.doc_id, e.poly_idx
+    FROM pts p CROSS JOIN pedges e
+    GROUP BY p.doc_id, e.poly_idx
+    HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
+  ) GROUP BY 1
+)
+SELECT c.poly_idx, c.name, c.n_cells,
+       CAST(COALESCE(r.n_docs_raster, 0) AS BIGINT)
+         AS n_docs_raster,
+       CAST(COALESCE(e.n_docs_exact, 0) AS BIGINT)
+         AS n_docs_exact
+FROM ncells c
+LEFT JOIN rn r ON r.poly_idx = c.poly_idx
+LEFT JOIN en e ON e.poly_idx = c.poly_idx
+"""
+
+
 def q05_knn_city(spark, sf_dir):
     """J8: exact kNN against broadcast gazetteer (k=3)."""
     terms, lat_i, lon_i, _ = gazetteer_arrays()
@@ -4058,6 +4168,7 @@ QUERIES = {
     "q143_host_geo_spread": q143_host_geo_spread,
     "q144_region_text_stats": q144_region_text_stats,
     "q146_region_raster": q146_region_raster,
+    "q147_raster_fidelity": q147_raster_fidelity,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -4785,6 +4896,7 @@ FROM pts GROUP BY 1
         "q143_host_geo_spread": _Q143_ORACLE,
         "q144_region_text_stats": _region_text_oracle_sql(),
         "q146_region_raster": _region_raster_oracle_sql(),
+        "q147_raster_fidelity": _raster_fidelity_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
 cities(neighbor, clat, clon) AS (VALUES {cities}),
