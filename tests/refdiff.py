@@ -31,7 +31,16 @@ def build_refbin() -> bool:
     if not src.exists():
         return False
     REFBIN.mkdir(exist_ok=True)
-    for tool in ("osmconvert", "osmfilter", "osmassignpoly"):
+    for tool in (
+        "osmconvert",
+        "osmfilter",
+        "osmassignpoly",
+        "osmrelpoly",
+        "osmgeobase",
+        "osmposition",
+        "osmchange",
+        "pbftoosm",
+    ):
         out = REFBIN / tool
         if out.exists():
             continue

@@ -14,8 +14,13 @@ from osmgraft.geo.rings import assemble_rings
 
 REFBIN = "/root/repo/.refbin"
 
+from .refdiff import build_refbin, have_refbin
+
 pytestmark = pytest.mark.skipif(
-    not os.path.exists(f"{REFBIN}/osmconvert"),
+    not (
+        (have_refbin() and os.path.exists(f"{REFBIN}/osmrelpoly"))
+        or build_refbin()
+    ),
     reason="reference binaries not built",
 )
 
