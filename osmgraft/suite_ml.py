@@ -659,6 +659,82 @@ FROM lab
 """
 
 
+def q149_sq8_rescore(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (operators/sq.sq8_topk): per-dim
+    min/max byte codes, integer-dot candidate generation (top 12,
+    ties -> lowest id), exact fixed-point cosine rescore, final
+    top-3 per query — the 4x-compression storage-bound sibling of
+    q31 (exact), q45/q47 (LSH/IVF routing) and q89/q90 (PQ)."""
+    from .suite import load
+    from .operators.sq import sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, F.col("vec_id") % 50 == 0, k=3, n_cand=12)
+
+
+# Oracle twin of sq8_topk: same fixed-point quantization, exploded
+# (vec_id, dim) rows joined on dim for bounds/codes/dots — integer
+# arithmetic end-to-end, so floor(num/span) and every score are
+# exact in both engines (see operators/sq.py docstring).
+_SQ8_ORACLE = """
+WITH e AS (
+  SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS dim
+  FROM (
+    SELECT vec_id,
+      list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+  )
+),
+bounds AS (
+  SELECT dim, MIN(q) AS mn, MAX(q) AS mx FROM e GROUP BY dim
+),
+codes AS (
+  SELECT e.vec_id, e.dim,
+    CASE WHEN b.mx > b.mn
+      THEN CAST(floor(((e.q - b.mn) * 255) / (b.mx - b.mn)) AS BIGINT)
+      ELSE 0 END AS code
+  FROM e JOIN bounds b USING (dim)
+),
+qids AS (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    SUM(qc.code * c.code) AS sq8_score
+  FROM qids q
+  JOIN codes qc ON qc.vec_id = q.vec_id
+  JOIN codes c ON c.dim = qc.dim AND c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+top_cand AS (
+  SELECT query_id, neighbor_id, sq8_score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY sq8_score DESC, neighbor_id ASC) AS cr
+  FROM cand
+),
+n2 AS (SELECT vec_id, SUM(q * q) AS n2 FROM e GROUP BY vec_id),
+rescored AS (
+  SELECT t.query_id, t.neighbor_id, t.sq8_score,
+    (SELECT SUM(a.q * b.q) FROM e a JOIN e b
+       ON a.dim = b.dim AND a.vec_id = t.neighbor_id
+      AND b.vec_id = t.query_id)
+      / sqrt(qn.n2) / sqrt(nn.n2) AS c
+  FROM top_cand t
+  JOIN n2 qn ON qn.vec_id = t.query_id
+  JOIN n2 nn ON nn.vec_id = t.neighbor_id
+  WHERE t.cr <= 12
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sq8_score, c,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+  CAST(sq8_score AS BIGINT) AS sq8_score, round(c, 6) AS cos_r
+FROM ranked WHERE rank <= 3
+"""
+
+
 ML_QUERIES = {
     "q29_minhash_lsh": q29_minhash_lsh,
     "q30_simhash": q30_simhash,
@@ -670,6 +746,7 @@ ML_QUERIES = {
     "q57_semantic_dedup": q57_semantic_dedup,
     "q45_embed_ann_banded": q45_embed_ann_banded,
     "q47_embed_ann_ivf": q47_embed_ann_ivf,
+    "q149_sq8_rescore": q149_sq8_rescore,
 }
 
 
@@ -685,4 +762,5 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q57_semantic_dedup": _semantic_keep_oracle(),
         "q45_embed_ann_banded": _ann_banded_oracle(),
         "q47_embed_ann_ivf": _IVF_ORACLE,
+        "q149_sq8_rescore": _SQ8_ORACLE,
     }
