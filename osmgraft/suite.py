@@ -1067,6 +1067,82 @@ FROM seg
 """
 
 
+def q148_bpe_learn(spark, sf_dir):
+    """BPE merge LEARNING at corpus scale
+    (operators/tokenizer.bpe_train): the first 4 merges learned
+    from the documents corpus — per iteration ONE distributed
+    pair-count job over the cached vocabulary, a 1-row argmax
+    collect (count desc, then the SEP-joined pair string for
+    determinism), and an in-row fold applying the merge. Completes
+    the tokenizer trilogy: q74 (per-iteration statistics), q148
+    (the training loop itself), q77 (applying a merge table). The
+    learned table is driver-sized by construction (4 rows), so
+    returning it as a created DataFrame is the honest shape — the
+    corpus never leaves the executors."""
+    from .operators.tokenizer import bpe_train
+
+    merges = bpe_train(load(spark, sf_dir, "documents"), 4)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank long, lhs string, rhs string",
+    )
+
+
+def _q148_oracle(n_merges: int = 4) -> str:
+    """Oracle twin of bpe_train, fully unrolled: iteration state is
+    the marker-bracketed segment string per vocabulary word (the
+    q77 representation, injective in the word), pair counts come
+    from adjacent positions of the split symbol list, the argmax
+    tie-breaks on the chr(31)-joined pair exactly like the Spark
+    orderBy, and applying a merge is ONE boundary-safe replace()
+    (left-to-right non-overlapping — the fold's semantics, proved
+    in tests/test_tokenizer.py)."""
+    parts = [
+        """
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (
+  SELECT regexp_replace(word, '(.)',
+           chr(31) || '\\1' || chr(30), 'g') AS seg, n
+  FROM wc
+)"""
+    ]
+    for i in range(n_merges):
+        parts.append(f""",
+t{i} AS (
+  SELECT seg, n, unnest(syms) AS sym,
+         generate_subscripts(syms, 1) AS pos
+  FROM (SELECT seg, n,
+          string_split(substr(seg, 2, length(seg) - 2),
+                       chr(30) || chr(31)) AS syms
+        FROM v{i})
+),
+m{i} AS (
+  SELECT a.sym AS l, b.sym AS r
+  FROM t{i} a JOIN t{i} b
+    ON a.seg = b.seg AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+  ORDER BY SUM(a.n) DESC, a.sym || chr(31) || b.sym
+  LIMIT 1
+),
+v{i + 1} AS (
+  SELECT replace(v.seg,
+           chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+           chr(31) || m.l || m.r || chr(30)) AS seg, v.n
+  FROM v{i} v, m{i} m
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank,"
+        f" l AS lhs, r AS rhs FROM m{i}"
+        for i in range(n_merges)
+    )
+    return "".join(parts) + "\n" + sel
+
+
 def q75_mix_plan(spark, sf_dir):
     """Temperature-based corpus-mixing plan over (lang, source)
     strata (operators/text.mix_plan): sqrt-weighted mixture with a
@@ -4185,6 +4261,7 @@ QUERIES = {
     "q75_mix_plan": q75_mix_plan,
     "q76_dsir_lean": q76_dsir_lean,
     "q77_bpe_segment": q77_bpe_segment,
+    "q148_bpe_learn": q148_bpe_learn,
     "q78_sessionize": q78_sessionize,
     "q114_retention_cohorts": q114_retention_cohorts,
     "q117_event_spikes": q117_event_spikes,
@@ -5031,6 +5108,7 @@ SELECT lang, source, n_docs, n_tokens,
 FROM w, z
 """,
         "q77_bpe_segment": _q77_oracle(),
+        "q148_bpe_learn": _q148_oracle(),
         "q82_kmeans_ivf_train": _kmeans_oracle(),
         "q87_ivf_trained": _ivf_trained_oracle(),
         "q88_incremental_dedup": _q88_oracle(),
