@@ -207,3 +207,55 @@ def od_matrix(
     return steps.groupBy("from_region", "to_region").agg(
         F.count("*").cast("long").alias("n_trips")
     )
+
+
+def interval_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance_s: int = 300,
+) -> DataFrame:
+    """Batch interval join: every (left event, right event) pair of
+    the same user with |right.ts - left.ts| <= tolerance_s, gap in
+    exact microseconds. The streaming twin is
+    streaming/joins.streaming_interval_join (same join condition,
+    watermark-bounded state).
+
+    Scale shape: ONE equi-join keyed on user_id (sort-merge or
+    shuffled-hash as AQE picks; the range predicate rides along as
+    the join's secondary condition), so cost is one user-keyed
+    shuffle per side — never a cross product. Per-user pair count
+    is bounded by activity x tolerance; a pathological single-user
+    feed is the documented skew case (AQE skew-join splits it).
+
+    Inputs carry (user_id, event_id, ts); timestamps compare as
+    unix_micros longs so the gap is integer-exact in any engine
+    (the parquet ts is NTZ — the cast to instant applies one
+    consistent session offset to both sides, which cancels in the
+    gap)."""
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lf = left.select(
+        "user_id",
+        F.col("event_id").alias("left_id"),
+        us("ts").alias("lus"),
+    )
+    rt = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("right_id"),
+        us("ts").alias("rus"),
+    )
+    tol_us = int(tolerance_s) * 1_000_000
+    return (
+        lf.join(
+            rt,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("rus") >= F.col("lus") - F.lit(tol_us))
+            & (F.col("rus") <= F.col("lus") + F.lit(tol_us)),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "left_id",
+            "right_id",
+            F.abs(F.col("rus") - F.col("lus")).alias("gap_us"),
+        )
+    )

@@ -1185,6 +1185,22 @@ def q117_event_spikes(spark, sf_dir):
     return event_spikes(load(spark, sf_dir, "events"))
 
 
+def q150_interval_join(spark, sf_dir):
+    """Batch interval join (events.interval_pairs): every error
+    event paired with the same user's click events within ±1800 s,
+    gap in exact microseconds — one user-keyed equi-join with the
+    range as a secondary predicate (never a cross product); the
+    stream-stream twin is streaming/joins.streaming_interval_join."""
+    from .operators.events import interval_pairs
+
+    ev = load(spark, sf_dir, "events")
+    return interval_pairs(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        tolerance_s=1800,
+    )
+
+
 def q118_star_rollup(spark, sf_dir):
     """Classic star join over the relational side tables: orders
     joined to the customer and nation dims (both broadcast — tiny
@@ -4265,6 +4281,7 @@ QUERIES = {
     "q78_sessionize": q78_sessionize,
     "q114_retention_cohorts": q114_retention_cohorts,
     "q117_event_spikes": q117_event_spikes,
+    "q150_interval_join": q150_interval_join,
     "q118_star_rollup": q118_star_rollup,
     "q119_triangles": q119_triangles,
     "q121_grouped_quantiles": q121_grouped_quantiles,
@@ -5332,6 +5349,21 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1, 2
+""",
+        "q150_interval_join": """
+WITH l AS (
+  SELECT user_id, event_id AS left_id, epoch_us(ts) AS lus
+  FROM events WHERE event_type = 'error'
+),
+r AS (
+  SELECT user_id, event_id AS right_id, epoch_us(ts) AS rus
+  FROM events WHERE event_type = 'click'
+)
+SELECT l.user_id, l.left_id, r.right_id,
+       CAST(abs(r.rus - l.lus) AS BIGINT) AS gap_us
+FROM l JOIN r ON r.user_id = l.user_id
+ AND r.rus >= l.lus - 1800000000
+ AND r.rus <= l.lus + 1800000000
 """,
         "q117_event_spikes": """
 WITH hc AS (
