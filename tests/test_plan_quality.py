@@ -358,3 +358,47 @@ def test_star_rollup_broadcasts_dims(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_sq8_plan_broadcasts_query_side(spark):
+    """q149: the query-code and query-vector sides ride broadcast
+    joins; no CartesianProduct anywhere; encode stays map-only up
+    to the candidate window (the only Exchanges are the per-query
+    windows and the tiny bounds agg)."""
+    from osmgraft.operators.sq import sq8_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 17 + d) % 11) for d in range(8)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(sq8_topk(emb, F.col("vec_id") % 20 == 0, k=2, n_cand=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_interval_join_is_keyed_never_cartesian(spark):
+    """q150: the range predicate must ride a user-keyed equi-join
+    (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin), never a
+    cartesian/broadcast-nested-loop over the full event table."""
+    from osmgraft.operators.events import interval_pairs
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 0{i % 10}:00:0{i % 6}", i % 7,
+          "error" if i % 3 == 0 else "click")
+         for i in range(200)],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df = interval_pairs(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        tolerance_s=600,
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
