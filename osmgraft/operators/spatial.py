@@ -347,6 +347,79 @@ def assign_regions_cover(
     return out
 
 
+def assign_regions_rtree(
+    df: DataFrame,
+    polyset: PolygonSet,
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+    keep_noregion: bool = False,
+    cap: int = 16,
+) -> DataFrame:
+    """`assign_regions` routed through a broadcast STR-packed
+    polygon R-tree (geo/rtree.py).
+
+    Identical output to `assign_regions` (same oracle; randomized
+    equality tested in tests/test_rtree.py): the tree returns
+    exactly the per-polygon bbox candidates of the linear scan, and
+    the same order-dependent admin-level state machine runs over
+    them. Different physical work: candidate discovery is an
+    O(log P) MBR descent instead of an O(P) bbox sweep per batch —
+    the right strategy when the polygon set is large (thousands of
+    admin boundaries) and most polygons never see a given batch's
+    points.
+
+    At 100 TB: the packed tree is a few int64 arrays (~64 B per
+    polygon), broadcast once per executor; the point side never
+    shuffles — one scan, one Arrow stage, zero Exchange, the same
+    plan shape assign_regions is plan-tested to.
+    """
+    from ..geo.rtree import assign_polygons_rtree, build_polyset_rtree
+
+    if len(polyset) and not keep_noregion:
+        gx1, gy1, gx2, gy2 = polyset.global_bbox
+        df = df.filter(
+            bbox_contains(F.col(lon_col), F.col(lat_col),
+                          gx1, gy1, gx2, gy2)
+        )
+    tree = build_polyset_rtree(polyset, cap=cap)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((polyset, tree))
+    admin_by_idx = polyset.admin_levels
+
+    @F.pandas_udf(_ASSIGN_SCHEMA)
+    def _assign(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        ps, tr = bc.value
+        r, s = assign_polygons_rtree(
+            lon.fillna(2_000_000_000).to_numpy("int64"),
+            lat.fillna(2_000_000_000).to_numpy("int64"),
+            ps,
+            tr,
+        )
+        names = np.array(list(ps.names) + [None], dtype=object)
+        admins = np.append(admin_by_idx, 0)
+        adm = pd.Series(admins[r], dtype="Int32")
+        adm[r < 0] = None
+        return pd.DataFrame(
+            {"region": names[r], "subregion": names[s],
+             "region_admin": adm}
+        )
+
+    _assign = _assign.asNondeterministic()  # see assign_regions
+
+    out = df.withColumn("_a", _assign(F.col(lat_col), F.col(lon_col)))
+    out = (
+        out.withColumn("region", F.col("_a.region"))
+        .withColumn("subregion", F.col("_a.subregion"))
+        .withColumn("region_admin", F.col("_a.region_admin"))
+        .drop("_a")
+    )
+    if not keep_noregion:
+        out = out.filter(F.col("region").isNotNull())
+    return out
+
+
 def filter_border(
     df: DataFrame,
     edgeset,

@@ -20,7 +20,12 @@ from .fixtures import fixture_polyset, gazetteer_arrays
 from .geo.cells import DEFAULT_SHIFT, LAT_OFFSET, LON_OFFSET, _lon_bits
 from .operators.knn import knn_broadcast, radius_pairs
 from .operators.merge import diff, subtract, union_dedup
-from .operators.spatial import assign_regions, filter_border, with_cell
+from .operators.spatial import (
+    assign_regions,
+    assign_regions_rtree,
+    filter_border,
+    with_cell,
+)
 from .operators.text import (
     dedup_exact,
     fingerprint,
@@ -306,6 +311,17 @@ def q03_assign_regions(spark, sf_dir):
     """G1/J5: flagship N-polygon assignment with admin tie-break."""
     pts = doc_points(spark, sf_dir)
     out = assign_regions(pts, fixture_polyset())
+    return out.select("doc_id", "region", "subregion")
+
+
+def q151_assign_rtree(spark, sf_dir):
+    """G1/J5 via the broadcast STR-packed polygon R-tree
+    (geo/rtree.py, spatial.assign_regions_rtree): same assignment
+    semantics and oracle as q03, different candidate-discovery
+    physics — O(log P) MBR descent instead of the O(P) bbox sweep,
+    the scale path for thousands-of-polygons boundary sets."""
+    pts = doc_points(spark, sf_dir)
+    out = assign_regions_rtree(pts, fixture_polyset(), cap=4)
     return out.select("doc_id", "region", "subregion")
 
 
@@ -4250,6 +4266,7 @@ QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
     "q02_pip_border": q02_pip_border,
     "q03_assign_regions": q03_assign_regions,
+    "q151_assign_rtree": q151_assign_rtree,
     "q04_cell_tiles": q04_cell_tiles,
     "q129_hex_heatmap": q129_hex_heatmap,
     "q134_geohash": q134_geohash,
@@ -4967,6 +4984,7 @@ WHERE lon_i >= 110000000 AND lon_i <= 125000000
 """,
         "q02_pip_border": pip_oracle_sql(),
         "q03_assign_regions": assign_oracle_sql(),
+        "q151_assign_rtree": assign_oracle_sql(),
         # same semantics, different physical plan (no broadcast):
         # the oracle is intentionally shared with q03
         "q127_assign_partitioned": assign_oracle_sql(),
