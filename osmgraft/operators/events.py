@@ -259,3 +259,123 @@ def interval_pairs(
             F.abs(F.col("rus") - F.col("lus")).alias("gap_us"),
         )
     )
+
+
+def stay_points(
+    located: DataFrame,
+    min_dwell_s: int = 3600,
+    min_points: int = 2,
+) -> DataFrame:
+    """Trajectory stay-point / dwell detection (the tile-run
+    variant of Li et al.'s stay-point construction, "Mining user
+    similarity based on location history", ACM GIS 2008): a stay
+    is a MAXIMAL run of a user's consecutive fixes that land in
+    the same tile cell, kept when it spans >= min_points fixes and
+    >= min_dwell_s seconds. Input: (user_id, event_id, ts, cell);
+    output one row per stay: (user_id, cell, enter_event_id,
+    exit_event_id, n_points, dwell_us).
+
+    Same gaps-and-islands shape as sessionize — the island key is
+    the CELL changing rather than a time gap: ONE user-keyed
+    shuffle, then lag/run-sum/aggregate all inside the partition;
+    the run groupBy reuses the window's partitioning so the plan
+    carries a single Exchange. Per-user state is one user's
+    history; dwell is integer microseconds (unix_micros on both
+    engines' side, NTZ session offset cancels in the difference).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    is_new = F.when(
+        F.lag("cell").over(w).isNull()
+        | (F.lag("cell").over(w) != F.col("cell")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    runs = located.select(
+        "user_id",
+        "event_id",
+        "cell",
+        us.alias("tus"),
+        F.sum(is_new).over(wrun).alias("run_id"),
+    )
+    out = (
+        runs.groupBy("user_id", "run_id", "cell")
+        .agg(
+            F.min_by("event_id", F.struct("tus", "event_id")).alias(
+                "enter_event_id"
+            ),
+            F.max_by("event_id", F.struct("tus", "event_id")).alias(
+                "exit_event_id"
+            ),
+            F.count("*").cast("long").alias("n_points"),
+            (F.max("tus") - F.min("tus")).alias("dwell_us"),
+        )
+        .where(
+            (F.col("n_points") >= F.lit(int(min_points)))
+            & (F.col("dwell_us") >= F.lit(int(min_dwell_s) * 1_000_000))
+        )
+    )
+    return out.select(
+        "user_id",
+        "cell",
+        "enter_event_id",
+        "exit_event_id",
+        "n_points",
+        "dwell_us",
+    )
+
+
+def colocation_pairs(
+    located: DataFrame,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Spatio-temporal co-location join (the contact-graph
+    primitive): every unordered pair of DISTINCT users observed in
+    the SAME tile cell during the SAME time bucket, with encounter
+    counts. Input (user_id, ts, cell); output (user_a, user_b,
+    n_encounters, n_cells) with user_a < user_b.
+
+    Scale shape: presence is first deduped to one row per (user,
+    cell, bucket) — a single composite-key aggregate that bounds
+    the join input by #users x #occupied buckets — then ONE
+    self-equi-join on (cell, bucket) builds the pairs. Never a
+    cross product; the join key carries both dimensions. Dense
+    (cell, bucket) groups are the operator's inherent output (k
+    users -> k(k-1)/2 pairs); AQE skew-join splits the megacity
+    hotspot groups, and a coarser bucket_s / finer cell shift are
+    the two knobs that cap group size at planet scale.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket_us = int(bucket_s) * 1_000_000
+    pres = (
+        located.select("user_id", "cell", us.alias("tus"))
+        .select(
+            "user_id",
+            "cell",
+            # integer division: exact on both engines (epoch micros
+            # are non-negative, so div == floor-div)
+            F.expr(f"tus div {bucket_us}").cast("long").alias("bucket"),
+        )
+        .distinct()
+    )
+    a = pres.select(
+        F.col("user_id").alias("user_a"), "cell", "bucket"
+    )
+    b = pres.select(
+        F.col("user_id").alias("user_b"),
+        F.col("cell").alias("b_cell"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("b_cell"))
+            & (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count("*").cast("long").alias("n_encounters"),
+            F.countDistinct("cell").cast("long").alias("n_cells"),
+        )
+    )

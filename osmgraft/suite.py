@@ -1217,6 +1217,132 @@ def q150_interval_join(spark, sf_dir):
     )
 
 
+_STAY_SHIFT = 24
+
+
+def q152_stay_points(spark, sf_dir):
+    """Trajectory stay-point / dwell detection
+    (events.stay_points): each user's fix sequence (planted event
+    coordinates, q138's spread) collapses into maximal same-tile
+    runs at shift 24; runs spanning >= 2 fixes and >= 1 h become
+    stay rows with integer-microsecond dwell. One user-keyed
+    shuffle, gaps-and-islands on the cell changing."""
+    from .operators.events import stay_points
+    from .operators.spatial import with_cell
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(LAT_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lat_i"),
+        F.expr(LON_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lon_i"),
+    )
+    ev = with_cell(ev, shift=_STAY_SHIFT)
+    return stay_points(ev, min_dwell_s=3600, min_points=2)
+
+
+def _stay_points_oracle_sql() -> str:
+    from .geo.cells import LAT_OFFSET, LON_OFFSET, _lon_bits
+
+    lat = LAT_EXPR.replace("doc_id", "event_id")
+    lon = LON_EXPR.replace("doc_id", "event_id")
+    s = _STAY_SHIFT
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+    ((CAST({lat} AS BIGINT) + {LAT_OFFSET}) >> {s})
+      * {1 << _lon_bits(s)}
+    + ((CAST({lon} AS BIGINT) + {LON_OFFSET}) >> {s}) AS cell
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(cell) OVER w IS NULL
+                   OR lag(cell) OVER w <> cell
+            THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+runs AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY tus, event_id
+    ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+edged AS (
+  SELECT *,
+    first_value(event_id) OVER wr AS enter_event_id,
+    last_value(event_id) OVER wr AS exit_event_id
+  FROM runs
+  WINDOW wr AS (
+    PARTITION BY user_id, run_id ORDER BY tus, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+agg AS (
+  SELECT user_id, run_id, cell,
+    MIN(enter_event_id) AS enter_event_id,
+    MIN(exit_event_id) AS exit_event_id,
+    CAST(COUNT(*) AS BIGINT) AS n_points,
+    MAX(tus) - MIN(tus) AS dwell_us
+  FROM edged GROUP BY 1, 2, 3
+)
+SELECT user_id, cell, enter_event_id, exit_event_id,
+       n_points, CAST(dwell_us AS BIGINT) AS dwell_us
+FROM agg
+WHERE n_points >= 2 AND dwell_us >= 3600000000
+"""
+
+
+def q153_colocation(spark, sf_dir):
+    """Spatio-temporal co-location join (events.colocation_pairs):
+    unordered pairs of distinct users sharing a shift-24 tile in
+    the same hour bucket — presence deduped to (user, cell,
+    bucket), then one self-equi-join on the composite key."""
+    from .operators.events import colocation_pairs
+    from .operators.spatial import with_cell
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.expr(LAT_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lat_i"),
+        F.expr(LON_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lon_i"),
+    )
+    ev = with_cell(ev, shift=_STAY_SHIFT)
+    return colocation_pairs(ev, bucket_s=3600)
+
+
+def _colocation_oracle_sql() -> str:
+    from .geo.cells import LAT_OFFSET, LON_OFFSET, _lon_bits
+
+    lat = LAT_EXPR.replace("doc_id", "event_id")
+    lon = LON_EXPR.replace("doc_id", "event_id")
+    s = _STAY_SHIFT
+    return f"""
+WITH pres AS (
+  SELECT DISTINCT user_id,
+    ((CAST({lat} AS BIGINT) + {LAT_OFFSET}) >> {s})
+      * {1 << _lon_bits(s)}
+    + ((CAST({lon} AS BIGINT) + {LON_OFFSET}) >> {s}) AS cell,
+    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket
+  FROM events
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_encounters,
+       CAST(COUNT(DISTINCT a.cell) AS BIGINT) AS n_cells
+FROM pres a JOIN pres b
+  ON a.cell = b.cell AND a.bucket = b.bucket
+ AND a.user_id < b.user_id
+GROUP BY 1, 2
+"""
+
+
 def q118_star_rollup(spark, sf_dir):
     """Classic star join over the relational side tables: orders
     joined to the customer and nation dims (both broadcast — tiny
@@ -4299,6 +4425,8 @@ QUERIES = {
     "q114_retention_cohorts": q114_retention_cohorts,
     "q117_event_spikes": q117_event_spikes,
     "q150_interval_join": q150_interval_join,
+    "q152_stay_points": q152_stay_points,
+    "q153_colocation": q153_colocation,
     "q118_star_rollup": q118_star_rollup,
     "q119_triangles": q119_triangles,
     "q121_grouped_quantiles": q121_grouped_quantiles,
@@ -5368,6 +5496,8 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY 1, 2
 """,
+        "q152_stay_points": _stay_points_oracle_sql(),
+        "q153_colocation": _colocation_oracle_sql(),
         "q150_interval_join": """
 WITH l AS (
   SELECT user_id, event_id AS left_id, epoch_us(ts) AS lus
