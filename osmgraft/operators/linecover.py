@@ -991,25 +991,26 @@ def bearing_octants(traces: DataFrame) -> DataFrame:
     )
 
 
-def trace_hausdorff_pairs(
+def _trace_pair_matrix(
     traces: DataFrame, shift: int = 22
 ) -> DataFrame:
-    """Discrete Hausdorff distance between nearby trace pairs,
-    exact int64: candidate pairs are traces sharing a radius-1
-    dilated grid cell of side S = 2**shift, then
-    H2 = max(max_i min_j d2, max_j min_i d2) over the step-point
-    matrix. Candidate completeness: if H <= S then every point of
-    A (in particular any one of them) lies within S of B, so the
-    pair shares a dilated cell — `within` (H2 <= S^2) is therefore
-    EXACTLY the set of all pairs at Hausdorff distance <= S, while
-    farther candidate pairs still report their true H2.
+    """Shared candidate-pair step-distance matrix for the trace
+    similarity operators: traces sharing a radius-1 dilated grid
+    cell of side S = 2**shift become candidate pairs; output is
+    one row per (trace_a, trace_b, ai, bj) with exact int64
+    squared distance d2 between step ai of A and step bj of B.
+
+    Candidate completeness: if Hausdorff(A,B) <= S then every
+    point of A lies within S of B, so the pair shares a dilated
+    cell. Frechet >= Hausdorff, so the same candidate set is also
+    complete for Frechet <= S.
 
     Scale: the self-join is cell-keyed (never all-pairs); the
     d2 matrix is bounded by (#steps)^2 rows per candidate pair;
     deltas within a candidate pair are bounded by ~3 cells + two
-    trace extents, so squares stay far inside int64. The shared
-    matrix is pinned with a lazy localCheckpoint because both
-    direction aggregates consume it."""
+    trace extents, so squares stay far inside int64. The matrix is
+    pinned with a lazy localCheckpoint because multiple aggregates
+    consume it."""
     lon_bits = max(int((3_600_000_000 >> shift)).bit_length(), 1)
     pack = 1 << lon_bits
     latb = F.shiftright(F.col("lat_i") + 900000000, shift)
@@ -1067,6 +1068,19 @@ def trace_hausdorff_pairs(
         )
         .localCheckpoint(eager=False)
     )
+    return m
+
+
+def trace_hausdorff_pairs(
+    traces: DataFrame, shift: int = 22
+) -> DataFrame:
+    """Discrete Hausdorff distance between nearby trace pairs,
+    exact int64: candidate pairs from _trace_pair_matrix, then
+    H2 = max(max_i min_j d2, max_j min_i d2) over the step-point
+    matrix. `within` (H2 <= S^2) is EXACTLY the set of all pairs
+    at Hausdorff distance <= S (see _trace_pair_matrix), while
+    farther candidate pairs still report their true H2."""
+    m = _trace_pair_matrix(traces, shift)
     h_ab = (
         m.groupBy("trace_a", "trace_b", "ai")
         .agg(F.min("d2").alias("md"))
@@ -1088,4 +1102,86 @@ def trace_hausdorff_pairs(
             F.greatest("h_ab", "h_ba").cast("long").alias("h2"),
         )
         .withColumn("within", F.col("h2") <= F.lit(s2))
+    )
+
+
+def trace_frechet_pairs(
+    traces: DataFrame, shift: int = 22, n_steps: int = 5
+) -> DataFrame:
+    """Discrete Frechet distance (coupling distance, Eiter &
+    Mannila 1994) between nearby trace pairs, exact int64: the
+    minimax monotone-path cost over the step-distance grid —
+    f(i,j) = max(d2(i,j), min(f(i-1,j), f(i,j-1), f(i-1,j-1))),
+    answer f(n-1, n-1). The "dog leash" companion to
+    trace_hausdorff_pairs: Hausdorff ignores step ORDER, Frechet
+    respects it, so out-and-back vs one-way traces separate.
+
+    Relational plan: the DP is a minimax shortest path on the
+    (n x n) grid DAG (moves right/down/diagonal), solved by
+    UNROLLED relaxation exactly like hop_distance's Bellman-Ford —
+    2*(n-1) passes guarantee convergence (the longest monotone
+    path has 2n-2 edges); each pass is one broadcast-moves join +
+    one equi-join on (pair, i, j) + one groupBy-min, with a lazy
+    localCheckpoint per pass to keep the lineage flat. All
+    arithmetic is int64 min/max on exact squared distances — no
+    floats anywhere, so the oracle (an enumerate-all-monotone-
+    paths recursive CTE) matches hash-exactly.
+
+    Scale: state is one row per live (pair, i, j) — bounded by
+    (#candidate pairs) * n^2, the same bound as the Hausdorff
+    matrix; every pass shuffles only that state. Candidates are
+    cell-complete for Frechet <= S (Frechet >= Hausdorff; see
+    _trace_pair_matrix)."""
+    m = _trace_pair_matrix(traces, shift)
+
+    spark = m.sparkSession
+    moves = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 1)], "di long, dj long"
+    )
+
+    grid = m.select(
+        "trace_a", "trace_b",
+        F.col("ai").cast("long").alias("i"),
+        F.col("bj").cast("long").alias("j"),
+        F.col("d2").cast("long").alias("d2"),
+    ).localCheckpoint(eager=False)
+
+    f = grid.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        "trace_a", "trace_b", "i", "j", F.col("d2").alias("f")
+    )
+    for _ in range(2 * (n_steps - 1)):
+        nxt = (
+            f.join(F.broadcast(moves))
+            .select(
+                "trace_a",
+                "trace_b",
+                (F.col("i") + F.col("di")).alias("i"),
+                (F.col("j") + F.col("dj")).alias("j"),
+                "f",
+            )
+            .join(grid, ["trace_a", "trace_b", "i", "j"])
+            .select(
+                "trace_a",
+                "trace_b",
+                "i",
+                "j",
+                F.greatest("f", "d2").alias("f"),
+            )
+        )
+        f = (
+            f.unionByName(nxt)
+            .groupBy("trace_a", "trace_b", "i", "j")
+            .agg(F.min("f").alias("f"))
+            .localCheckpoint(eager=False)
+        )
+    s2 = 1 << (2 * shift)
+    last = n_steps - 1
+    return (
+        f.where((F.col("i") == last) & (F.col("j") == last))
+        .select(
+            "trace_a",
+            "trace_b",
+            F.col("f").cast("long").alias("frechet2"),
+        )
+        .withColumn("within", F.col("frechet2") <= F.lit(s2))
     )

@@ -495,6 +495,22 @@ def q141_trace_hausdorff(spark, sf_dir):
     )
 
 
+def q154_trace_frechet(spark, sf_dir):
+    """Trajectory similarity, order-aware: exact discrete Frechet
+    distance between nearby synthetic traces
+    (operators/linecover.trace_frechet_pairs) — the minimax
+    monotone-path DP over the same cell-complete candidate pairs
+    as q141, unrolled into 8 relational relaxation passes. The
+    oracle enumerates every monotone grid path with a recursive
+    CTE and takes the min of the path maxima — a genuinely
+    different evaluation strategy agreeing hash-exactly."""
+    from .operators.linecover import trace_frechet_pairs
+
+    return trace_frechet_pairs(
+        _synth_traces(_nodes(spark, sf_dir)), shift=22
+    )
+
+
 def q139_bearing_octants(spark, sf_dir):
     """Exact integer compass octants for every synthetic-trace
     step (operators/linecover.bearing_octants): displacement,
@@ -527,6 +543,7 @@ GRAPH_QUERIES = {
     "q139_bearing_octants": q139_bearing_octants,
     "q140_coverage_gaps": q140_coverage_gaps,
     "q141_trace_hausdorff": q141_trace_hausdorff,
+    "q154_trace_frechet": q154_trace_frechet,
 }
 
 _RELS_CTE = f"""
@@ -1248,6 +1265,65 @@ SELECT hab.trace_a, hab.trace_b,
        GREATEST(h_ab, h_ba) <= {1 << 44} AS within
 FROM hab JOIN hba
   ON hab.trace_a = hba.trace_a AND hab.trace_b = hba.trace_b
+""",
+        # discrete Frechet: enumerate ALL monotone grid paths with
+        # a recursive CTE (states dedupe on (pair, i, j, running
+        # max)); the engine's unrolled minimax relaxation must
+        # agree exactly
+        "q154_trace_frechet": f"""
+WITH RECURSIVE {pts_cte},
+tr AS (
+  SELECT p.doc_id AS trace_id, CAST(t.s AS BIGINT) AS step,
+    GREATEST(LEAST(p.lon_i + t.s * (((p.doc_id * 104729) % 262145)
+        - 131072), 1799000000), -1799000000) AS lon_i,
+    GREATEST(LEAST(p.lat_i + t.s * (((p.doc_id * 7919) % 262145)
+        - 131072), 899000000), -899000000) AS lat_i
+  FROM pts p CROSS JOIN LATERAL
+    (SELECT unnest(range(0, 5)) AS s) t
+  WHERE p.doc_id % 20 = 0
+),
+cl AS (
+  SELECT trace_id, (lat_i + 900000000) >> 22 AS latb,
+         (lon_i + 1800000000) >> 22 AS lonb
+  FROM tr
+),
+own AS (
+  SELECT DISTINCT trace_id, latb * 1024 + lonb AS cell FROM cl
+),
+dil AS (
+  SELECT DISTINCT trace_id AS trace_b,
+         (latb + dv.v) * 1024 + (lonb + du.u) AS cell
+  FROM cl
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS v) dv
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS u) du
+),
+prs AS (
+  SELECT DISTINCT o.trace_id AS trace_a, d.trace_b
+  FROM own o JOIN dil d ON o.cell = d.cell
+  WHERE o.trace_id < d.trace_b
+),
+m AS (
+  SELECT p.trace_a, p.trace_b, a.step AS ai, b.step AS bj,
+    (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+    + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i) AS d2
+  FROM prs p
+  JOIN tr a ON a.trace_id = p.trace_a
+  JOIN tr b ON b.trace_id = p.trace_b
+),
+walk AS (
+  SELECT trace_a, trace_b, ai AS i, bj AS j, d2 AS f
+  FROM m WHERE ai = 0 AND bj = 0
+  UNION
+  SELECT g.trace_a, g.trace_b, g.ai, g.bj, GREATEST(w.f, g.d2)
+  FROM walk w JOIN m g
+    ON g.trace_a = w.trace_a AND g.trace_b = w.trace_b
+   AND ((g.ai = w.i + 1 AND g.bj = w.j)
+     OR (g.ai = w.i AND g.bj = w.j + 1)
+     OR (g.ai = w.i + 1 AND g.bj = w.j + 1))
+)
+SELECT trace_a, trace_b, MIN(f) AS frechet2,
+       MIN(f) <= {1 << 44} AS within
+FROM walk WHERE i = 4 AND j = 4 GROUP BY 1, 2
 """,
         "q139_bearing_octants": f"""
 WITH {pts_cte},
