@@ -1149,7 +1149,8 @@ def trace_frechet_pairs(
     f = grid.where((F.col("i") == 0) & (F.col("j") == 0)).select(
         "trace_a", "trace_b", "i", "j", F.col("d2").alias("f")
     )
-    for _ in range(2 * (n_steps - 1)):
+    n_passes = 2 * (n_steps - 1)
+    for p in range(n_passes):
         nxt = (
             f.join(F.broadcast(moves))
             .select(
@@ -1172,8 +1173,11 @@ def trace_frechet_pairs(
             f.unionByName(nxt)
             .groupBy("trace_a", "trace_b", "i", "j")
             .agg(F.min("f").alias("f"))
-            .localCheckpoint(eager=False)
         )
+        # lineage cut every OTHER pass: halves the fixed per-job
+        # driver overhead while keeping the plan depth bounded
+        if p % 2 == 1 or p == n_passes - 1:
+            f = f.localCheckpoint(eager=False)
     s2 = 1 << (2 * shift)
     last = n_steps - 1
     return (
