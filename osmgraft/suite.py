@@ -769,6 +769,88 @@ HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
 """
 
 
+def q155_region_overlap(spark, sf_dir):
+    """Polygon x polygon spatial join via shared raster cells: for
+    every pair of admin polygons, the number of shift-20 cells in
+    BOTH masks (integer intersection area in cells) plus each
+    side's own mask size — the overlap/containment matrix a
+    boundary QA pipeline runs (Overia2 contains Overia6 by
+    construction; Quadland/Concavia abut). One cell equi-join of
+    the q146 mask with itself — polygon-polygon overlay without
+    any geometry-geometry test, the standard raster-join plan at
+    scale. Corpus-independent (mask derives from the polygons)."""
+    from .operators.spatial import rasterize_polygons
+
+    m = rasterize_polygons(spark, fixture_polyset(), shift=20).select(
+        "name", "cell"
+    )
+    cnt = m.groupBy("name").agg(F.count("*").cast("long").alias("n"))
+    a = m.select(F.col("name").alias("name_a"), "cell")
+    b = m.select(
+        F.col("name").alias("name_b"), F.col("cell").alias("b_cell")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("b_cell"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .groupBy("name_a", "name_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    ca = cnt.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a")
+    )
+    cb = cnt.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "name_a")
+        .join(F.broadcast(cb), "name_b")
+        .select("name_a", "name_b", "n_shared", "n_a", "n_b")
+    )
+
+
+def _region_overlap_oracle_sql() -> str:
+    ps = fixture_polyset()
+    pred = _CROSSING_PRED.format(lat="c._py", lon="c._px")
+    half = 1 << 19
+    return f"""
+WITH edges(poly_idx, x1, y1, x2, y2) AS (VALUES {_edges_values(ps)}),
+polys(poly_idx, name, admin, bx1, by1, bx2, by2)
+  AS (VALUES {_polys_values(ps)}),
+cand AS (
+  SELECT p.poly_idx, p.name, t.v, s.u,
+         (s.u << 20) + {half - 1800000000} AS _px,
+         (t.v << 20) + {half - 900000000} AS _py
+  FROM polys p
+  CROSS JOIN LATERAL (SELECT unnest(range(
+      (p.by1 + 900000000) >> 20,
+      ((p.by2 + 900000000) >> 20) + 1)) AS v) t
+  CROSS JOIN LATERAL (SELECT unnest(range(
+      (p.bx1 + 1800000000) >> 20,
+      ((p.bx2 + 1800000000) >> 20) + 1)) AS u) s
+),
+mask AS (
+  SELECT c.name, c.v * 4096 + c.u AS cell
+  FROM cand c JOIN edges e ON e.poly_idx = c.poly_idx
+  GROUP BY c.poly_idx, c.name, c.v, c.u
+  HAVING SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) % 2 = 1
+),
+cnt AS (
+  SELECT name, CAST(COUNT(*) AS BIGINT) AS n FROM mask GROUP BY 1
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       MIN(ca.n) AS n_a, MIN(cb.n) AS n_b
+FROM mask a
+JOIN mask b ON a.cell = b.cell AND a.name < b.name
+JOIN cnt ca ON ca.name = a.name
+JOIN cnt cb ON cb.name = b.name
+GROUP BY 1, 2
+"""
+
+
 def q147_raster_fidelity(spark, sf_dir):
     """Raster-approximation fidelity report: per polygon, the
     exact ray-cast document count vs the count under the shift-20
@@ -4404,6 +4486,7 @@ QUERIES = {
     "q144_region_text_stats": q144_region_text_stats,
     "q146_region_raster": q146_region_raster,
     "q147_raster_fidelity": q147_raster_fidelity,
+    "q155_region_overlap": q155_region_overlap,
     "q05_knn_city": q05_knn_city,
     "q06_stats": q06_stats,
     "q07_key_freq": q07_key_freq,
@@ -5136,6 +5219,7 @@ FROM pts GROUP BY 1
         "q143_host_geo_spread": _Q143_ORACLE,
         "q144_region_text_stats": _region_text_oracle_sql(),
         "q146_region_raster": _region_raster_oracle_sql(),
+        "q155_region_overlap": _region_overlap_oracle_sql(),
         "q147_raster_fidelity": _raster_fidelity_oracle_sql(),
         "q05_knn_city": f"""
 WITH {_PTS_CTE},
