@@ -511,6 +511,27 @@ def q154_trace_frechet(spark, sf_dir):
     )
 
 
+def q156_trace_clusters(spark, sf_dir):
+    """Trajectory clustering: traces whose discrete Frechet
+    distance is within one cell side (q154's `within`) form an
+    undirected similarity graph; connected components resolve by
+    the engine's min-label propagation (operators/dedup.
+    dedup_clusters — the same resolver the text dedup pipeline
+    uses, composed over a geospatial pair generator). Output
+    (trace_id, cluster) with cluster = min trace id. shift=24
+    (vs q154's 22) so the within threshold admits real multi-
+    member clusters on the synthetic spread."""
+    from .operators.dedup import dedup_clusters
+    from .operators.linecover import trace_frechet_pairs
+
+    pairs = trace_frechet_pairs(
+        _synth_traces(_nodes(spark, sf_dir)), shift=24
+    ).where(F.col("within"))
+    return dedup_clusters(
+        pairs, a_col="trace_a", b_col="trace_b"
+    ).select(F.col("doc_id").alias("trace_id"), "cluster")
+
+
 def q139_bearing_octants(spark, sf_dir):
     """Exact integer compass octants for every synthetic-trace
     step (operators/linecover.bearing_octants): displacement,
@@ -544,6 +565,7 @@ GRAPH_QUERIES = {
     "q140_coverage_gaps": q140_coverage_gaps,
     "q141_trace_hausdorff": q141_trace_hausdorff,
     "q154_trace_frechet": q154_trace_frechet,
+    "q156_trace_clusters": q156_trace_clusters,
 }
 
 _RELS_CTE = f"""
@@ -742,6 +764,65 @@ hd{t} AS (
     tail = f"""
 SELECT node AS doc_id, dist FROM hd{n_hops}"""
     return head + "".join(steps) + tail
+
+
+def _frechet_ctes(shift: int) -> str:
+    """Shared CTE chain for the Frechet oracles (q154/q156):
+    synthetic traces -> dilated-cell candidate pairs (cell side
+    2**shift) -> step-distance grid -> recursive all-monotone-
+    paths walk with running max."""
+    pack = 1 << max(int(3_600_000_000 >> shift).bit_length(), 1)
+    return f"""
+tr AS (
+  SELECT p.doc_id AS trace_id, CAST(t.s AS BIGINT) AS step,
+    GREATEST(LEAST(p.lon_i + t.s * (((p.doc_id * 104729) % 262145)
+        - 131072), 1799000000), -1799000000) AS lon_i,
+    GREATEST(LEAST(p.lat_i + t.s * (((p.doc_id * 7919) % 262145)
+        - 131072), 899000000), -899000000) AS lat_i
+  FROM pts p CROSS JOIN LATERAL
+    (SELECT unnest(range(0, 5)) AS s) t
+  WHERE p.doc_id % 20 = 0
+),
+cl AS (
+  SELECT trace_id, (lat_i + 900000000) >> {shift} AS latb,
+         (lon_i + 1800000000) >> {shift} AS lonb
+  FROM tr
+),
+own AS (
+  SELECT DISTINCT trace_id, latb * {pack} + lonb AS cell FROM cl
+),
+dil AS (
+  SELECT DISTINCT trace_id AS trace_b,
+         (latb + dv.v) * {pack} + (lonb + du.u) AS cell
+  FROM cl
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS v) dv
+  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS u) du
+),
+prs AS (
+  SELECT DISTINCT o.trace_id AS trace_a, d.trace_b
+  FROM own o JOIN dil d ON o.cell = d.cell
+  WHERE o.trace_id < d.trace_b
+),
+m AS (
+  SELECT p.trace_a, p.trace_b, a.step AS ai, b.step AS bj,
+    (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+    + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i) AS d2
+  FROM prs p
+  JOIN tr a ON a.trace_id = p.trace_a
+  JOIN tr b ON b.trace_id = p.trace_b
+),
+walk AS (
+  SELECT trace_a, trace_b, ai AS i, bj AS j, d2 AS f
+  FROM m WHERE ai = 0 AND bj = 0
+  UNION
+  SELECT g.trace_a, g.trace_b, g.ai, g.bj, GREATEST(w.f, g.d2)
+  FROM walk w JOIN m g
+    ON g.trace_a = w.trace_a AND g.trace_b = w.trace_b
+   AND ((g.ai = w.i + 1 AND g.bj = w.j)
+     OR (g.ai = w.i AND g.bj = w.j + 1)
+     OR (g.ai = w.i + 1 AND g.bj = w.j + 1))
+)
+""".strip()
 
 
 def graph_oracle_sqls(pts_cte: str) -> dict[str, str]:
@@ -1272,58 +1353,33 @@ FROM hab JOIN hba
         # agree exactly
         "q154_trace_frechet": f"""
 WITH RECURSIVE {pts_cte},
-tr AS (
-  SELECT p.doc_id AS trace_id, CAST(t.s AS BIGINT) AS step,
-    GREATEST(LEAST(p.lon_i + t.s * (((p.doc_id * 104729) % 262145)
-        - 131072), 1799000000), -1799000000) AS lon_i,
-    GREATEST(LEAST(p.lat_i + t.s * (((p.doc_id * 7919) % 262145)
-        - 131072), 899000000), -899000000) AS lat_i
-  FROM pts p CROSS JOIN LATERAL
-    (SELECT unnest(range(0, 5)) AS s) t
-  WHERE p.doc_id % 20 = 0
-),
-cl AS (
-  SELECT trace_id, (lat_i + 900000000) >> 22 AS latb,
-         (lon_i + 1800000000) >> 22 AS lonb
-  FROM tr
-),
-own AS (
-  SELECT DISTINCT trace_id, latb * 1024 + lonb AS cell FROM cl
-),
-dil AS (
-  SELECT DISTINCT trace_id AS trace_b,
-         (latb + dv.v) * 1024 + (lonb + du.u) AS cell
-  FROM cl
-  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS v) dv
-  CROSS JOIN LATERAL (SELECT unnest(range(-1, 2)) AS u) du
-),
-prs AS (
-  SELECT DISTINCT o.trace_id AS trace_a, d.trace_b
-  FROM own o JOIN dil d ON o.cell = d.cell
-  WHERE o.trace_id < d.trace_b
-),
-m AS (
-  SELECT p.trace_a, p.trace_b, a.step AS ai, b.step AS bj,
-    (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
-    + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i) AS d2
-  FROM prs p
-  JOIN tr a ON a.trace_id = p.trace_a
-  JOIN tr b ON b.trace_id = p.trace_b
-),
-walk AS (
-  SELECT trace_a, trace_b, ai AS i, bj AS j, d2 AS f
-  FROM m WHERE ai = 0 AND bj = 0
-  UNION
-  SELECT g.trace_a, g.trace_b, g.ai, g.bj, GREATEST(w.f, g.d2)
-  FROM walk w JOIN m g
-    ON g.trace_a = w.trace_a AND g.trace_b = w.trace_b
-   AND ((g.ai = w.i + 1 AND g.bj = w.j)
-     OR (g.ai = w.i AND g.bj = w.j + 1)
-     OR (g.ai = w.i + 1 AND g.bj = w.j + 1))
-)
+{_frechet_ctes(22)}
 SELECT trace_a, trace_b, MIN(f) AS frechet2,
        MIN(f) <= {1 << 44} AS within
 FROM walk WHERE i = 4 AND j = 4 GROUP BY 1, 2
+""",
+        # Frechet-threshold clustering: q154's within pairs as an
+        # undirected graph, components by transitive closure,
+        # min-label canonical member
+        "q156_trace_clusters": f"""
+WITH RECURSIVE {pts_cte},
+{_frechet_ctes(24)},
+fr AS (
+  SELECT trace_a, trace_b
+  FROM walk WHERE i = 4 AND j = 4
+  GROUP BY 1, 2 HAVING MIN(f) <= {1 << 48}
+),
+edges AS (
+  SELECT trace_a AS u, trace_b AS v FROM fr
+  UNION
+  SELECT trace_b, trace_a FROM fr
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS trace_id, MIN(v) AS cluster FROM reach GROUP BY u
 """,
         "q139_bearing_octants": f"""
 WITH {pts_cte},

@@ -101,3 +101,19 @@ def test_frechet_sees_order(spark):
     f = trace_frechet_pairs(df, shift=22).collect()[0]
     assert h.h2 == 0
     assert f.frechet2 == 400_000**2
+
+
+def test_frechet_clusters(spark):
+    from osmgraft.operators.dedup import dedup_clusters
+
+    # 1 and 2 identical, 3 a twin of 2, 4 far away: {1,2,3} cluster
+    pts = [(0, i * 100_000) for i in range(5)]
+    near = [(10, i * 100_000) for i in range(5)]
+    far = [(50_000_000, 50_000_000 + i * 100_000) for i in range(5)]
+    df = _traces_df(spark, {1: pts, 2: pts, 3: near, 4: far})
+    pairs = trace_frechet_pairs(df, shift=22).where("within")
+    out = dedup_clusters(
+        pairs, a_col="trace_a", b_col="trace_b"
+    ).collect()
+    got = {(r.doc_id, r.cluster) for r in out}
+    assert got == {(1, 1), (2, 1), (3, 1)}
