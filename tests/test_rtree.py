@@ -148,3 +148,62 @@ def test_assign_regions_rtree_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_rtree_prunes_scattered_polygons():
+    """Scale evidence: on a large scattered polygon set the tree
+    touches a small fraction of the N*P bbox tests the linear
+    sweep performs (candidate sets are identical — only the work
+    to FIND them differs)."""
+    rng = np.random.default_rng(123)
+    P, N = 2000, 5000
+    # scattered small polygons over a world-sized extent
+    cx = rng.integers(-1_700_000_000, 1_700_000_000, P)
+    cy = rng.integers(-850_000_000, 850_000_000, P)
+    r = rng.integers(100_000, 2_000_000, P)
+    bx1, bx2 = cx - r, cx + r
+    by1, by2 = cy - r, cy + r
+    t = STRtree.build(bx1, by1, bx2, by2, cap=16)
+    px = rng.integers(-1_800_000_000, 1_800_000_000, N)
+    py = rng.integers(-900_000_000, 900_000_000, N)
+
+    # instrument: count point-MBR comparisons the traversal makes
+    comparisons = 0
+    base = np.arange(N, dtype=np.int64)
+    stack = [(t.root, base)]
+    cands = {}
+    while stack:
+        node, idx = stack.pop()
+        comparisons += len(idx)
+        m = (
+            (px[idx] >= t.nx1[node])
+            & (px[idx] <= t.nx2[node])
+            & (py[idx] >= t.ny1[node])
+            & (py[idx] <= t.ny2[node])
+        )
+        if not m.any():
+            continue
+        idx = idx[m]
+        kids = t.order[t.child_lo[node] : t.child_hi[node]]
+        if t.is_leaf[node]:
+            for e in kids:
+                comparisons += len(idx)
+                em = (
+                    (px[idx] >= bx1[e])
+                    & (px[idx] <= bx2[e])
+                    & (py[idx] >= by1[e])
+                    & (py[idx] <= by2[e])
+                )
+                if em.any():
+                    cands[int(e)] = idx[em]
+        else:
+            for k in kids:
+                stack.append((int(k), idx))
+
+    linear_comparisons = N * P
+    assert comparisons < 0.15 * linear_comparisons
+    # and the candidates are still exactly the bbox hits
+    got = t.query_candidates(px, py, bx1, by1, bx2, by2)
+    assert set(got) == set(cands)
+    for e in got:
+        assert (np.sort(got[e]) == np.sort(cands[e])).all()
