@@ -511,6 +511,41 @@ def q154_trace_frechet(spark, sf_dir):
     )
 
 
+def q157_isochrone_bands(spark, sf_dir):
+    """Isochrone raster: q132's hop-bounded network distances
+    joined back to node coordinates and rolled up per shift-22
+    cell into integer distance BANDS (band = min network distance
+    div 2^22) — the reachability heatmap a routing product draws.
+    Composition of the Bellman-Ford relaxation with the tile
+    rollup: one extra equi-join + one cell-keyed groupBy on top of
+    q132's plan."""
+    from .operators.linecover import hop_distance
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    nodes = _nodes(spark, sf_dir)
+    dist = hop_distance(ways, nodes, _inside(nodes), n_hops=4)
+    located = dist.join(nodes, "doc_id").select(
+        "dist",
+        (
+            F.shiftright(F.col("lat_i") + 900000000, 22) * 1024
+            + F.shiftright(F.col("lon_i") + 1800000000, 22)
+        ).alias("cell"),
+    )
+    return (
+        located.groupBy("cell")
+        .agg(
+            F.min("dist").alias("min_dist"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+        .select(
+            "cell",
+            F.expr("min_dist div 4194304").cast("long").alias("band"),
+            "n_nodes",
+        )
+    )
+
+
 def q156_trace_clusters(spark, sf_dir):
     """Trajectory clustering: traces whose discrete Frechet
     distance is within one cell side (q154's `within`) form an
@@ -566,6 +601,7 @@ GRAPH_QUERIES = {
     "q141_trace_hausdorff": q141_trace_hausdorff,
     "q154_trace_frechet": q154_trace_frechet,
     "q156_trace_clusters": q156_trace_clusters,
+    "q157_isochrone_bands": q157_isochrone_bands,
 }
 
 _RELS_CTE = f"""
@@ -764,6 +800,25 @@ hd{t} AS (
     tail = f"""
 SELECT node AS doc_id, dist FROM hd{n_hops}"""
     return head + "".join(steps) + tail
+
+
+def _isochrone_oracle_sql(g: str, n_hops: int = 4) -> str:
+    """q157: the hop oracle's relaxation chain with a cell/band
+    rollup tail instead of the per-node projection."""
+    base = _hop_oracle_sql(g, n_hops)
+    tail = f"\nSELECT node AS doc_id, dist FROM hd{n_hops}"
+    assert base.endswith(tail)
+    return base[: -len(tail)] + f""",
+iso AS (
+  SELECT h.dist,
+    ((p.lat_i + 900000000) >> 22) * 1024
+    + ((p.lon_i + 1800000000) >> 22) AS cell
+  FROM hd{n_hops} h JOIN pts p ON p.doc_id = h.node
+)
+SELECT cell, CAST(MIN(dist) // 4194304 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM iso GROUP BY 1
+"""
 
 
 def _frechet_ctes(shift: int) -> str:
@@ -1081,6 +1136,7 @@ SELECT way_id, cell FROM scells
         "q131_viterbi_match": _viterbi_oracle_sql(g),
         # hop-bounded Bellman-Ford, integer weights
         "q132_hop_distance": _hop_oracle_sql(g),
+        "q157_isochrone_bands": _isochrone_oracle_sql(g),
         # geodesic snap: cosr-scaled x-deltas at the segment
         # midpoint band, same double op order as the operator
         "q133_snap_geodesic": f"""
