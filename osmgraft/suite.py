@@ -1425,6 +1425,66 @@ GROUP BY 1, 2
 """
 
 
+def q158_dense_daily(spark, sf_dir):
+    """Gap-filled daily activity time series: per event type, one
+    row for EVERY day in the corpus span (integer day =
+    epoch_us div 86.4e9 — engine-neutral), zero-filled where no
+    events landed — the calendar densification every BI/anomaly
+    layer needs before windowed baselines. Plan: the day span is
+    a 1-row aggregate (bounded funnel, documented class) exploded
+    into the calendar and cross-joined with the tiny distinct
+    type list (broadcast); actual counts LEFT-join onto the dense
+    frame."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("day"),
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    span = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    dense = days.crossJoin(F.broadcast(types))
+    return (
+        dense.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+        )
+    )
+
+
+_DENSE_DAILY_ORACLE = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+),
+counts AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+days AS (
+  SELECT unnest(range(d0, d1 + 1)) AS day FROM span
+),
+types AS (SELECT DISTINCT event_type FROM ev)
+SELECT t.event_type, d.day,
+       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+FROM days d CROSS JOIN types t
+LEFT JOIN counts c
+  ON c.event_type = t.event_type AND c.day = d.day
+"""
+
+
 def q118_star_rollup(spark, sf_dir):
     """Classic star join over the relational side tables: orders
     joined to the customer and nation dims (both broadcast — tiny
@@ -4510,6 +4570,7 @@ QUERIES = {
     "q150_interval_join": q150_interval_join,
     "q152_stay_points": q152_stay_points,
     "q153_colocation": q153_colocation,
+    "q158_dense_daily": q158_dense_daily,
     "q118_star_rollup": q118_star_rollup,
     "q119_triangles": q119_triangles,
     "q121_grouped_quantiles": q121_grouped_quantiles,
@@ -5582,6 +5643,7 @@ GROUP BY 1, 2
 """,
         "q152_stay_points": _stay_points_oracle_sql(),
         "q153_colocation": _colocation_oracle_sql(),
+        "q158_dense_daily": _DENSE_DAILY_ORACLE,
         "q150_interval_join": """
 WITH l AS (
   SELECT user_id, event_id AS left_id, epoch_us(ts) AS lus
