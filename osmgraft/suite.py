@@ -1464,6 +1464,80 @@ def q158_dense_daily(spark, sf_dir):
     )
 
 
+def q159_home_cells(spark, sf_dir):
+    """Home-location inference (the classic mobility heuristic:
+    the cell a user frequents most during night hours 0-6 UTC,
+    ties to the smallest cell id; users with no night fixes get
+    no row). Integer end to end: hour = (epoch_us div 3.6e9)
+    mod 24; one user-keyed aggregate + one argmin-by-struct —
+    no window, no second shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 3600000000)"
+            " % 24"
+        ).alias("hour"),
+        F.expr(LAT_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lat_i"),
+        F.expr(LON_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("lon_i"),
+    )
+    from .operators.spatial import with_cell
+
+    night = with_cell(ev, shift=_STAY_SHIFT).where(
+        F.col("hour") < 6
+    )
+    per_cell = night.groupBy("user_id", "cell").agg(
+        F.count("*").cast("long").alias("n_night")
+    )
+    return (
+        per_cell.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_night", (-F.col("cell")).alias("_nc"), "cell"
+                )
+            ).alias("_m")
+        )
+        .select(
+            "user_id",
+            F.col("_m.cell").alias("home_cell"),
+            F.col("_m.n_night").alias("n_night"),
+        )
+    )
+
+
+def _home_cells_oracle_sql() -> str:
+    from .geo.cells import LAT_OFFSET, LON_OFFSET, _lon_bits
+
+    lat = LAT_EXPR.replace("doc_id", "event_id")
+    lon = LON_EXPR.replace("doc_id", "event_id")
+    s = _STAY_SHIFT
+    return f"""
+WITH night AS (
+  SELECT user_id,
+    ((CAST({lat} AS BIGINT) + {LAT_OFFSET}) >> {s})
+      * {1 << _lon_bits(s)}
+    + ((CAST({lon} AS BIGINT) + {LON_OFFSET}) >> {s}) AS cell
+  FROM events
+  WHERE (epoch_us(ts) // 3600000000) % 24 < 6
+),
+per_cell AS (
+  SELECT user_id, cell, CAST(COUNT(*) AS BIGINT) AS n_night
+  FROM night GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY n_night DESC, cell ASC) AS rn
+  FROM per_cell
+)
+SELECT user_id, cell AS home_cell, n_night
+FROM ranked WHERE rn = 1
+"""
+
+
 _DENSE_DAILY_ORACLE = """
 WITH ev AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
@@ -4571,6 +4645,7 @@ QUERIES = {
     "q152_stay_points": q152_stay_points,
     "q153_colocation": q153_colocation,
     "q158_dense_daily": q158_dense_daily,
+    "q159_home_cells": q159_home_cells,
     "q118_star_rollup": q118_star_rollup,
     "q119_triangles": q119_triangles,
     "q121_grouped_quantiles": q121_grouped_quantiles,
@@ -5644,6 +5719,7 @@ GROUP BY 1, 2
         "q152_stay_points": _stay_points_oracle_sql(),
         "q153_colocation": _colocation_oracle_sql(),
         "q158_dense_daily": _DENSE_DAILY_ORACLE,
+        "q159_home_cells": _home_cells_oracle_sql(),
         "q150_interval_join": """
 WITH l AS (
   SELECT user_id, event_id AS left_id, epoch_us(ts) AS lus
