@@ -58,50 +58,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..geo.cells import LAT_OFFSET, LON_OFFSET, _lon_bits
 
 
-def way_cell_cover(
-    ways: DataFrame,
-    nodes: DataFrame,
-    shift: int = 24,
+def _sweep_cells(
+    seg: DataFrame, keys: list, shift: int
 ) -> DataFrame:
-    """(way_id, refs array<long>) x (doc_id, lat_i, lon_i) ->
-    distinct (way_id, cell): every grid cell the way's polyline
-    passes through, cell packed as cv * 2**lon_bits + cu."""
-    if not 0 < shift <= 30:
-        raise ValueError("shift must be in (0, 30] for exact int64")
+    """The column-sweep supercover kernel, keyed generically: seg
+    carries `keys` + endpoint columns (u, v, u2, v2) in offset
+    space (non-negative); returns keys + `cell` for every grid
+    cell the closed segment [P0, P1] passes through (duplicates
+    possible — callers distinct())."""
     s = 1 << shift
     bits = _lon_bits(shift)
 
-    pos = ways.select(
-        "way_id", F.posexplode("refs").alias("j", "ref")
-    ).join(
-        nodes.select(
-            F.col("doc_id").alias("ref"),
-            (F.col("lon_i") + F.lit(LON_OFFSET)).alias("u"),
-            (F.col("lat_i") + F.lit(LAT_OFFSET)).alias("v"),
-        ),
-        "ref",
-    )
-
-    pcells = pos.select(
-        "way_id",
-        (
-            F.shiftleft(F.shiftright("v", shift), bits)
-            + F.shiftright("u", shift)
-        ).alias("cell"),
-    )
-
-    w = Window.partitionBy("way_id").orderBy("j")
-    seg = pos.select(
-        "way_id",
-        "u",
-        "v",
-        F.lead("u").over(w).alias("u2"),
-        F.lead("v").over(w).alias("v2"),
-    ).where(F.col("u2").isNotNull())
-
     swap = F.col("u2") < F.col("u")
     seg = seg.select(
-        "way_id",
+        *keys,
         F.when(swap, F.col("u2")).otherwise(F.col("u")).alias("x0"),
         F.when(swap, F.col("v2")).otherwise(F.col("v")).alias("y0"),
         F.when(swap, F.col("u")).otherwise(F.col("u2")).alias("x1"),
@@ -109,7 +79,7 @@ def way_cell_cover(
     )
 
     cols = seg.select(
-        "way_id",
+        *keys,
         "x0",
         "y0",
         "y1",
@@ -124,7 +94,7 @@ def way_cell_cover(
     )
 
     strip = cols.select(
-        "way_id",
+        *keys,
         "cu",
         "dx",
         "dy",
@@ -136,7 +106,7 @@ def way_cell_cover(
         "x0",
     )
     nums = strip.select(
-        "way_id",
+        *keys,
         "cu",
         "dx",
         "dy",
@@ -170,15 +140,57 @@ def way_cell_cover(
         F.expr("greatest(na, nb) div d") - adj.cast("long")
     )
 
-    scells = nums.select(
-        "way_id",
+    return nums.select(
+        *keys,
         F.explode(F.sequence(cv_lo, cv_hi)).alias("cv"),
         "cu",
     ).select(
-        "way_id",
+        *keys,
         (F.shiftleft("cv", bits) + F.col("cu")).alias("cell"),
     )
 
+
+def way_cell_cover(
+    ways: DataFrame,
+    nodes: DataFrame,
+    shift: int = 24,
+) -> DataFrame:
+    """(way_id, refs array<long>) x (doc_id, lat_i, lon_i) ->
+    distinct (way_id, cell): every grid cell the way's polyline
+    passes through, cell packed as cv * 2**lon_bits + cu."""
+    if not 0 < shift <= 30:
+        raise ValueError("shift must be in (0, 30] for exact int64")
+    bits = _lon_bits(shift)
+
+    pos = ways.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"),
+            (F.col("lon_i") + F.lit(LON_OFFSET)).alias("u"),
+            (F.col("lat_i") + F.lit(LAT_OFFSET)).alias("v"),
+        ),
+        "ref",
+    )
+
+    pcells = pos.select(
+        "way_id",
+        (
+            F.shiftleft(F.shiftright("v", shift), bits)
+            + F.shiftright("u", shift)
+        ).alias("cell"),
+    )
+
+    w = Window.partitionBy("way_id").orderBy("j")
+    seg = pos.select(
+        "way_id",
+        "u",
+        "v",
+        F.lead("u").over(w).alias("u2"),
+        F.lead("v").over(w).alias("v2"),
+    ).where(F.col("u2").isNotNull())
+
+    scells = _sweep_cells(seg, ["way_id"], shift)
     return pcells.unionByName(scells).distinct()
 
 

@@ -578,6 +578,23 @@ def q139_bearing_octants(spark, sf_dir):
     return bearing_octants(_synth_traces(_nodes(spark, sf_dir)))
 
 
+def q160_way_crossings(spark, sf_dir):
+    """Exact segment-segment intersection QA
+    (operators/crossings.way_crossings): way-segment pairs that
+    geometrically cross WITHOUT sharing a junction node — the
+    missing-bridge/digitizing-error detector the reference's
+    ref-based object model cannot express.  proper/touch classified
+    by decimal(38,0) orientation signs (HUGEINT in the oracle);
+    candidates come from the exact q106 supercover cell self-join,
+    complete because a crossing point's cell is in both covers —
+    proven here against the oracle's brute-force pair scan."""
+    from .operators.crossings import way_crossings
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n).where(F.col("way_id") % 20 == 0)
+    return way_crossings(ways, _nodes(spark, sf_dir), shift=24)
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -602,6 +619,7 @@ GRAPH_QUERIES = {
     "q154_trace_frechet": q154_trace_frechet,
     "q156_trace_clusters": q156_trace_clusters,
     "q157_isochrone_bands": q157_isochrone_bands,
+    "q160_way_crossings": q160_way_crossings,
 }
 
 _RELS_CTE = f"""
@@ -1131,6 +1149,66 @@ FROM sl GROUP BY 1
 SELECT way_id, cell FROM pcells
 UNION
 SELECT way_id, cell FROM scells
+""",
+        # brute-force segment-pair scan with HUGEINT orientation
+        # signs — deliberately INDEPENDENT of the operator's
+        # supercover candidate generator, so a hash match also
+        # proves candidate completeness
+        "q160_way_crossings": f"""
+{g},
+xpos AS (
+  SELECT r.way_id, r.j, r.ref, p.lon_i AS ax, p.lat_i AS ay
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+  WHERE r.way_id % 20 = 0
+),
+xseg0 AS (
+  SELECT way_id, j AS seg_idx, ref AS ra, ax, ay,
+         LEAD(ref) OVER (PARTITION BY way_id ORDER BY j) AS rb,
+         LEAD(ax) OVER (PARTITION BY way_id ORDER BY j) AS bx,
+         LEAD(ay) OVER (PARTITION BY way_id ORDER BY j) AS by
+  FROM xpos
+),
+xseg AS (SELECT * FROM xseg0 WHERE bx IS NOT NULL),
+xd AS (
+  SELECT a.way_id AS way_a, a.seg_idx AS seg_a,
+         b.way_id AS way_b, b.seg_idx AS seg_b,
+         a.ax AS ax1, a.ay AS ay1, a.bx AS bx1, a.by AS by1,
+         b.ax AS ax2, b.ay AS ay2, b.bx AS bx2, b.by AS by2,
+         CAST(a.bx - a.ax AS HUGEINT) * (b.ay - a.ay)
+           - CAST(a.by - a.ay AS HUGEINT) * (b.ax - a.ax) AS d1,
+         CAST(a.bx - a.ax AS HUGEINT) * (b.by - a.ay)
+           - CAST(a.by - a.ay AS HUGEINT) * (b.bx - a.ax) AS d2,
+         CAST(b.bx - b.ax AS HUGEINT) * (a.ay - b.ay)
+           - CAST(b.by - b.ay AS HUGEINT) * (a.ax - b.ax) AS d3,
+         CAST(b.bx - b.ax AS HUGEINT) * (a.by - b.ay)
+           - CAST(b.by - b.ay AS HUGEINT) * (a.bx - b.ax) AS d4
+  FROM xseg a JOIN xseg b
+    ON (a.way_id < b.way_id
+        OR (a.way_id = b.way_id AND a.seg_idx < b.seg_idx))
+   AND a.ra <> b.ra AND a.ra <> b.rb
+   AND a.rb <> b.ra AND a.rb <> b.rb
+),
+xsg AS (
+  SELECT *,
+    CASE WHEN d1 > 0 THEN 1 WHEN d1 < 0 THEN -1 ELSE 0 END AS s1,
+    CASE WHEN d2 > 0 THEN 1 WHEN d2 < 0 THEN -1 ELSE 0 END AS s2,
+    CASE WHEN d3 > 0 THEN 1 WHEN d3 < 0 THEN -1 ELSE 0 END AS s3,
+    CASE WHEN d4 > 0 THEN 1 WHEN d4 < 0 THEN -1 ELSE 0 END AS s4
+  FROM xd
+)
+SELECT way_a, seg_a, way_b, seg_b,
+  CASE WHEN s1 * s2 = -1 AND s3 * s4 = -1
+       THEN 'proper' ELSE 'touch' END AS kind
+FROM xsg
+WHERE (s1 * s2 = -1 AND s3 * s4 = -1)
+   OR (s1 = 0 AND ax2 BETWEEN LEAST(ax1, bx1) AND GREATEST(ax1, bx1)
+              AND ay2 BETWEEN LEAST(ay1, by1) AND GREATEST(ay1, by1))
+   OR (s2 = 0 AND bx2 BETWEEN LEAST(ax1, bx1) AND GREATEST(ax1, bx1)
+              AND by2 BETWEEN LEAST(ay1, by1) AND GREATEST(ay1, by1))
+   OR (s3 = 0 AND ax1 BETWEEN LEAST(ax2, bx2) AND GREATEST(ax2, bx2)
+              AND ay1 BETWEEN LEAST(ay2, by2) AND GREATEST(ay2, by2))
+   OR (s4 = 0 AND bx1 BETWEEN LEAST(ax2, bx2) AND GREATEST(ax2, bx2)
+              AND by1 BETWEEN LEAST(ay2, by2) AND GREATEST(ay2, by2))
 """,
         # relationally-unrolled Viterbi, chained-CTE mirror
         "q131_viterbi_match": _viterbi_oracle_sql(g),
