@@ -228,10 +228,13 @@ def interval_pairs(
     feed is the documented skew case (AQE skew-join splits it).
 
     Inputs carry (user_id, event_id, ts); timestamps compare as
-    unix_micros longs so the gap is integer-exact in any engine
-    (the parquet ts is NTZ — the cast to instant applies one
-    consistent session offset to both sides, which cancels in the
-    gap)."""
+    unix_micros longs so the gap is integer-exact. REQUIRES a
+    fixed-offset session timezone (osmgraft.session pins
+    spark.sql.session.timeZone=UTC): the parquet ts is NTZ and the
+    cast to instant applies the session offset, which cancels in
+    the gap only when that offset is constant — under a
+    DST-observing zone the two sides of a transition get different
+    offsets and the gap is off by the DST shift."""
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     lf = left.select(
         "user_id",
@@ -281,8 +284,11 @@ def stay_points(
     the run groupBy reuses the window's partitioning so the plan
     carries a single Exchange. Per-user state is one user's
     history; dwell is integer microseconds (unix_micros on both
-    engines' side, NTZ session offset cancels in the difference).
-    """
+    engines' side). REQUIRES a fixed-offset session timezone
+    (osmgraft.session pins spark.sql.session.timeZone=UTC): the
+    NTZ session offset cancels in the difference only when it is
+    constant — a DST transition inside a stay would skew dwell_us
+    by the shift under a DST-observing zone."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     is_new = F.when(

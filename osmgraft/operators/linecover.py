@@ -1118,7 +1118,7 @@ def trace_hausdorff_pairs(
 
 
 def trace_frechet_pairs(
-    traces: DataFrame, shift: int = 22, n_steps: int = 5
+    traces: DataFrame, shift: int = 22, n_steps: int | None = None
 ) -> DataFrame:
     """Discrete Frechet distance (coupling distance, Eiter &
     Mannila 1994) between nearby trace pairs, exact int64: the
@@ -1131,19 +1131,32 @@ def trace_frechet_pairs(
     Relational plan: the DP is a minimax shortest path on the
     (n x n) grid DAG (moves right/down/diagonal), solved by
     UNROLLED relaxation exactly like hop_distance's Bellman-Ford —
-    2*(n-1) passes guarantee convergence (the longest monotone
-    path has 2n-2 edges); each pass is one broadcast-moves join +
-    one equi-join on (pair, i, j) + one groupBy-min, with a lazy
-    localCheckpoint per pass to keep the lineage flat. All
-    arithmetic is int64 min/max on exact squared distances — no
-    floats anywhere, so the oracle (an enumerate-all-monotone-
-    paths recursive CTE) matches hash-exactly.
+    max(li+lj) passes guarantee convergence (the longest monotone
+    path has 2n-2 edges). Two relaxation steps are FUSED per
+    shuffle round: s1 = relax(f), s2 = relax(s1), then one
+    groupBy-min over f ∪ s1 ∪ s2 — the second step rides on s1's
+    un-deduplicated rows (≤3× inflation, still grid-bounded after
+    the equi-join), halving both the shuffle-agg count and the
+    driver job count vs one-step rounds. Lazy localCheckpoint per
+    round keeps lineage flat. All arithmetic is int64 min/max on
+    exact squared distances — no floats anywhere, so the oracle
+    (an enumerate-all-monotone-paths recursive CTE) matches
+    hash-exactly.
 
     Scale: state is one row per live (pair, i, j) — bounded by
     (#candidate pairs) * n^2, the same bound as the Hausdorff
     matrix; every pass shuffles only that state. Candidates are
     cell-complete for Frechet <= S (Frechet >= Hausdorff; see
-    _trace_pair_matrix)."""
+    _trace_pair_matrix).
+
+    Variable-length traces: the terminal DP state is derived PER
+    PAIR as (max step of A, max step of B), and the pass count
+    from the global longest path max(li+lj) (one bounded 1-row
+    scalar collect) — a short trace paired with a long one gets
+    its true coupling distance instead of silently vanishing.
+    Pass n_steps only to pin the pass count without the scalar
+    job (all traces must then have <= n_steps steps). Contract:
+    `step` is 0-based and contiguous within each trace."""
     m = _trace_pair_matrix(traces, shift)
 
     spark = m.sparkSession
@@ -1158,13 +1171,28 @@ def trace_frechet_pairs(
         F.col("d2").cast("long").alias("d2"),
     ).localCheckpoint(eager=False)
 
+    ends = grid.groupBy("trace_a", "trace_b").agg(
+        F.max("i").alias("li"), F.max("j").alias("lj")
+    ).select(
+        F.col("trace_a").alias("ea"),
+        F.col("trace_b").alias("eb"),
+        "li",
+        "lj",
+    )
     f = grid.where((F.col("i") == 0) & (F.col("j") == 0)).select(
         "trace_a", "trace_b", "i", "j", F.col("d2").alias("f")
     )
-    n_passes = 2 * (n_steps - 1)
-    for p in range(n_passes):
-        nxt = (
-            f.join(F.broadcast(moves))
+    if n_steps is not None:
+        n_passes = 2 * (n_steps - 1)
+    else:
+        row = ends.agg(
+            F.max(F.col("li") + F.col("lj")).alias("mp")
+        ).collect()  # 1 row: longest monotone path over all pairs
+        n_passes = int(row[0]["mp"] if row[0]["mp"] is not None else 0)
+
+    def relax(state: DataFrame) -> DataFrame:
+        return (
+            state.join(F.broadcast(moves))
             .select(
                 "trace_a",
                 "trace_b",
@@ -1181,19 +1209,27 @@ def trace_frechet_pairs(
                 F.greatest("f", "d2").alias("f"),
             )
         )
+
+    n_rounds = (n_passes + 1) // 2
+    for p in range(n_rounds):
+        s1 = relax(f)
+        s2 = relax(s1)  # paths of <= k+2 edges: f ∪ ext(f) ∪ ext²(f)
         f = (
-            f.unionByName(nxt)
+            f.unionByName(s1)
+            .unionByName(s2)
             .groupBy("trace_a", "trace_b", "i", "j")
             .agg(F.min("f").alias("f"))
+            .localCheckpoint(eager=False)
         )
-        # lineage cut every OTHER pass: halves the fixed per-job
-        # driver overhead while keeping the plan depth bounded
-        if p % 2 == 1 or p == n_passes - 1:
-            f = f.localCheckpoint(eager=False)
     s2 = 1 << (2 * shift)
-    last = n_steps - 1
     return (
-        f.where((F.col("i") == last) & (F.col("j") == last))
+        f.join(
+            ends,
+            (F.col("trace_a") == F.col("ea"))
+            & (F.col("trace_b") == F.col("eb"))
+            & (F.col("i") == F.col("li"))
+            & (F.col("j") == F.col("lj")),
+        )
         .select(
             "trace_a",
             "trace_b",

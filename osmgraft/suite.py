@@ -681,7 +681,8 @@ c AS (
   FROM pos GROUP BY 1, 2
 ),
 nb AS (
-  SELECT a.v, a.u, MIN(a.n_docs) AS n_docs, SUM(b.n_docs) AS nb9
+  SELECT a.v, a.u, MIN(a.n_docs) AS n_docs,
+         CAST(SUM(b.n_docs) AS BIGINT) AS nb9
   FROM c a JOIN c b
     ON b.v BETWEEN a.v - 1 AND a.v + 1
    AND b.u BETWEEN a.u - 1 AND a.u + 1
@@ -1427,10 +1428,13 @@ GROUP BY 1, 2
 
 def q158_dense_daily(spark, sf_dir):
     """Gap-filled daily activity time series: per event type, one
-    row for EVERY day in the corpus span (integer day =
-    epoch_us div 86.4e9 — engine-neutral), zero-filled where no
+    row for EVERY day in the corpus span, zero-filled where no
     events landed — the calendar densification every BI/anomaly
-    layer needs before windowed baselines. Plan: the day span is
+    layer needs before windowed baselines. Integer day = FLOOR
+    division of epoch micros by 86.4e9, computed exactly as
+    (us - pmod(us, k)) div k so it matches DuckDB's floor-division
+    `//` for pre-1970 timestamps too (Spark's bare `div` truncates
+    toward zero and would diverge there). Plan: the day span is
     a 1-row aggregate (bounded funnel, documented class) exploded
     into the calendar and cross-joined with the tiny distinct
     type list (broadcast); actual counts LEFT-join onto the dense
@@ -1438,7 +1442,9 @@ def q158_dense_daily(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         F.expr(
-            "unix_micros(cast(ts as timestamp)) div 86400000000"
+            "(unix_micros(cast(ts as timestamp))"
+            " - pmod(unix_micros(cast(ts as timestamp)),"
+            " 86400000000)) div 86400000000"
         ).alias("day"),
     )
     counts = ev.groupBy("event_type", "day").agg(
@@ -3758,7 +3764,8 @@ placed AS (
          n, min_doc
   FROM asg0
 )
-SELECT level, qcell, SUM(n) AS n_docs, MIN(min_doc) AS min_doc
+SELECT level, qcell, CAST(SUM(n) AS BIGINT) AS n_docs,
+       MIN(min_doc) AS min_doc
 FROM placed GROUP BY 1, 2
 """
 
@@ -6202,12 +6209,13 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, n_tokens,
-    SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+      AS cum_tokens
   FROM t
 )
 SELECT doc_id, n_tokens, cum_tokens,
-  (cum_tokens - n_tokens) // 512 AS bin,
-  (cum_tokens - n_tokens) % 512 AS bin_offset
+  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS bin,
+  CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS bin_offset
 FROM c
 """,
         "q53_decontaminate": """

@@ -103,6 +103,30 @@ def test_frechet_sees_order(spark):
     assert f.frechet2 == 400_000**2
 
 
+def test_frechet_variable_length(spark):
+    # Traces of DIFFERENT lengths (3, 5, 7 steps): the terminal DP
+    # state is per-pair (max ai, max bj), so short-vs-long pairs
+    # must surface with their true coupling distance instead of
+    # silently vanishing (round-3 bug: fixed n_steps assumption).
+    rng = np.random.default_rng(13)
+    traces = {
+        t: [
+            (int(y), int(x))
+            for y, x in rng.integers(-200_000, 200_000, (n, 2))
+        ]
+        for t, n in ((0, 3), (1, 5), (2, 7), (3, 4))
+    }
+    df = _traces_df(spark, traces)
+    out = trace_frechet_pairs(df, shift=22).collect()
+    got = {(r.trace_a, r.trace_b): r.frechet2 for r in out}
+    # all 6 co-located pairs must appear, each matching the numpy DP
+    assert len(got) == 6
+    for (ta, tb), v in got.items():
+        a = np.array(traces[ta], dtype=np.int64)
+        b = np.array(traces[tb], dtype=np.int64)
+        assert v == _frechet_dp(a, b), (ta, tb)
+
+
 def test_frechet_clusters(spark):
     from osmgraft.operators.dedup import dedup_clusters
 

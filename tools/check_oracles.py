@@ -13,24 +13,60 @@ import time
 sys.path.insert(0, ".")
 
 
+def dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to a strictness class. Integer widths are
+    interchangeable (int32 vs int64 vs Int64), but int vs float vs bool vs
+    decimal/object are NOT — the driver's value hash is dtype-sensitive
+    (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64/object while Spark
+    returns long), so the local sweep must flag exactly that class of
+    drift instead of letting Python's 160 == 160.0 mask it."""
+    s = str(dt)
+    if s.startswith(("int", "Int", "uint", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s.startswith("datetime"):
+        return "datetime"
+    return "object"
+
+
 def canon(df_pandas):
     """order-insensitive canonical form: sort columns by name, round
-    floats, sort rows, hash"""
+    floats, sort rows; returns (rows, per-column dtype-kind signature)"""
     import pandas as pd
 
     df = df_pandas.copy()
     df = df[sorted(df.columns)]
+    kinds = {}
     for c in df.columns:
-        if df[c].dtype == "float64":
-            df[c] = df[c].round(9)
-        # normalize ints across dialects
-        if str(df[c].dtype).startswith(("int", "Int", "uint")):
+        kinds[c] = dtype_kind(df[c].dtype)
+        if kinds[c] == "object" and len(df):
+            # decimal.Decimal / python int inside object columns: classify
+            # by the first non-null value so HUGEINT-as-object is caught
+            nn = df[c].dropna()
+            if len(nn):
+                v = nn.iloc[0]
+                import decimal
+
+                if isinstance(v, bool):
+                    kinds[c] = "bool"
+                elif isinstance(v, int):
+                    kinds[c] = "int"
+                elif isinstance(v, (float, decimal.Decimal)):
+                    kinds[c] = "float" if isinstance(v, float) else "decimal"
+        if kinds[c] == "float" and str(df[c].dtype).startswith(
+            ("float", "Float")
+        ):
+            df[c] = df[c].astype("float64").round(9)
+        if kinds[c] == "int":
             df[c] = df[c].astype("Int64")
     rows = sorted(
         tuple(None if pd.isna(v) else v for v in row)
         for row in df.itertuples(index=False, name=None)
     )
-    return rows
+    return rows, kinds
 
 
 def main():
@@ -87,7 +123,13 @@ def main():
                 f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
             )
         if not problems:
-            cs, co = canon(sdf), canon(odf)
+            (cs, ks), (co, ko) = canon(sdf), canon(odf)
+            for c in ks:
+                if ks[c] != ko.get(c):
+                    problems.append(
+                        f"dtype {c}: spark={ks[c]} vs duck={ko.get(c)}"
+                    )
+        if not problems:
             if cs != co:
                 n_bad = sum(1 for x, y in zip(cs, co) if x != y)
                 problems.append(f"values differ ({n_bad} rows)")
