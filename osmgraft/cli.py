@@ -125,6 +125,9 @@ def _parse_args(argv: list[str]) -> dict:
         "drop_author": False,
         "fake_author": False,
         "fake_version": False,
+        "fake_lonlat": False,
+        "merge_versions": False,
+        "out_osh": False,
         "all_to_nodes": False,
         "out": None,
         "out_fmt": None,   # --out-osm/--out-o5m/... to stdout
@@ -267,6 +270,17 @@ def _parse_args(argv: list[str]) -> dict:
             opts["fake_author"] = True
         elif a == "--fake-version":
             opts["fake_version"] = True
+        elif a == "--fake-lonlat":
+            # faked lat="0" lon="0" on delete records
+            # (osmconvert.c:58, 12769-12774)
+            opts["fake_lonlat"] = True
+        elif a == "--merge-versions":
+            # accept duplicate versions of one object in the input:
+            # last occurrence wins (osmconvert.c:61, 11124-11137)
+            opts["merge_versions"] = True
+        elif a == "--out-osh":
+            # .osh visible-tags XML output (osmconvert.c:64, 12845)
+            opts["out_osh"] = True
         elif a.startswith(
             ("--hash-memory=", "-h=", "--max-objects=",
              "--max-refs=", "-t=")
@@ -1156,12 +1170,17 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         ext = (opts["out"] or "").rsplit(".", 1)[-1]
         if ext not in ("osc", "o5c"):
             raise SystemExit("--diff output must be .osc or .o5c")
-    elif len(parts) == 1:
+    elif len(parts) == 1 and not opts["merge_versions"]:
         nodes, ways, rels = parts[0]
     else:
-        nodes = union_dedup([p[0] for p in parts], ["id"])
-        ways = union_dedup([p[1] for p in parts], ["id"])
-        rels = union_dedup([p[2] for p in parts], ["id"])
+        # --merge-versions additionally collapses duplicate ids
+        # WITHIN one input, newest version winning
+        # (osmconvert.c:11124-11137); without it, later FILES still
+        # override earlier ones (oo__switch merge order)
+        oc = ["version"] if opts["merge_versions"] else None
+        nodes = union_dedup([p[0] for p in parts], ["id"], oc)
+        ways = union_dedup([p[1] for p in parts], ["id"], oc)
+        rels = union_dedup([p[2] for p in parts], ["id"], oc)
 
     if opts["sub_inputs"]:
         # J4: subtract the objects of every file listed after
@@ -1220,6 +1239,34 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         nodes = author_mod(nodes)
         ways = author_mod(ways)
         rels = author_mod(rels)
+
+    # Deleted objects (tags=None tombstones from change-file
+    # inputs) bypass every filter, exactly like the reference's
+    # early `continue` (osmconvert.c:11409-11420): they are KEPT
+    # for change/osh outputs (wo_delete) and silently dropped for
+    # every other sink.
+    out_ext = (
+        (opts["out"] or "").rsplit(".", 1)[-1].lower()
+        if opts["out"]
+        else ""
+    )
+    osh_mode = opts["out_osh"] or out_ext == "osh"
+    change_out = (
+        opts["diff"]
+        or out_ext in ("osc", "o5c")
+        or opts["out_fmt"] == "o5c"
+    )
+    tombs = None
+    if not opts["diff"]:
+        if osh_mode or change_out:
+            tombs = (
+                nodes.where(F.col("tags").isNull()),
+                ways.where(F.col("tags").isNull()),
+                rels.where(F.col("tags").isNull()),
+            )
+        nodes = nodes.where(F.col("tags").isNotNull())
+        ways = ways.where(F.col("tags").isNotNull())
+        rels = rels.where(F.col("tags").isNotNull())
 
     if opts["keep"]:
         pred = parse_keep(opts["keep"])
@@ -1331,6 +1378,28 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         _emit_csv(nodes, ways, rels, opts)
         return None
 
+    if tombs is not None:
+        # rejoin the delete records for the change/osh sinks
+        nodes = nodes.unionByName(tombs[0])
+        ways = ways.unionByName(tombs[1]) if ways is not None else tombs[1]
+        rels = rels.unionByName(tombs[2]) if rels is not None else tombs[2]
+
+    if osh_mode and opts["out"] is None:
+        # --out-osh without -o= streams to stdout like --out-osm
+        from .wire import encode_osm_xml
+        from .wire.spark import _iter_rows
+
+        sys.stdout.write(
+            encode_osm_xml(
+                _iter_rows(nodes),
+                _iter_rows(ways) if ways is not None else [],
+                _iter_rows(rels) if rels is not None else [],
+                osh=True,
+                fake_lonlat=opts["fake_lonlat"],
+            )
+        )
+        return None
+
     if opts["out_fmt"] is not None and opts["out"] is None:
         # --out-FORMAT without -o=: stream to stdout, like the
         # reference tools (osmconvert.c:12823-12860). XML goes to
@@ -1378,9 +1447,12 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         )
         with open(out, "wb") as f:
             f.write(data)
-    elif ext == "osm":
+    elif ext in ("osm", "osh"):
+        fmt = "osm"
+        if osh_mode:
+            fmt = "osh-fakell" if opts["fake_lonlat"] else "osh"
         write_wire_single(
-            nodes, ways, rels, out, fmt="osm",
+            nodes, ways, rels, out, fmt=fmt,
             dialect=opts["emulate"],
         )
     elif ext == "osc":
@@ -1390,6 +1462,7 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
                     _iter_rows(nodes),
                     _iter_rows(ways) if ways is not None else [],
                     _iter_rows(rels) if rels is not None else [],
+                    fake_lonlat=opts["fake_lonlat"],
                 )
             )
     elif ext == "pbf":

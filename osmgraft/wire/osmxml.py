@@ -65,11 +65,14 @@ def _author_attrs(row: dict) -> str:
     return s
 
 
-def encode_osc(nodes, ways, rels) -> str:
+def encode_osc(nodes, ways, rels, fake_lonlat: bool = False) -> str:
     """osmChange XML (.osc) writer: live rows under <modify> (apply
     semantics treat modify as upsert, osmchange.c:1485-1659),
-    tags=None tombstones under <delete> as id-only objects. The
-    twin of sources/osmxml.read_osc_nodes.
+    tags=None tombstones under <delete> carrying their author attrs
+    (like wo_delete) but no coordinates — unless fake_lonlat
+    (--fake-lonlat, osmconvert.c:58, 12769-12774), which writes
+    lat="0" lon="0" on every tombstone exactly like the reference.
+    The twin of sources/osmxml.read_osc_nodes.
 
     The reference requires object ids to ASCEND across the whole
     file (osmconvert.c:440-450), so <modify>/<delete> blocks are
@@ -79,26 +82,30 @@ def encode_osc(nodes, ways, rels) -> str:
         "<?xml version='1.0' encoding='UTF-8'?>",
         '<osmChange version="0.6" generator="osmgraft">',
     ]
+    fake = ' lat="0" lon="0"' if fake_lonlat else ""
 
     def block(action: str, body: list[str]) -> None:
         parts.append(f"\t<{action}>")
         parts.extend(body)
         parts.append(f"\t</{action}>")
 
+    def tombstone(kind: str, row: dict) -> None:
+        block(
+            "delete",
+            [
+                f'\t\t<{kind} id="{row["id"]}"{fake}'
+                f"{_author_attrs(row)}/>"
+            ],
+        )
+
     for nd in nodes:
         if nd.get("tags") is None:
-            block(
-                "delete",
-                [
-                    f'\t\t<node id="{nd["id"]}" lat="0" lon="0"'
-                    ' version="1"/>'
-                ],
-            )
+            tombstone("node", nd)
             continue
         head = (
             f'\t\t<node id="{nd["id"]}"'
-            f' lat="{format_fix7(nd["lat_i"])}"'
-            f' lon="{format_fix7(nd["lon_i"])}"'
+            f' lat="{_sfix7(nd["lat_i"])}"'
+            f' lon="{_sfix7(nd["lon_i"])}"'
             ' version="1"'
         )
         if nd["tags"]:
@@ -110,10 +117,7 @@ def encode_osc(nodes, ways, rels) -> str:
         block("modify", body)
     for wy in ways:
         if wy.get("tags") is None:
-            block(
-                "delete",
-                [f'\t\t<way id="{wy["id"]}" version="1"/>'],
-            )
+            tombstone("way", wy)
             continue
         body = [f'\t\t<way id="{wy["id"]}" version="1">']
         for r in wy["refs"]:
@@ -123,10 +127,7 @@ def encode_osc(nodes, ways, rels) -> str:
         block("modify", body)
     for rl in rels:
         if rl.get("tags") is None:
-            block(
-                "delete",
-                [f'\t\t<relation id="{rl["id"]}" version="1"/>'],
-            )
+            tombstone("relation", rl)
             continue
         body = [f'\t\t<relation id="{rl["id"]}" version="1">']
         for m in rl["members"]:
@@ -232,19 +233,33 @@ def _encode_emulated(nodes, ways, rels, dialect: str) -> str:
     return "\n".join(parts)
 
 
-def encode_osm_xml(nodes, ways, rels, dialect: str | None = None) -> str:
+def encode_osm_xml(
+    nodes,
+    ways,
+    rels,
+    dialect: str | None = None,
+    osh: bool = False,
+    fake_lonlat: bool = False,
+) -> str:
     """Row-dict lists (the readers' shape) -> one .osm document.
     tags=None tombstones are skipped: plain .osm carries no delete
     semantics (that is .osc's job — streaming/changes.py).
     dialect: None for the native writer, or "pbf2osm"/"osmosis" for
-    the reference's --emulate-* output formats."""
+    the reference's --emulate-* output formats.
+    osh: .osh visible-tags output (--out-osh, osmconvert.c:64,
+    8311-8317): every object carries visible="true"; tombstones are
+    KEPT as coordinate-less visible="false" records via wo_delete.
+    fake_lonlat: --fake-lonlat (osmconvert.c:58, 8826) writes
+    lat="0" lon="0" on deleted nodes."""
     if dialect is not None:
         return _encode_emulated(nodes, ways, rels, dialect)
     parts = [
         "<?xml version='1.0' encoding='UTF-8'?>",
         '<osm version="0.6" generator="osmgraft">',
     ]
-    body = encode_osm_xml_body(nodes, ways, rels)
+    body = encode_osm_xml_body(
+        nodes, ways, rels, osh=osh, fake_lonlat=fake_lonlat
+    )
     if body:
         parts.append(body)
     parts.append("</osm>")
@@ -252,20 +267,36 @@ def encode_osm_xml(nodes, ways, rels, dialect: str | None = None) -> str:
     return "\n".join(parts)
 
 
-def encode_osm_xml_body(nodes, ways, rels) -> str:
+def encode_osm_xml_body(
+    nodes, ways, rels, osh: bool = False, fake_lonlat: bool = False
+) -> str:
     """Object lines only (no XML declaration, no <osm> envelope) —
     the executor-side unit of the parallel single-file sink: XML
     objects are self-contained, so independently-rendered chunks
     concatenate byte-identically to a serial render."""
+    vis_live = ' visible="true"' if osh else ""
+    fake = ' lat="0" lon="0"' if fake_lonlat else ""
+
+    def tombstone(parts: list[str], kind: str, row: dict) -> None:
+        # wo_delete (osmconvert.c:8810-8833): id, optional faked
+        # lonlat (on EVERY type — the reference writes lat/lon on
+        # way/relation tombstones too), author attrs, visible=false
+        parts.append(
+            f'\t<{kind} id="{row["id"]}"{fake}'
+            f'{_author_attrs(row)} visible="false"/>'
+        )
+
     parts: list[str] = []
     for nd in nodes:
         if nd.get("tags") is None:
+            if osh:
+                tombstone(parts, "node", nd)
             continue
         head = (
             f'\t<node id="{nd["id"]}"'
-            f' lat="{format_fix7(nd["lat_i"])}"'
-            f' lon="{format_fix7(nd["lon_i"])}"'
-            f"{_author_attrs(nd)}"
+            f' lat="{_sfix7(nd["lat_i"])}"'
+            f' lon="{_sfix7(nd["lon_i"])}"'
+            f"{_author_attrs(nd)}{vis_live}"
         )
         if nd["tags"]:
             parts.append(head + ">")
@@ -275,9 +306,11 @@ def encode_osm_xml_body(nodes, ways, rels) -> str:
             parts.append(head + "/>")
     for wy in ways:
         if wy.get("tags") is None:
+            if osh:
+                tombstone(parts, "way", wy)
             continue
         parts.append(
-            f'\t<way id="{wy["id"]}"{_author_attrs(wy)}>'
+            f'\t<way id="{wy["id"]}"{_author_attrs(wy)}{vis_live}>'
         )
         for r in wy["refs"]:
             parts.append(f'\t\t<nd ref="{r}"/>')
@@ -285,9 +318,12 @@ def encode_osm_xml_body(nodes, ways, rels) -> str:
         parts.append("\t</way>")
     for rl in rels:
         if rl.get("tags") is None:
+            if osh:
+                tombstone(parts, "relation", rl)
             continue
         parts.append(
-            f'\t<relation id="{rl["id"]}"{_author_attrs(rl)}>'
+            f'\t<relation id="{rl["id"]}"'
+            f"{_author_attrs(rl)}{vis_live}>"
         )
         for m in rl["members"]:
             parts.append(

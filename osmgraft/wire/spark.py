@@ -146,8 +146,14 @@ def _encode_body(fmt: str, nodes, ways, rels) -> bytes:
         # 0xff reset makes each chunk's fresh delta/string-table
         # state legal at any concatenation point
         return b"\xff" + encode_o5m_body(nodes, ways, rels)
-    if fmt == "osm":
-        body = encode_osm_xml_body(nodes, ways, rels)
+    if fmt in ("osm", "osh", "osh-fakell"):
+        body = encode_osm_xml_body(
+            nodes,
+            ways,
+            rels,
+            osh=fmt.startswith("osh"),
+            fake_lonlat=fmt.endswith("-fakell"),
+        )
         return (body + "\n").encode("utf-8") if body else b""
     if fmt == "pbf":
         return encode_pbf_body(nodes, ways, rels)
@@ -179,16 +185,25 @@ def _body_writer(fmt: str, kind: str, out_dir: str):
     return gen
 
 
+_XML_HEADER = (
+    "<?xml version='1.0' encoding='UTF-8'?>\n"
+    '<osm version="0.6" generator="osmgraft">\n'
+).encode("utf-8")
 _HEADERS = {
     # trailing 0xff keeps zero-chunk (empty) files well-formed;
     # chunk-leading 0xff resets are idempotent after it
     "o5m": b"\xff\xe0\x04o5m2\xff",
-    "osm": (
-        "<?xml version='1.0' encoding='UTF-8'?>\n"
-        '<osm version="0.6" generator="osmgraft">\n'
-    ).encode("utf-8"),
+    "osm": _XML_HEADER,
+    "osh": _XML_HEADER,
+    "osh-fakell": _XML_HEADER,
 }
-_FOOTERS = {"o5m": b"\xfe", "osm": b"</osm>\n", "pbf": b""}
+_FOOTERS = {
+    "o5m": b"\xfe",
+    "osm": b"</osm>\n",
+    "osh": b"</osm>\n",
+    "osh-fakell": b"</osm>\n",
+    "pbf": b"",
+}
 
 
 def _pbf_header() -> bytes:

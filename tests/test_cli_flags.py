@@ -727,3 +727,157 @@ def test_all_to_nodes_preserves_author(spark, tmp_path):
     assert _run("osmconvert", str(ours), *_META_CSV) == _run(
         "osmconvert", str(theirs), *_META_CSV
     )
+
+
+# ---------------------------------------------------------------
+# round-4 long-tail flags: --merge-versions, --out-osh,
+# --fake-lonlat (osmconvert.c:58,61,64)
+# ---------------------------------------------------------------
+
+_BASE_META = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="test">
+\t<node id="1" lat="10.0000000" lon="20.0000000" version="2" timestamp="2020-01-02T03:04:05Z" changeset="7" uid="3" user="alice"/>
+\t<node id="2" lat="11.0000000" lon="21.0000000" version="1" timestamp="2020-01-02T03:04:06Z" changeset="8" uid="4" user="bob">
+\t\t<tag k="amenity" v="cafe"/>
+\t</node>
+\t<way id="5" version="1" timestamp="2020-01-02T03:04:07Z" changeset="9" uid="3" user="alice">
+\t\t<nd ref="1"/>
+\t\t<nd ref="2"/>
+\t\t<tag k="highway" v="residential"/>
+\t</way>
+</osm>
+"""
+
+_NEW_META = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="test">
+\t<node id="1" lat="10.5000000" lon="20.0000000" version="3" timestamp="2020-02-02T03:04:05Z" changeset="17" uid="3" user="alice"/>
+\t<node id="3" lat="12.0000000" lon="22.0000000" version="1" timestamp="2020-02-02T03:04:08Z" changeset="18" uid="4" user="bob"/>
+\t<way id="5" version="2" timestamp="2020-02-02T03:04:09Z" changeset="19" uid="3" user="alice">
+\t\t<nd ref="1"/>
+\t\t<nd ref="3"/>
+\t\t<tag k="highway" v="primary"/>
+\t</way>
+</osm>
+"""
+
+
+def _norm_gen(s: str) -> str:
+    return s.replace(
+        'generator="osmconvert 0.8.11"', 'generator="osmgraft"'
+    )
+
+
+def _meta_world(tmp_path):
+    """base.osm + chg.o5c (made by the reference's own --diff, so it
+    carries a real node delete with full author metadata)."""
+    base = tmp_path / "base.osm"
+    base.write_text(_BASE_META)
+    new = tmp_path / "new.osm"
+    new.write_text(_NEW_META)
+    chg = tmp_path / "chg.o5c"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", str(base), str(new), "--diff",
+         f"-o={chg}"],
+        check=True,
+    )
+    return str(base), str(chg)
+
+
+def test_out_osh_byte_exact(spark, tmp_path):
+    """--out-osh: visible="true" on every live object; deleted
+    objects KEPT as coordinate-less visible="false" records carrying
+    their author metadata (wo_delete + wo__author,
+    osmconvert.c:8311-8317) — byte-equal to the binary, modulo the
+    generator attribute."""
+    base, chg = _meta_world(tmp_path)
+    ref = _run("osmconvert", base, chg, "--out-osh")
+    ours = tmp_path / "ours.osh"
+    convert(spark, [base, chg, "--out-osh", f"-o={ours}"])
+    assert ours.read_text() == _norm_gen(ref)
+    assert 'visible="false"' in ref  # the delete really exercised
+
+
+def test_osh_extension_implies_osh(spark, tmp_path):
+    """-o=file.osh alone selects osh output, like the reference's
+    extension dispatch (osmconvert.c:13134)."""
+    base, chg = _meta_world(tmp_path)
+    ref = _run("osmconvert", base, chg, "--out-osh")
+    ours = tmp_path / "ours2.osh"
+    convert(spark, [base, chg, f"-o={ours}"])
+    assert ours.read_text() == _norm_gen(ref)
+
+
+def test_fake_lonlat_byte_exact(spark, tmp_path):
+    """--fake-lonlat writes lat="0" lon="0" on delete records — on
+    EVERY object type, matching the reference quirk
+    (wo_delete, osmconvert.c:8826)."""
+    base, chg = _meta_world(tmp_path)
+    ref = _run("osmconvert", base, chg, "--fake-lonlat", "--out-osh")
+    ours = tmp_path / "ours3.osh"
+    convert(
+        spark, [base, chg, "--fake-lonlat", "--out-osh", f"-o={ours}"]
+    )
+    assert ours.read_text() == _norm_gen(ref)
+    assert ' lat="0" lon="0"' in ref
+
+
+def test_fake_lonlat_osc_sink(spark, tmp_path):
+    """Our .osc writer honours fake_lonlat on tombstones and the
+    result still applies identically through the binary."""
+    from osmgraft.wire.osmxml import encode_osc
+
+    rows = [
+        {"id": 3, "lat_i": None, "lon_i": None, "tags": None,
+         "version": 2, "timestamp": 1577934246, "changeset": 8,
+         "uid": 4, "user": "bob"},
+        {"id": 7, "lat_i": 777, "lon_i": 77, "tags": {"a": "b"}},
+    ]
+    plain = encode_osc(rows, [], [])
+    faked = encode_osc(rows, [], [], fake_lonlat=True)
+    assert '<node id="3" version="2"' in plain
+    assert '<node id="3" lat="0" lon="0" version="2"' in faked
+    # both apply identically through the reference binary
+    base = tmp_path / "b.osm"
+    base.write_text(_BASE_META.replace('id="2"', 'id="3"'))
+    out = []
+    for name, text in (("p.osc", plain), ("f.osc", faked)):
+        p = tmp_path / name
+        p.write_text(text)
+        out.append(_run("osmconvert", str(base), str(p), *_CSV))
+    assert out[0] == out[1]
+
+
+def test_merge_versions_byte_exact(spark, tmp_path):
+    """--merge-versions: duplicate ids within ONE input collapse to
+    the newest version (osmconvert.c:11124-11137), byte-equal
+    through the native XML writer."""
+    dup = tmp_path / "dup.osm"
+    dup.write_text(
+        _BASE_META.replace(
+            '\t<node id="1" lat="10.0000000" lon="20.0000000"'
+            ' version="2"',
+            '\t<node id="1" lat="9.0000000" lon="19.0000000"'
+            ' version="1" timestamp="2019-01-02T03:04:05Z"'
+            ' changeset="6" uid="3" user="alice"/>\n'
+            '\t<node id="1" lat="10.0000000" lon="20.0000000"'
+            ' version="2"',
+        )
+    )
+    ref = _run("osmconvert", str(dup), "--merge-versions",
+               "--out-osm")
+    ours = tmp_path / "mv.osm"
+    convert(spark, [str(dup), "--merge-versions", f"-o={ours}"])
+    assert ours.read_text() == _norm_gen(ref)
+    assert 'lat="9' not in ref  # v1 really dropped
+
+
+def test_native_xml_byte_exact(spark, tmp_path):
+    """Round-4: the NATIVE XML writer (not just the --emulate-*
+    dialects) is byte-equal to the binary — write_sfix7 coordinate
+    formatting with trailing zeros stripped."""
+    base = tmp_path / "base.osm"
+    base.write_text(_BASE_META)
+    ref = _run("osmconvert", str(base), "--out-osm")
+    ours = tmp_path / "n.osm"
+    convert(spark, [str(base), f"-o={ours}"])
+    assert ours.read_text() == _norm_gen(ref)
