@@ -325,3 +325,61 @@ def test_write_ogb_dataframe_sink_matches_list_encoder(
         text=True,
     )
     assert "City03" in proc.stdout
+
+
+def test_write_ogb_multipartition_byte_exact(spark, tmp_path):
+    """Round-4 executor-side dictionary build: a 600-address frame
+    across 8 range partitions (>1 encode task per section) must
+    still be byte-identical to the serial list encoder, and load in
+    the binary."""
+    import random
+
+    from osmgraft.wire.ogb import write_ogb
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(600):
+        rows.append(
+            {
+                "region": f"Reg{rng.randrange(3)}",
+                "subregion": "",
+                "city": f"City{rng.randrange(40):02d}",
+                "street": f"Street {rng.randrange(120):03d}",
+                "housenumber": str(rng.randrange(1, 99)),
+                "housenumeric": rng.randrange(1, 99),
+                "x": rng.randrange(-1800000000, 1800000000),
+                "y": rng.randrange(-850000000, 850000000),
+                "weight": rng.randrange(0, 64),
+            }
+        )
+    # final order: city-major, street, housenumeric (the dat_addr
+    # contract) — same ordering for both encoders
+    rows.sort(
+        key=lambda r: (r["city"], r["street"], r["housenumeric"])
+    )
+    want = encode_ogb(rows)
+    adf = spark.createDataFrame(
+        [
+            (
+                i + 1, r["region"], r["subregion"], r["city"],
+                r["street"], r["housenumber"], r["housenumeric"],
+                r["x"], r["y"], r["weight"],
+            )
+            for i, r in enumerate(rows)
+        ],
+        "addr_idx long, region string, subregion string, "
+        "city string, street string, housenumber string, "
+        "housenumeric long, x long, y long, weight long",
+    )
+    p = tmp_path / "big.ogb"
+    n = write_ogb(adf, str(p), parts=8)
+    assert n == len(rows)
+    assert p.read_bytes() == want
+
+    proc = subprocess.run(
+        [f"{REFBIN}/osmposition", str(p)],
+        input="City07\n",
+        capture_output=True,
+        text=True,
+    )
+    assert "City07" in proc.stdout
