@@ -153,6 +153,7 @@ def corpus_filter_verdict(
     min_len: int = 300,
     max_dup_frac: float = 0.2,
     lang: str = "en",
+    carry_cols: bool = False,
 ) -> DataFrame:
     """FineWeb/CCNet-style composed corpus filter: one keep/drop
     verdict per document from language-ID, length, repetition, and
@@ -191,8 +192,13 @@ def corpus_filter_verdict(
         n_grams > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams,
     ).otherwise(F.lit(0.0))
+    head = (
+        [F.col(c) for c in df.columns]
+        if carry_cols
+        else [F.col("doc_id")]
+    )
     base = _with_word_grams(df, text_col, 3).select(
-        "doc_id",
+        *head,
         (lang_pred == lang).alias("lang_ok"),
         (F.length(t) >= min_len).alias("len_ok"),
         (dup_frac <= max_dup_frac).alias("rep_ok"),
@@ -496,7 +502,10 @@ PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 
 def pii_scrub(
-    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    carry_cols: bool = False,
 ) -> DataFrame:
     """PII redaction (the release gate every public corpus runs):
     emails, dotted IPv4s, and NNN-NNN-NNNN phone numbers replaced by
@@ -522,8 +531,13 @@ def pii_scrub(
         PII_PHONE_RE,
         "<PHONE>",
     )
+    head = (
+        [F.col(c) for c in df.columns if c != text_col]
+        if carry_cols
+        else [F.col("doc_id")]
+    )
     return df.select(
-        "doc_id",
+        *head,
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
         .cast("long")
         .alias("n_emails"),

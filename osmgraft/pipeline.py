@@ -153,76 +153,108 @@ def funnel_report(
     failure attribution, mix survivors, packed token total and
     training-window count.
 
-    Each stage aggregates its OWN branch to one row (map-side
-    partials + a 1-row final agg — the legitimate SinglePartition
-    funnel class from PLANS.md); the twelve scalars then cross-join
-    (broadcast nested loop of single rows, not data). Cost is the
-    same scans the build itself performs."""
+    Plan shape (round 4 — the twelve one-row branches collapsed):
+    ONE enriched per-doc frame carries every stage's counters as
+    columns (boilerplate strip -> pii counts -> verdict flags ->
+    inlined stratified-sample membership -> conditional token
+    count), pinned with a lazy localCheckpoint so the lineage runs
+    ONCE; the distributed prefix sum rides on it for the packing
+    bins, and a SINGLE multi-aggregate pass produces all twelve
+    scalars — conditional sums instead of per-scalar branches, so
+    the old 25-exchange plan drops to the enrichment shuffles plus
+    one aggregation."""
     clean_full = boilerplate_strip(docs, doc_frac=boiler_frac)
-    clean = clean_full.select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    scrub_full = pii_scrub(clean)
-    scrub = scrub_full.select(
-        "doc_id", F.col("scrubbed").alias("text")
+    scrub_full = pii_scrub(
+        clean_full.select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.col("clean_text").alias("text"),
+        ),
+        carry_cols=True,
     )
     verdict = corpus_filter_verdict(
-        scrub, min_len=min_len, max_dup_frac=max_dup_frac,
-        lang=lang,
-    )
-    kept = (
-        scrub.join(
-            verdict.filter(F.col("keep")).select("doc_id"),
+        scrub_full.select(
             "doc_id",
+            "n_lines",
+            "n_kept",
+            "n_emails",
+            F.col("scrubbed").alias("text"),
+        ),
+        min_len=min_len,
+        max_dup_frac=max_dup_frac,
+        lang=lang,
+        carry_cols=True,
+    )
+    # inlined stratified_sample membership (text.stratified_sample:
+    # keep iff hash(key, seed)/2^32 < frac[stratum]) — a COLUMN on
+    # the one frame instead of a filtered branch
+    h = F.pmod(
+        (F.col("doc_id").cast("long") + F.lit(mix_seed))
+        * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    frac = F.lit(default_frac)
+    for value, fr in (mix or {}).items():
+        frac = F.when(
+            F.col("lang") == value, F.lit(float(fr))
+        ).otherwise(frac)
+    in_mix = F.col("keep") & (h < frac * F.lit(4294967296.0))
+    enriched = (
+        verdict.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("mixed", in_mix)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "n_emails",
+            "lang_ok",
+            "len_ok",
+            "rep_ok",
+            "dedup_ok",
+            "keep",
+            "mixed",
+            F.when(
+                F.col("mixed"),
+                F.size(F.split("text", " ")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("mtoks"),
         )
-        .join(docs.select("doc_id", "lang"), "doc_id")
-    )
-    mixed = stratified_sample(
-        kept, mix or {}, seed=mix_seed, default_frac=default_frac
-    )
-    toks = mixed.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        .localCheckpoint(eager=False)
     )
     packed = with_running_total(
-        toks, order_cols=["doc_id"], value_col="n_tokens",
+        enriched, order_cols=["doc_id"], value_col="mtoks",
         out_col="cum_tokens",
     )
 
     def _zero(c):
         return F.coalesce(c, F.lit(0)).cast("long")
 
-    a_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
-    a_lines = clean_full.agg(
+    def _nsum(c):
+        return _zero(F.sum(F.col(c).cast("long")))
+
+    def _nfail(c):
+        return _zero(F.sum((~F.col(c)).cast("long")))
+
+    return packed.agg(
+        F.count("*").cast("long").alias("n_docs"),
         _zero(F.sum("n_lines")).alias("n_lines"),
         _zero(F.sum("n_kept")).alias("n_lines_kept"),
-    )
-    a_pii = scrub_full.agg(
-        _zero(F.sum("n_emails")).alias("n_emails")
-    )
-    a_verdict = verdict.agg(
-        _zero(F.sum(F.col("keep").cast("long"))).alias("n_keep"),
-        _zero(
-            F.sum((~F.col("lang_ok")).cast("long"))
-        ).alias("n_fail_lang"),
-        _zero(
-            F.sum((~F.col("len_ok")).cast("long"))
-        ).alias("n_fail_len"),
-        _zero(
-            F.sum((~F.col("rep_ok")).cast("long"))
-        ).alias("n_fail_rep"),
-        _zero(
-            F.sum((~F.col("dedup_ok")).cast("long"))
-        ).alias("n_fail_dedup"),
-    )
-    a_mixed = mixed.agg(F.count("*").cast("long").alias("n_mixed"))
-    a_packed = packed.agg(
-        _zero(F.sum("n_tokens")).alias("total_tokens"),
+        _zero(F.sum("n_emails")).alias("n_emails"),
+        _nsum("keep").alias("n_keep"),
+        _nfail("lang_ok").alias("n_fail_lang"),
+        _nfail("len_ok").alias("n_fail_len"),
+        _nfail("rep_ok").alias("n_fail_rep"),
+        _nfail("dedup_ok").alias("n_fail_dedup"),
+        _nsum("mixed").alias("n_mixed"),
+        _zero(F.sum("mtoks")).alias("total_tokens"),
         F.countDistinct(
-            F.expr(f"(cum_tokens - n_tokens) div {pack_tokens}")
+            F.when(
+                F.col("mixed"),
+                F.expr(
+                    f"(cum_tokens - mtoks) div {pack_tokens}"
+                ),
+            )
         ).cast("long").alias("n_bins"),
     )
-    out = a_docs
-    for a in (a_lines, a_pii, a_verdict, a_mixed, a_packed):
-        out = out.crossJoin(a)
-    return out
