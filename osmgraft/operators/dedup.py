@@ -334,11 +334,10 @@ def dedup_clusters(
         .withColumn("cluster", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    n_changed = 0
-    for _ in range(max_passes):
-        neighbor_min = (
+    def step(lbl: DataFrame) -> DataFrame:
+        nm = (
             edges.join(
-                labels.select(
+                lbl.select(
                     F.col("node").alias("v"),
                     F.col("cluster").alias("vc"),
                 ),
@@ -347,32 +346,33 @@ def dedup_clusters(
             .groupBy("u")
             .agg(F.min("vc").alias("nc"))
         )
-        # ONE job per pass (round-2; was checkpoint + isEmpty join):
-        # carry a changed flag through a lazy checkpoint, then the
-        # filtered count both materializes the checkpoint and drives
-        # convergence.
-        new_cluster = F.least(
-            F.col("cluster"), F.coalesce("nc", F.col("cluster"))
+        return lbl.join(
+            nm.select(F.col("u").alias("node"), "nc"),
+            "node",
+            "left",
+        ).select(
+            *[c for c in lbl.columns if c != "cluster"],
+            F.least(
+                F.col("cluster"), F.coalesce("nc", F.col("cluster"))
+            ).alias("cluster"),
         )
-        updated = (
-            labels.join(
-                neighbor_min.select(
-                    F.col("u").alias("node"), "nc"
-                ),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                new_cluster.alias("_new"),
-                (new_cluster < F.col("cluster")).alias("_chg"),
-            )
-            .localCheckpoint(eager=False)
-        )
+
+    # TWO propagation steps fused per driver job (round 4): the
+    # changed flag compares against the label BEFORE the round, the
+    # lazy checkpoint + filtered count both materialize the round
+    # and drive convergence — same shuffle count as single steps,
+    # half the fixed per-job overhead. Labels only decrease, so a
+    # round that changes nothing is a true fixed point.
+    n_changed = 0
+    for _ in range((max_passes + 1) // 2):
+        cur = step(step(labels.withColumn("_orig", F.col("cluster"))))
+        updated = cur.select(
+            "node",
+            "cluster",
+            (F.col("cluster") < F.col("_orig")).alias("_chg"),
+        ).localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("_chg")).count()
-        labels = updated.select(
-            "node", F.col("_new").alias("cluster")
-        )
+        labels = updated.select("node", "cluster")
         if n_changed == 0:
             break
     if n_changed:

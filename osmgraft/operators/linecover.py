@@ -880,8 +880,13 @@ def hop_distance(
     = floor(sqrt(dx^2 + dy^2)) — int64 after an IEEE-pinned
     double sqrt, so accumulation is INTEGER addition and min: no
     fp-order caveats anywhere.  The relaxation is relational
-    Bellman-Ford, unrolled: one equi-join + one groupBy-min per
-    hop, each pass touching only (node, dist) pairs — the textbook
+    Bellman-Ford, unrolled, with TWO hops fused per shuffle round
+    (round 4): s1 = relax(dist), s2 = relax(s1), then one
+    groupBy-min over dist ∪ s1 ∪ s2 — s2 rides on s1's
+    un-deduplicated rows (≤ avg-degree² inflation before the min,
+    bounded on road networks where degree ≈ 2–3), halving both the
+    shuffle-agg count and the driver job count vs one-hop rounds
+    (the same fusion as trace_frechet_pairs).  The textbook
     distributed SSSP for bounded radius (unbounded would use the
     <=12-pass fixed-point pattern of graph.py with convergence
     detection).  The oracle replays the same n_hops chained
@@ -916,22 +921,28 @@ def hop_distance(
         )
     )
 
-    dist = seeds.select(
-        F.col("doc_id").alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    ).distinct()
-    for _ in range(n_hops):
-        relax = dist.join(
-            edges, dist["node"] == edges["u"]
+    edges = edges.localCheckpoint(eager=False)
+
+    def relax(state: DataFrame) -> DataFrame:
+        return state.join(
+            edges, state["node"] == edges["u"]
         ).select(
             F.col("v").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
-        dist = (
-            dist.unionByName(relax)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
+
+    dist = seeds.select(
+        F.col("doc_id").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    hops_left = n_hops
+    while hops_left > 0:
+        s1 = relax(dist)
+        u = dist.unionByName(s1)
+        if hops_left >= 2:
+            u = u.unionByName(relax(s1))
+        dist = u.groupBy("node").agg(F.min("dist").alias("dist"))
+        hops_left -= 2
     return dist.select(F.col("node").alias("doc_id"), "dist")
 
 
@@ -1210,17 +1221,25 @@ def trace_frechet_pairs(
             )
         )
 
-    n_rounds = (n_passes + 1) // 2
-    for p in range(n_rounds):
-        s1 = relax(f)
-        s2 = relax(s1)  # paths of <= k+2 edges: f ∪ ext(f) ∪ ext²(f)
+    # fuse up to FOUR relaxation steps per shuffle round: each
+    # un-deduplicated extension is grid-bounded after its equi-join
+    # (<= 3x rows per step before the min), so a round costs one
+    # groupBy-min + checkpoint for four edges of progress — the
+    # driver-job count falls 4x vs one-step rounds
+    done = 0
+    while done < n_passes:
+        k = min(4, n_passes - done)
+        u = f
+        s = f
+        for _ in range(k):
+            s = relax(s)
+            u = u.unionByName(s)
         f = (
-            f.unionByName(s1)
-            .unionByName(s2)
-            .groupBy("trace_a", "trace_b", "i", "j")
+            u.groupBy("trace_a", "trace_b", "i", "j")
             .agg(F.min("f").alias("f"))
             .localCheckpoint(eager=False)
         )
+        done += k
     s2 = 1 << (2 * shift)
     return (
         f.join(

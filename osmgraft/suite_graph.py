@@ -507,7 +507,7 @@ def q154_trace_frechet(spark, sf_dir):
     from .operators.linecover import trace_frechet_pairs
 
     return trace_frechet_pairs(
-        _synth_traces(_nodes(spark, sf_dir)), shift=22
+        _synth_traces(_nodes(spark, sf_dir)), shift=22, n_steps=5
     )
 
 
@@ -560,7 +560,7 @@ def q156_trace_clusters(spark, sf_dir):
     from .operators.linecover import trace_frechet_pairs
 
     pairs = trace_frechet_pairs(
-        _synth_traces(_nodes(spark, sf_dir)), shift=24
+        _synth_traces(_nodes(spark, sf_dir)), shift=24, n_steps=5
     ).where(F.col("within"))
     return dedup_clusters(
         pairs, a_col="trace_a", b_col="trace_b"
