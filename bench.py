@@ -136,6 +136,58 @@ def main() -> None:
             "docs_per_sec": round(n_big / best, 1),
         }
 
+    # expensive-tail 10x evidence (r3 VERDICT task 2): the iterative /
+    # similarity queries are benched at sf0.1 where fixed per-job Spark
+    # overhead (~0.3-1s/job) dominates; run the most expensive ones at
+    # a 10x scale-up of the same tables (tools/synth_scale.py: key-
+    # offset replication with text-permutation / vector-rotation
+    # decorrelation so duplicate and ANN-bucket rates stay at the
+    # sf0.1 level instead of growing quadratically) and report the
+    # per-row cost ratio t_10x / (10 * t_1x) — flat-or-falling (<=1)
+    # means the plan amortizes with data; >1 means superlinear work.
+    tail_names = [
+        "q57_semantic_dedup",
+        "q154_trace_frechet",
+        "q156_trace_clusters",
+        "q51_rel_centers_fixpoint",
+        "q133_snap_geodesic",
+        "q131_viterbi_match",
+        "q44_dedup_clusters",
+        "q55_dedup_keep_list",
+        "q101_heavy_hitters",
+        "q45_embed_ann_banded",
+        "q128_snap_to_ways",
+    ]
+    if (
+        os.environ.get("SPARK_GRAFT_TAIL10X", "1") == "1"
+        and run_suite
+        and float(sf) >= 0.1
+    ):
+        from tools.synth_scale import synth_scaled
+
+        dir10x = f"/tmp/osmgraft_scaled_10x_sf{sf}"
+        if not os.path.exists(dir10x + "/_DONE"):
+            synth_scaled(spark, SF_DIR, dir10x, 10)
+            with open(dir10x + "/_DONE", "w") as fh:
+                fh.write("ok\n")
+        tail = {}
+        for name in tail_names:
+            if name not in QUERIES or name not in timings:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                _force(QUERIES[name](spark, dir10x))
+                best = min(best, time.monotonic() - t0)
+                spark.catalog.clearCache()
+                gc.collect()
+            tail[name] = {
+                "seconds_1x": timings[name],
+                "seconds_10x": round(best, 3),
+                "per_row_cost_ratio": round(best / (10 * timings[name]), 3),
+            }
+        out["tail_10x"] = tail
+
     # scaling evidence (north_rule): same flagship job at N and 4N
     # parallelism on identical input; efficiency = (T_N / T_4N) / 4.
     # Sandbox stand-in for N vs 4N executors. Pair is 2/8 cores:
@@ -226,6 +278,73 @@ def main() -> None:
                 }
             }
         )
+
+    # suite-level scaling (r3 VERDICT task 7): demonstrate the >=0.8
+    # north rule beyond the flagship's plan shape — the heaviest
+    # non-flagship queries at the same small/big core pair on the
+    # same input, interleaved A/B, min per side (same noise-robust
+    # estimator as the flagship section above).
+    scale_qs = [
+        n
+        for n in (
+            "q156_trace_clusters",
+            "q57_semantic_dedup",
+            "q101_heavy_hitters",
+        )
+        if n in QUERIES
+    ]
+    if (
+        run_suite
+        and os.environ.get("SPARK_GRAFT_SCALING_SUITE", "1") == "1"
+        and small < big
+        and scale_qs
+    ):
+        # getOrCreate() returns any still-active session regardless of
+        # the requested master: make sure the main one is gone so each
+        # measurement really runs at `cores`
+        spark.stop()
+
+        def _suite_times(cores: int) -> dict[str, float]:
+            sp = get_spark(
+                app_name=f"osmgraft-bench-sq-{cores}", cores=cores
+            )
+            sp.sparkContext.setLogLevel("ERROR")
+            res = {}
+            for name in scale_qs:
+                fn = QUERIES[name]
+                _force(fn(sp, SF_DIR))  # warm (JIT + broadcast)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    _force(fn(sp, SF_DIR))
+                    best = min(best, time.monotonic() - t0)
+                sp.catalog.clearCache()
+                res[name] = best
+            sp.stop()
+            return res
+
+        r = big / small
+        t_s = {n: float("inf") for n in scale_qs}
+        t_b = {n: float("inf") for n in scale_qs}
+        for _ in range(2):
+            rs = _suite_times(small)
+            rb = _suite_times(big)
+            for n in scale_qs:
+                t_s[n] = min(t_s[n], rs[n])
+                t_b[n] = min(t_b[n], rb[n])
+        out["scaling_suite"] = {
+            "cpus_small": small,
+            "cpus_big": big,
+            "sf": float(sf),
+            "queries": {
+                n: {
+                    "small_s": round(t_s[n], 3),
+                    "big_s": round(t_b[n], 3),
+                    "efficiency": round((t_s[n] / t_b[n]) / r, 3),
+                }
+                for n in scale_qs
+            },
+        }
 
     print(json.dumps(out))
 

@@ -511,6 +511,24 @@ def q154_trace_frechet(spark, sf_dir):
     )
 
 
+def q161_trace_dtw(spark, sf_dir):
+    """Trajectory similarity, cost-summed: exact dynamic-time-
+    warping distance between nearby synthetic traces
+    (operators/linecover.trace_dtw_pairs) — the min-TOTAL-cost
+    monotone-path DP over the same cell-complete candidate pairs
+    as q141/q154. Completes the similarity triad: Hausdorff
+    (order-free), Frechet (worst matched step), DTW (summed
+    matched cost). The oracle enumerates every monotone grid path
+    with a recursive CTE carrying a running SUM and takes the
+    terminal min — a genuinely different evaluation strategy
+    agreeing hash-exactly on int64 values."""
+    from .operators.linecover import trace_dtw_pairs
+
+    return trace_dtw_pairs(
+        _synth_traces(_nodes(spark, sf_dir)), shift=22, n_steps=5
+    )
+
+
 def q157_isochrone_bands(spark, sf_dir):
     """Isochrone raster: q132's hop-bounded network distances
     joined back to node coordinates and rolled up per shift-22
@@ -620,6 +638,7 @@ GRAPH_QUERIES = {
     "q156_trace_clusters": q156_trace_clusters,
     "q157_isochrone_bands": q157_isochrone_bands,
     "q160_way_crossings": q160_way_crossings,
+    "q161_trace_dtw": q161_trace_dtw,
 }
 
 _RELS_CTE = f"""
@@ -839,11 +858,12 @@ FROM iso GROUP BY 1
 """
 
 
-def _frechet_ctes(shift: int) -> str:
-    """Shared CTE chain for the Frechet oracles (q154/q156):
-    synthetic traces -> dilated-cell candidate pairs (cell side
-    2**shift) -> step-distance grid -> recursive all-monotone-
-    paths walk with running max."""
+def _frechet_ctes(shift: int, combine: str = "GREATEST(w.f, g.d2)") -> str:
+    """Shared CTE chain for the monotone-path-DP oracles
+    (q154/q156 Frechet, q161 DTW): synthetic traces ->
+    dilated-cell candidate pairs (cell side 2**shift) ->
+    step-distance grid -> recursive all-monotone-paths walk with a
+    running combine (max for Frechet, sum for DTW)."""
     pack = 1 << max(int(3_600_000_000 >> shift).bit_length(), 1)
     return f"""
 tr AS (
@@ -888,7 +908,7 @@ walk AS (
   SELECT trace_a, trace_b, ai AS i, bj AS j, d2 AS f
   FROM m WHERE ai = 0 AND bj = 0
   UNION
-  SELECT g.trace_a, g.trace_b, g.ai, g.bj, GREATEST(w.f, g.d2)
+  SELECT g.trace_a, g.trace_b, g.ai, g.bj, {combine}
   FROM walk w JOIN m g
     ON g.trace_a = w.trace_a AND g.trace_b = w.trace_b
    AND ((g.ai = w.i + 1 AND g.bj = w.j)
@@ -1514,6 +1534,14 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
 )
 SELECT u AS trace_id, MIN(v) AS cluster FROM reach GROUP BY u
+""",
+        # DTW: the same all-monotone-paths recursive CTE as q154
+        # but carrying a running SUM; terminal min = warp cost
+        "q161_trace_dtw": f"""
+WITH RECURSIVE {pts_cte},
+{_frechet_ctes(22, combine="w.f + g.d2")}
+SELECT trace_a, trace_b, MIN(f) AS dtw2
+FROM walk WHERE i = 4 AND j = 4 GROUP BY 1, 2
 """,
         "q139_bearing_octants": f"""
 WITH {pts_cte},

@@ -2,7 +2,11 @@
 and its oracle SQL on DuckDB, compare row count + column names +
 order-insensitive value hash. Usage:
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py [--json out.json] [sf_dir] [query ...]
+
+--json writes a machine-readable summary (one entry per query:
+status PASS/FAIL/ROWS_ONLY, row count, seconds, problems) so a full
+sweep can be committed as a CORRECTNESS_r{N}_local.json artifact.
 """
 
 from __future__ import annotations
@@ -75,8 +79,14 @@ def main():
     import __spark_entry__ as e
     from osmgraft.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     spark = get_spark(cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,17 +113,30 @@ def main():
         except Exception as ex:
             print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
             fails.append(name)
+            report[name] = {
+                "status": "FAIL",
+                "problems": [f"spark error {type(ex).__name__}: {ex}"],
+            }
             continue
         t1 = time.time()
         if name not in os_:
             print(f"OK?  {name}: rows={len(sdf)} (no oracle, "
                   f"rows-only) [{t1-t0:.1f}s]")
+            report[name] = {
+                "status": "ROWS_ONLY",
+                "rows": len(sdf),
+                "secs": round(t1 - t0, 2),
+            }
             continue
         try:
             odf = con.execute(os_[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             fails.append(name)
+            report[name] = {
+                "status": "FAIL",
+                "problems": [f"duckdb error: {ex}"],
+            }
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -141,10 +164,36 @@ def main():
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             fails.append(name)
+            report[name] = {
+                "status": "FAIL",
+                "rows": len(sdf),
+                "problems": problems[:3],
+            }
         else:
             print(f"PASS {name}: rows={len(sdf)} [{t1-t0:.1f}s]")
+            report[name] = {
+                "status": "PASS",
+                "rows": len(sdf),
+                "secs": round(t1 - t0, 2),
+            }
     print()
     print("FAILURES:", fails if fails else "none")
+    if json_out:
+        import json
+
+        statuses = [r["status"] for r in report.values()]
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_pass": statuses.count("PASS"),
+            "n_rows_only": statuses.count("ROWS_ONLY"),
+            "n_fail": statuses.count("FAIL"),
+            "dtype_strict": True,
+            "queries": report,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if fails else 0
 
 
