@@ -145,10 +145,13 @@ def main() -> None:
     # sf0.1 level instead of growing quadratically) and report the
     # per-row cost ratio t_10x / (10 * t_1x) — flat-or-falling (<=1)
     # means the plan amortizes with data; >1 means superlinear work.
+    # q156_trace_clusters is measured OFFLINE (BASELINE.md): its 10x
+    # point is ~14 min (2.26M candidate pairs at shift 24 — density^2
+    # growth of a fixed-threshold similarity join; per-PAIR cost is
+    # flat) and would dominate the whole bench run.
     tail_names = [
         "q57_semantic_dedup",
         "q154_trace_frechet",
-        "q156_trace_clusters",
         "q51_rel_centers_fixpoint",
         "q133_snap_geodesic",
         "q131_viterbi_match",
@@ -181,6 +184,8 @@ def main() -> None:
                 best = min(best, time.monotonic() - t0)
                 spark.catalog.clearCache()
                 gc.collect()
+                if best > 60:  # one sample is enough for the slow tail
+                    break
             tail[name] = {
                 "seconds_1x": timings[name],
                 "seconds_10x": round(best, 3),

@@ -237,6 +237,138 @@ def resize_images(
     return media.mapInPandas(rz, MEDIA_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("ahash_hi", LongType(), False),
+        StructField("ahash_lo", LongType(), False),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over image payloads: decode ->
+    grid x grid luma sample -> mean threshold -> one bit per cell,
+    packed into two int32-range longs (hi = bits 32..63, lo =
+    0..31) so no engine ever touches the sign bit. Non-image rows
+    are dropped.
+
+    This is the textbook aHash pipeline (resize to 8x8, mean,
+    threshold); with the deterministic FIMG fake the "luma" of
+    sample cell (x, y) is (sx*31 + sy*17 + sx*sy) % 256 at
+    sx = x*w div 8, sy = y*h div 8 — a pure function of the
+    decoded dimensions, so the DuckDB oracle can recompute the
+    bits from doc_id arithmetic without ever seeing a payload.
+    Swapping the luma formula for a real decode (PIL -> grayscale
+    -> 8x8 thumbnail) changes nothing else: batch shape, schema,
+    bit packing, and every downstream consumer stay identical.
+
+    Map-only mapInPandas over Arrow batches; numpy-vectorized per
+    batch (no per-pixel Python)."""
+    import numpy as np
+
+    g2 = grid * grid
+
+    def ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys = np.meshgrid(
+            np.arange(grid, dtype=np.int64),
+            np.arange(grid, dtype=np.int64),
+            indexing="xy",
+        )
+        fx = xs.ravel()  # idx = y*grid + x ordering
+        fy = ys.ravel()
+        for b in batches:
+            ids, his, los = [], [], []
+            for did, p in zip(b["doc_id"], b["payload"]):
+                if p[:4] != b"FIMG":
+                    continue
+                w, h = struct.unpack(">II", p[4:12])
+                sx = fx * w // grid
+                sy = fy * h // grid
+                v = (sx * 31 + sy * 17 + sx * sy) % 256
+                mean = int(v.sum()) // g2
+                bits = (v > mean).astype(np.int64)
+                idx = fy * grid + fx
+                lo = int(np.sum(bits[idx < 32] << idx[idx < 32]))
+                hi = int(
+                    np.sum(bits[idx >= 32] << (idx[idx >= 32] - 32))
+                )
+                ids.append(did)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(ah, AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Hamming-ball near-duplicate pairs over aHash values via
+    banded LSH: the 64 bits split into four 16-bit bands used as
+    the CANDIDATE generator (bucket join on (band_idx, band_val) —
+    never all-pairs), then an exact bit_count verify. By
+    pigeonhole a pair within Hamming distance d <= 3 always shares
+    a band (3 differing bits cannot touch all 4 bands), so recall
+    is exact there; for 4 <= d <= max_hamming recall is the
+    standard banded-LSH partial recall. The REPORTED set is
+    exactly "pairs sharing >= 1 band AND hamming <= max_hamming" —
+    a deterministic contract the DuckDB oracle mirrors
+    bit-for-bit. Scale shape identical to the text SimHash path
+    (operators/dedup.py simhash_neardup)."""
+    b = hashes.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.array(
+            F.col("ahash_lo") % 65536,
+            F.shiftright("ahash_lo", 16),
+            F.col("ahash_hi") % 65536,
+            F.shiftright("ahash_hi", 16),
+        ).alias("bands"),
+    ).select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    left = b.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    right = b.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 VIDEO_SCHEMA = MEDIA_SCHEMA
 
 FRAME_SCHEMA = StructType(

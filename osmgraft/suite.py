@@ -1470,6 +1470,34 @@ def q158_dense_daily(spark, sf_dir):
     )
 
 
+def q163_user_skyline(spark, sf_dir):
+    """Pareto frontier of users on (activity, spend): per-user
+    event count vs summed value in integer cents, then the
+    distributed skyline operator (operators/skyline.skyline_2d —
+    bucket suffix-max map-side kill, per-x reduction, strict
+    running max over the shrunken frontier band). The oracle is a
+    direct NOT EXISTS dominance anti-join over the same per-user
+    aggregate — quadratic, fine at oracle scale, impossible at
+    engine scale, which is exactly why the operator exists."""
+    from .operators.skyline import skyline_2d
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    return skyline_2d(per_user, "n_events", "value_cents").select(
+        "n_events",
+        "value_cents",
+        F.col("n_rows").alias("n_users"),
+    )
+
+
 def q159_home_cells(spark, sf_dir):
     """Home-location inference (the classic mobility heuristic:
     the cell a user frequents most during night hours 0-6 UTC,
@@ -3611,6 +3639,36 @@ def q35_media_metadata(spark, sf_dir):
     )
 
 
+def q164_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over the binary image payloads
+    (operators/multimodal.image_ahash): decode -> 8x8 luma sample
+    -> mean threshold -> 64 bits packed as two sign-safe longs.
+    The oracle recomputes every bit from doc_id arithmetic without
+    seeing a payload, validating the full decode->hash path."""
+    from .operators.multimodal import image_ahash, synth_media
+
+    n = load(spark, sf_dir, "documents").count()
+    return image_ahash(synth_media(spark, n))
+
+
+def q165_image_neardup(spark, sf_dir):
+    """Image near-duplicate pairs: q164's aHashes -> four 16-bit
+    LSH bands as the candidate generator (bucket join, never
+    all-pairs) -> exact Hamming verify via bit_count
+    (operators/multimodal.ahash_neardup_pairs). The multimodal
+    twin of the text SimHash near-dup path."""
+    from .operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+        synth_media,
+    )
+
+    n = load(spark, sf_dir, "documents").count()
+    return ahash_neardup_pairs(
+        image_ahash(synth_media(spark, n)), max_hamming=6
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -4653,6 +4711,7 @@ QUERIES = {
     "q153_colocation": q153_colocation,
     "q158_dense_daily": q158_dense_daily,
     "q159_home_cells": q159_home_cells,
+    "q163_user_skyline": q163_user_skyline,
     "q118_star_rollup": q118_star_rollup,
     "q119_triangles": q119_triangles,
     "q121_grouped_quantiles": q121_grouped_quantiles,
@@ -4711,6 +4770,8 @@ QUERIES = {
     "q33_modify_tags": q33_modify_tags,
     "q34_change_apply": q34_change_apply,
     "q35_media_metadata": q35_media_metadata,
+    "q164_image_ahash": q164_image_ahash,
+    "q165_image_neardup": q165_image_neardup,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -5150,6 +5211,96 @@ SELECT doc_id,
        THEN 1000 + (doc_id * 31) % 50000 END AS n_samples,
   12 + doc_id % 32 AS n_bytes
 FROM documents
+""",
+        # aHash bits recomputed from doc_id arithmetic (the fake
+        # luma is a pure function of decoded w/h; see
+        # multimodal.image_ahash) — the oracle never sees payloads
+        "q164_image_ahash": """
+WITH dims AS (
+  SELECT doc_id, 16 + (doc_id * 7) % 240 AS w,
+         16 + (doc_id * 13) % 240 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+cells AS (
+  SELECT d.doc_id, yy.y * 8 + xx.x AS idx,
+    ((xx.x * d.w // 8) * 31 + (yy.y * d.h // 8) * 17
+      + (xx.x * d.w // 8) * (yy.y * d.h // 8)) % 256 AS v
+  FROM dims d
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) xx
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) yy
+),
+means AS (
+  SELECT doc_id, SUM(v) // 64 AS mean FROM cells GROUP BY 1
+),
+bits AS (
+  SELECT c.doc_id, c.idx,
+    CASE WHEN c.v > m.mean THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN means m USING (doc_id)
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN idx >= 32
+    THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+    AS BIGINT) AS ahash_hi,
+  CAST(SUM(CASE WHEN idx < 32
+    THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+    AS BIGINT) AS ahash_lo
+FROM bits GROUP BY 1
+""",
+        # banded-LSH candidates + exact Hamming verify, mirroring
+        # ahash_neardup_pairs' reported-set contract exactly
+        "q165_image_neardup": """
+WITH dims AS (
+  SELECT doc_id, 16 + (doc_id * 7) % 240 AS w,
+         16 + (doc_id * 13) % 240 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+cells AS (
+  SELECT d.doc_id, yy.y * 8 + xx.x AS idx,
+    ((xx.x * d.w // 8) * 31 + (yy.y * d.h // 8) * 17
+      + (xx.x * d.w // 8) * (yy.y * d.h // 8)) % 256 AS v
+  FROM dims d
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) xx
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) yy
+),
+means AS (
+  SELECT doc_id, SUM(v) // 64 AS mean FROM cells GROUP BY 1
+),
+bits AS (
+  SELECT c.doc_id, c.idx,
+    CASE WHEN c.v > m.mean THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN means m USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN idx >= 32
+      THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+      AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN idx < 32
+      THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+      AS BIGINT) AS lo
+  FROM bits GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, hi, lo, b.band_idx,
+    CASE b.band_idx WHEN 0 THEN lo % 65536
+                    WHEN 1 THEN lo >> 16
+                    WHEN 2 THEN hi % 65536
+                    ELSE hi >> 16 END AS band_val
+  FROM hashes
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(hi_a, hi_b))
+     + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6
 """,
         "q71_image_resize": """
 WITH dims AS (
@@ -5727,6 +5878,26 @@ GROUP BY 1, 2
         "q153_colocation": _colocation_oracle_sql(),
         "q158_dense_daily": _DENSE_DAILY_ORACLE,
         "q159_home_cells": _home_cells_oracle_sql(),
+        # dominance anti-join on the per-user aggregate: (x,y)
+        # survives iff no user strictly dominates it
+        "q163_user_skyline": """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY user_id
+),
+pts AS (
+  SELECT n_events, value_cents, COUNT(*) AS n_users
+  FROM per_user GROUP BY 1, 2
+)
+SELECT p.n_events, p.value_cents, p.n_users
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.n_events >= p.n_events AND q.value_cents >= p.value_cents
+    AND (q.n_events > p.n_events OR q.value_cents > p.value_cents))
+""",
         "q150_interval_join": """
 WITH l AS (
   SELECT user_id, event_id AS left_id, epoch_us(ts) AS lus

@@ -529,6 +529,28 @@ def q161_trace_dtw(spark, sf_dir):
     )
 
 
+def q162_convex_hull(spark, sf_dir):
+    """Exact per-tile convex hull of the document points: the
+    coverage footprint a tiling product draws per shift-22 cell
+    (operators/hull.convex_hull — Catalyst Akl-Toussaint
+    throw-away in DECIMAL(38,0), then an arbitrary-precision
+    monotone chain per group). The oracle computes the same hulls
+    by gift wrapping (Jarvis march) in a recursive CTE with
+    HUGEINT cross products — an independent algorithm that must
+    agree on the exact vertex set."""
+    from .operators.hull import convex_hull
+
+    nodes = _nodes(spark, sf_dir).select(
+        (
+            F.shiftright(F.col("lat_i") + 900000000, 22) * 1024
+            + F.shiftright(F.col("lon_i") + 1800000000, 22)
+        ).alias("cell"),
+        "lat_i",
+        "lon_i",
+    )
+    return convex_hull(nodes, "cell")
+
+
 def q157_isochrone_bands(spark, sf_dir):
     """Isochrone raster: q132's hop-bounded network distances
     joined back to node coordinates and rolled up per shift-22
@@ -639,6 +661,7 @@ GRAPH_QUERIES = {
     "q157_isochrone_bands": q157_isochrone_bands,
     "q160_way_crossings": q160_way_crossings,
     "q161_trace_dtw": q161_trace_dtw,
+    "q162_convex_hull": q162_convex_hull,
 }
 
 _RELS_CTE = f"""
@@ -1534,6 +1557,58 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
 )
 SELECT u AS trace_id, MIN(v) AS cluster FROM reach GROUP BY u
+""",
+        # convex hull by gift wrapping (Jarvis march): `nxt` maps
+        # every point to its hull successor (the direction no other
+        # point is strictly left of, farthest on collinear ties);
+        # the recursive walk follows successors from the
+        # lexicographic-min vertex until it returns to the start.
+        # HUGEINT cross products are exact at 1.8e9-scale coords.
+        "q162_convex_hull": f"""
+WITH RECURSIVE {pts_cte},
+g AS (
+  SELECT DISTINCT
+    ((lat_i + 900000000) >> 22) * 1024
+      + ((lon_i + 1800000000) >> 22) AS grp,
+    CAST(lon_i AS HUGEINT) AS x, CAST(lat_i AS HUGEINT) AS y
+  FROM pts
+),
+strt AS (
+  SELECT grp, x, y FROM (
+    SELECT grp, x, y,
+      ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, y) AS rn
+    FROM g
+  ) WHERE rn = 1
+),
+nxt AS (
+  SELECT c.grp, c.x AS cx, c.y AS cy, q.x AS nx, q.y AS ny
+  FROM g c JOIN g q
+    ON q.grp = c.grp AND (q.x <> c.x OR q.y <> c.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM g r
+    WHERE r.grp = c.grp
+      AND (r.x <> c.x OR r.y <> c.y)
+      AND (r.x <> q.x OR r.y <> q.y)
+      AND ((q.x - c.x) * (r.y - c.y)
+             - (q.y - c.y) * (r.x - c.x) > 0
+        OR ((q.x - c.x) * (r.y - c.y)
+              - (q.y - c.y) * (r.x - c.x) = 0
+          AND (r.x - c.x) * (r.x - c.x) + (r.y - c.y) * (r.y - c.y)
+            > (q.x - c.x) * (q.x - c.x)
+              + (q.y - c.y) * (q.y - c.y))))
+),
+walk(grp, cx, cy, sx, sy) AS (
+  SELECT grp, x, y, x, y FROM strt
+  UNION
+  SELECT w.grp, n.nx, n.ny, w.sx, w.sy
+  FROM walk w
+  JOIN nxt n ON n.grp = w.grp AND n.cx = w.cx AND n.cy = w.cy
+  WHERE NOT (n.nx = w.sx AND n.ny = w.sy)
+)
+SELECT grp AS cell, CAST(cx AS BIGINT) AS lon_i,
+       CAST(cy AS BIGINT) AS lat_i,
+       COUNT(*) OVER (PARTITION BY grp) AS n_vertices
+FROM walk
 """,
         # DTW: the same all-monotone-paths recursive CTE as q154
         # but carrying a running SUM; terminal min = warp cost
