@@ -318,13 +318,12 @@ def main() -> None:
             for name in scale_qs:
                 fn = QUERIES[name]
                 _force(fn(sp, SF_DIR))  # warm (JIT + broadcast)
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.monotonic()
-                    _force(fn(sp, SF_DIR))
-                    best = min(best, time.monotonic() - t0)
+                # one timed run per session; the outer A/B rounds
+                # provide the second sample for the min estimator
+                t0 = time.monotonic()
+                _force(fn(sp, SF_DIR))
+                res[name] = time.monotonic() - t0
                 sp.catalog.clearCache()
-                res[name] = best
             sp.stop()
             return res
 

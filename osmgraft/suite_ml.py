@@ -491,6 +491,28 @@ def q44_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q166_cluster_star(spark, sf_dir):
+    """q44's exact dup-cluster resolution re-derived by ALTERNATING
+    STAR contraction (operators/dedup.cluster_star — O(log^2 n)
+    rounds regardless of component diameter, vs min-label
+    propagation's diameter-bounded passes). Same planted corpus,
+    same LSH pairs, same oracle (the transitive-closure CTE): three
+    independent algorithms — propagation, star contraction, and the
+    recursive closure — must agree on every (doc_id, cluster)."""
+    from .operators.dedup import cluster_star
+
+    base = _corpus(spark, sf_dir)
+    gen2 = base.filter(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("dup "), F.col("text")).alias("text"),
+    )
+    corpus = base.unionByName(gen2)
+    pairs = minhash_lsh_pairs(
+        corpus, n_hashes=N_HASHES, band_rows=BAND_ROWS
+    )
+    return cluster_star(pairs)
+
+
 def q55_dedup_keep_list(spark, sf_dir):
     """The per-document keep/drop verdict a pipeline feeds to the
     writer: q44's planted dup clusters resolved to a canonical
@@ -742,6 +764,7 @@ ML_QUERIES = {
     "q120_reciprocal_nn": q120_reciprocal_nn,
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
     "q44_dedup_clusters": q44_dedup_clusters,
+    "q166_cluster_star": q166_cluster_star,
     "q55_dedup_keep_list": q55_dedup_keep_list,
     "q57_semantic_dedup": q57_semantic_dedup,
     "q45_embed_ann_banded": q45_embed_ann_banded,
@@ -758,6 +781,7 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q120_reciprocal_nn": _RNN_ORACLE,
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
         "q44_dedup_clusters": _cluster_oracle(),
+        "q166_cluster_star": _cluster_oracle(),
         "q55_dedup_keep_list": _keep_oracle(),
         "q57_semantic_dedup": _semantic_keep_oracle(),
         "q45_embed_ann_banded": _ann_banded_oracle(),
