@@ -171,15 +171,18 @@ def media_features(meta: DataFrame) -> DataFrame:
 
 
 def decode_image_real(payload: bytes):
-    """Real image decode — requires Pillow (absent in this
-    container). The mapInPandas harness above is the production
-    shape; this is the per-payload hook."""
+    """Real image decode. Uncompressed 24-bit BMP decodes natively
+    (decode_bmp below — pure numpy, tested in this environment);
+    compressed formats (JPEG/PNG/...) require Pillow and raise
+    NotImplementedError where it is absent."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "Pillow not available in this environment; decode uses "
-            "the deterministic FIMG fake (see module docstring)"
+            "Pillow not available in this environment; only BMP "
+            "decodes natively (decode_bmp)"
         ) from e
     import io
 
@@ -463,3 +466,286 @@ def sample_frames(
             )
 
     return video.mapInPandas(smp, FRAME_SCHEMA)
+
+
+# ----------------------------------------------------------------
+# REAL format decoders — pure numpy/stdlib, no external libraries
+# ----------------------------------------------------------------
+# Uncompressed 24-bit BMP and 16-bit PCM WAV are completely
+# specified formats decodable with struct + numpy alone, so these
+# paths are REAL decoders over REAL files (any standard viewer can
+# open the synthesized payloads), not header fakes: decode_bmp
+# honors the data offset, bottom-up vs top-down row order, and the
+# 4-byte row padding; decode_wav walks RIFF chunks (fmt can be
+# separated from data by other chunks — the synthesizer plants a
+# LIST chunk between them so the walk is exercised, not assumed).
+# Formats that genuinely need external codecs (JPEG/PNG/FLAC) still
+# route through the library-gated hooks above.
+
+
+def _bmp_payload(doc_id: int) -> bytes:
+    """A real uncompressed 24-bit bottom-up BMP whose pixel values
+    are a pure function of (doc_id, x, y) — so a SQL oracle can
+    recompute any pixel statistic arithmetically:
+        B = (x*3  + y*7  + doc_id)   % 256
+        G = (x*5  + y*11 + doc_id*2) % 256
+        R = (x*13 + y*17 + doc_id*3) % 256
+        w = 4 + (doc_id*7) % 29,  h = 4 + (doc_id*13) % 23
+    (y is the TOP-DOWN pixel row; the file stores rows bottom-up
+    as the BMP spec requires for positive biHeight)."""
+    import numpy as np
+
+    w = 4 + (doc_id * 7) % 29
+    h = 4 + (doc_id * 13) % 23
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    X, Y = np.meshgrid(x, y)  # (h, w), Y = top-down row
+    img = np.stack(
+        [
+            (X * 3 + Y * 7 + doc_id) % 256,
+            (X * 5 + Y * 11 + doc_id * 2) % 256,
+            (X * 13 + Y * 17 + doc_id * 3) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)  # BGR
+    stride = (3 * w + 3) // 4 * 4
+    buf = np.zeros((h, stride), np.uint8)
+    buf[:, : 3 * w] = img.reshape(h, 3 * w)
+    pix = buf[::-1].tobytes()  # bottom-up storage order
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0,
+        )
+    )
+    return hdr + pix
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8
+    BGR array in TOP-DOWN row order. Handles both bottom-up
+    (biHeight > 0) and top-down (biHeight < 0) files, arbitrary
+    pixel-data offsets, and padded row strides. Raises ValueError
+    on anything that is not plain 24-bit BI_RGB."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={comp}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (3 * w + 3) // 4 * 4
+    arr = (
+        np.frombuffer(payload, np.uint8, stride * h, data_off)
+        .reshape(h, stride)[:, : 3 * w]
+        .reshape(h, w, 3)
+    )
+    return arr if top_down else arr[::-1]
+
+
+def synth_bmp(spark: SparkSession, n: int,
+              partitions: int | None = None) -> DataFrame:
+    """Deterministic table of real BMP files for even doc_ids
+    (same distributed mapInPandas synthesis shape as synth_media)."""
+    if partitions is None:
+        partitions = max(
+            2,
+            min(spark.sparkContext.defaultParallelism, n // 20_000 + 1),
+        )
+    rng = spark.range(0, n, 1, partitions).where(F.col("id") % 2 == 0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "payload": [_bmp_payload(int(i)) for i in ids],
+                }
+            )
+
+    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_r", LongType(), False),
+    ]
+)
+
+
+def bmp_channel_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode + per-channel statistics: each BMP payload
+    is decoded by decode_bmp (full header/stride/row-order
+    handling) and reduced to exact integer channel sums — the
+    feature-extraction stage of a multimodal pipeline with the
+    decode step genuinely executed, not faked. Map-only
+    mapInPandas; per-image work is numpy-vectorized."""
+    import numpy as np
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ws, hs, sb, sg, sr = [], [], [], [], [], []
+            for did, p in zip(b["doc_id"], b["payload"]):
+                if p[:2] != b"BM":
+                    continue
+                a = decode_bmp(p).astype(np.int64)
+                h, w = a.shape[0], a.shape[1]
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                sb.append(int(a[:, :, 0].sum()))
+                sg.append(int(a[:, :, 1].sum()))
+                sr.append(int(a[:, :, 2].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "sum_b": pd.Series(sb, dtype="int64"),
+                    "sum_g": pd.Series(sg, dtype="int64"),
+                    "sum_r": pd.Series(sr, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(st, BMP_STATS_SCHEMA)
+
+
+def _wav_payload(doc_id: int) -> bytes:
+    """A real RIFF/WAVE file: PCM (format 1), mono, 16-bit, with a
+    LIST/INFO chunk deliberately placed between fmt and data so
+    decoders must actually walk chunks. Samples are a pure function
+    of (doc_id, i):
+        s[i] = ((doc_id*7 + i*13) % 2001) - 1000
+        rate = 8000 + (doc_id % 4) * 4000
+        n    = 200 + (doc_id * 31) % 800
+    """
+    import numpy as np
+
+    rate = 8000 + (doc_id % 4) * 4000
+    n = 200 + (doc_id * 31) % 800
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 7 + i * 13) % 2001 - 1000).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode a mono 16-bit PCM WAV by walking RIFF chunks (word-
+    aligned advance, unknown chunks skipped). Returns
+    (sample_rate, int16 numpy array). Raises ValueError for
+    non-PCM / non-mono / non-16-bit content."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            afmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if afmt != 1 or n_ch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={afmt} ch={n_ch} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, "<i2")
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def synth_wav(spark: SparkSession, n: int,
+              partitions: int | None = None) -> DataFrame:
+    """Deterministic table of real WAV files for odd doc_ids."""
+    if partitions is None:
+        partitions = max(
+            2,
+            min(spark.sparkContext.defaultParallelism, n // 20_000 + 1),
+        )
+    rng = spark.range(0, n, 1, partitions).where(F.col("id") % 2 == 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": ["audio"] * len(ids),
+                    "payload": [_wav_payload(int(i)) for i in ids],
+                }
+            )
+
+    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak", LongType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+    ]
+)
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode + exact integer signal statistics (peak,
+    L1 energy, L2 energy) over RIFF/WAVE PCM payloads — the audio
+    twin of bmp_channel_stats. Map-only mapInPandas."""
+    import numpy as np
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, rates, ns, pk, sa, sq = [], [], [], [], [], []
+            for did, p in zip(b["doc_id"], b["payload"]):
+                if p[:4] != b"RIFF":
+                    continue
+                rate, s = decode_wav(p)
+                s64 = s.astype(np.int64)
+                ids.append(did)
+                rates.append(rate)
+                ns.append(len(s))
+                pk.append(int(np.abs(s64).max()) if len(s) else 0)
+                sa.append(int(np.abs(s64).sum()))
+                sq.append(int((s64 * s64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int64"),
+                    "sum_abs": pd.Series(sa, dtype="int64"),
+                    "sum_sq": pd.Series(sq, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(st, WAV_STATS_SCHEMA)

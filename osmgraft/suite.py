@@ -3669,6 +3669,35 @@ def q165_image_neardup(spark, sf_dir):
     )
 
 
+def q167_bmp_decode(spark, sf_dir):
+    """REAL image decode: synthesize genuine uncompressed 24-bit
+    BMP files (bottom-up rows, 4-byte-padded strides — any standard
+    viewer opens them), decode them with the pure-numpy BMP decoder
+    (operators/multimodal.decode_bmp: honors data offset, stride
+    padding, and both row orders), and emit exact per-channel pixel
+    sums. The pixel values are a pure function of (doc_id, x, y),
+    so the oracle recomputes every sum arithmetically without
+    touching a payload — a full-fidelity check of the decode path
+    itself, not just header plumbing."""
+    from .operators.multimodal import bmp_channel_stats, synth_bmp
+
+    n = load(spark, sf_dir, "documents").count()
+    return bmp_channel_stats(synth_bmp(spark, n))
+
+
+def q168_wav_decode(spark, sf_dir):
+    """REAL audio decode: genuine RIFF/WAVE mono 16-bit PCM files
+    (with a LIST chunk planted between fmt and data so the decoder
+    must walk chunks, not assume layout), decoded by the pure-numpy
+    chunk walker (operators/multimodal.decode_wav) into exact
+    integer signal statistics (peak, L1, L2). The audio twin of
+    q167."""
+    from .operators.multimodal import synth_wav, wav_pcm_stats
+
+    n = load(spark, sf_dir, "documents").count()
+    return wav_pcm_stats(synth_wav(spark, n))
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -4772,6 +4801,8 @@ QUERIES = {
     "q35_media_metadata": q35_media_metadata,
     "q164_image_ahash": q164_image_ahash,
     "q165_image_neardup": q165_image_neardup,
+    "q167_bmp_decode": q167_bmp_decode,
+    "q168_wav_decode": q168_wav_decode,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -5301,6 +5332,58 @@ SELECT doc_a, doc_b,
      + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 6
+""",
+        # exact pixel-channel sums recomputed from the planting
+        # arithmetic (pixel (x,y) of doc d: B=(x*3+y*7+d)%256,
+        # G=(x*5+y*11+2d)%256, R=(x*13+y*17+3d)%256) — validates
+        # the REAL BMP decode (offset/stride/row-order) end to end
+        "q167_bmp_decode": """
+WITH dims AS (
+  SELECT doc_id, 4 + (doc_id * 7) % 29 AS w,
+         4 + (doc_id * 13) % 23 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (xx.x * 3 + yy.y * 7 + d.doc_id) % 256 AS b,
+         (xx.x * 5 + yy.y * 11 + d.doc_id * 2) % 256 AS g,
+         (xx.x * 13 + yy.y * 17 + d.doc_id * 3) % 256 AS r
+  FROM dims d
+  CROSS JOIN (SELECT unnest(range(0, 33)) AS x) xx
+  CROSS JOIN (SELECT unnest(range(0, 27)) AS y) yy
+  WHERE xx.x < d.w AND yy.y < d.h
+)
+SELECT doc_id,
+  CAST(MIN(w) AS BIGINT) AS width,
+  CAST(MIN(h) AS BIGINT) AS height,
+  CAST(SUM(b) AS BIGINT) AS sum_b,
+  CAST(SUM(g) AS BIGINT) AS sum_g,
+  CAST(SUM(r) AS BIGINT) AS sum_r
+FROM px GROUP BY 1
+""",
+        # exact PCM statistics from the sample planting
+        # s[i] = ((d*7 + i*13) % 2001) - 1000 — validates the REAL
+        # RIFF chunk walk + int16 decode end to end
+        "q168_wav_decode": """
+WITH p AS (
+  SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate,
+         200 + (doc_id * 31) % 800 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+s AS (
+  SELECT p.doc_id, p.rate, p.n,
+         ((p.doc_id * 7 + i.i * 13) % 2001) - 1000 AS v
+  FROM p
+  CROSS JOIN (SELECT unnest(range(0, 1000)) AS i) i
+  WHERE i.i < p.n
+)
+SELECT doc_id,
+  CAST(MIN(rate) AS BIGINT) AS sample_rate,
+  CAST(MIN(n) AS BIGINT) AS n_samples,
+  CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+  CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY 1
 """,
         "q71_image_resize": """
 WITH dims AS (
