@@ -1,13 +1,17 @@
 """Multimodal columns: images/audio as opaque `binary` payloads with
 typed metadata, decoded/feature-extracted through mapInPandas.
 
-The container has no image/audio libraries, so the DECODE step is a
-deterministic fake format ("FIMG"/"FAUD" headers, documented below);
-the Spark-side plumbing — binary schema, Arrow batch shape,
-mapInPandas signatures, partition behavior — is real and tested.
-The real-decoder entry points (`decode_image_real`,
-`resample_audio_real`) are stubbed behind import-guards and raise
-NotImplementedError when Pillow/soundfile are absent.
+The container has no image/audio libraries, so two tiers coexist:
+(1) a deterministic fake format ("FIMG"/"FAUD" headers, documented
+below) exercising the Spark-side plumbing — binary schema, Arrow
+batch shape, mapInPandas signatures, partition behavior; and
+(2) REAL decoders for the formats pure numpy/stdlib can fully
+express — uncompressed 24-bit BMP (decode_bmp) and RIFF/WAVE 16-bit
+PCM (decode_wav), defined near the end of this module, with genuine
+synthesized files and byte-level corner tests. `decode_image_real`
+routes BMP natively and falls back to Pillow (import-gated) for
+compressed formats; `resample_audio_real` stays gated on
+soundfile/librosa.
 
 Fake payload format (pure function of doc_id, reproducible in SQL):
 
@@ -749,3 +753,65 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(st, WAV_STATS_SCHEMA)
+
+
+def bmp_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """REAL perceptual average-hash: the full decode -> grayscale
+    -> pool -> threshold pipeline over genuine BMP bytes (contrast
+    image_ahash above, which hashes the FIMG header fake).
+    Per image: decode_bmp -> integer luma l = r*299 + g*587 + b*114
+    (x1000 scale, no rounding loss) -> grid x grid BLOCK-AVERAGE
+    pooling, where pixel (x, y) belongs to block
+    (x*grid div w, y*grid div h) and the block value is
+    sum(l) div n_pixels -> global mean = sum(block) div grid^2 ->
+    bit = block > mean, packed exactly like image_ahash (hi = bits
+    32..63, lo = 0..31; the sign bit is never touched). Every step
+    is integer arithmetic, so the DuckDB oracle reproduces the hash
+    bit-for-bit from the pixel planting formula. Map-only
+    mapInPandas; per-image work is numpy (bincount over block
+    indices, no per-pixel Python)."""
+    import numpy as np
+
+    g2 = grid * grid
+
+    def ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, his, los = [], [], []
+            for did, p in zip(b["doc_id"], b["payload"]):
+                if p[:2] != b"BM":
+                    continue
+                a = decode_bmp(p).astype(np.int64)  # (h, w, 3) BGR
+                h, w = a.shape[0], a.shape[1]
+                luma = (
+                    a[:, :, 2] * 299 + a[:, :, 1] * 587
+                    + a[:, :, 0] * 114
+                )
+                ys = np.arange(h) * grid // h
+                xs = np.arange(w) * grid // w
+                blk = (ys[:, None] * grid + xs[None, :]).ravel()
+                sums = np.bincount(blk, luma.ravel(), minlength=g2)
+                cnts = np.bincount(blk, minlength=g2)
+                # an image narrower/shorter than the grid leaves
+                # some blocks empty (sum 0, count 0): clamp the
+                # divisor so they contribute value 0 / bit 0, the
+                # same as their absence from the oracle's GROUP BY
+                vals = sums.astype(np.int64) // np.maximum(cnts, 1)
+                mean = int(vals.sum()) // g2
+                bits = (vals > mean).astype(np.int64)
+                idx = np.arange(g2)
+                lo = int(np.sum(bits[idx < 32] << idx[idx < 32]))
+                hi = int(
+                    np.sum(bits[idx >= 32] << (idx[idx >= 32] - 32))
+                )
+                ids.append(did)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(ah, AHASH_SCHEMA)

@@ -3685,6 +3685,21 @@ def q167_bmp_decode(spark, sf_dir):
     return bmp_channel_stats(synth_bmp(spark, n))
 
 
+def q169_bmp_ahash(spark, sf_dir):
+    """REAL perceptual hash: q167's genuine BMP files decoded to
+    pixels, then the full aHash pipeline over the DECODED content
+    (integer luma -> 8x8 block-average pooling -> global mean
+    threshold -> 64 packed bits; operators/multimodal.bmp_ahash) —
+    contrast q164, which hashes the FIMG header fake. Every step
+    is integer arithmetic, so the oracle rebuilds the identical
+    hash from the pixel planting formula without decoding
+    anything."""
+    from .operators.multimodal import bmp_ahash, synth_bmp
+
+    n = load(spark, sf_dir, "documents").count()
+    return bmp_ahash(synth_bmp(spark, n))
+
+
 def q168_wav_decode(spark, sf_dir):
     """REAL audio decode: genuine RIFF/WAVE mono 16-bit PCM files
     (with a LIST chunk planted between fmt and data so the decoder
@@ -4803,6 +4818,7 @@ QUERIES = {
     "q165_image_neardup": q165_image_neardup,
     "q167_bmp_decode": q167_bmp_decode,
     "q168_wav_decode": q168_wav_decode,
+    "q169_bmp_ahash": q169_bmp_ahash,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -5384,6 +5400,48 @@ SELECT doc_id,
   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
   CAST(SUM(v * v) AS BIGINT) AS sum_sq
 FROM s GROUP BY 1
+""",
+        # the REAL-pixel aHash rebuilt from the planting formula:
+        # luma(x,y) = B*114 + G*587 + R*299 with the q167 channel
+        # arithmetic; block (x*8//w, y*8//h) average pooling, all
+        # integer division — bit-for-bit the bmp_ahash pipeline
+        "q169_bmp_ahash": """
+WITH dims AS (
+  SELECT doc_id, 4 + (doc_id * 7) % 29 AS w,
+         4 + (doc_id * 13) % 23 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (yy.y * 8 // d.h) * 8 + (xx.x * 8 // d.w) AS blk,
+         ((xx.x * 3 + yy.y * 7 + d.doc_id) % 256) * 114
+       + ((xx.x * 5 + yy.y * 11 + d.doc_id * 2) % 256) * 587
+       + ((xx.x * 13 + yy.y * 17 + d.doc_id * 3) % 256) * 299 AS l
+  FROM dims d
+  CROSS JOIN (SELECT unnest(range(0, 33)) AS x) xx
+  CROSS JOIN (SELECT unnest(range(0, 27)) AS y) yy
+  WHERE xx.x < d.w AND yy.y < d.h
+),
+blocks AS (
+  SELECT doc_id, blk, SUM(l) // COUNT(*) AS val
+  FROM px GROUP BY 1, 2
+),
+means AS (
+  SELECT doc_id, SUM(val) // 64 AS mean FROM blocks GROUP BY 1
+),
+bits AS (
+  SELECT b.doc_id, b.blk AS idx,
+         CASE WHEN b.val > m.mean THEN 1 ELSE 0 END AS bit
+  FROM blocks b JOIN means m USING (doc_id)
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN idx >= 32
+    THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) ELSE 0 END)
+    AS BIGINT) AS ahash_hi,
+  CAST(SUM(CASE WHEN idx < 32
+    THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
+    AS BIGINT) AS ahash_lo
+FROM bits GROUP BY 1
 """,
         "q71_image_resize": """
 WITH dims AS (

@@ -117,3 +117,34 @@ def test_wav_rejects_non_pcm():
         decode_wav(bytes(p))
     with pytest.raises(ValueError):
         decode_wav(b"OggS\x00\x00")
+
+
+def _ref_ahash(doc_id: int) -> tuple[int, int]:
+    # independent straightforward reference: per-block double loop
+    a = _expected_pixels(doc_id).astype(np.int64)
+    h, w = a.shape[:2]
+    luma = a[:, :, 2] * 299 + a[:, :, 1] * 587 + a[:, :, 0] * 114
+    vals = np.zeros(64, dtype=np.int64)
+    cnt = np.zeros(64, dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            b = (y * 8 // h) * 8 + (x * 8 // w)
+            vals[b] += luma[y, x]
+            cnt[b] += 1
+    vals = vals // cnt
+    mean = int(vals.sum()) // 64
+    bits = (vals > mean).astype(np.int64)
+    idx = np.arange(64)
+    lo = int(np.sum(bits[idx < 32] << idx[idx < 32]))
+    hi = int(np.sum(bits[idx >= 32] << (idx[idx >= 32] - 32)))
+    return hi, lo
+
+
+def test_bmp_ahash_matches_reference(spark):
+    from osmgraft.operators.multimodal import bmp_ahash, synth_bmp
+
+    got = {
+        r.doc_id: (r.ahash_hi, r.ahash_lo)
+        for r in bmp_ahash(synth_bmp(spark, 40)).collect()
+    }
+    assert got == {d: _ref_ahash(d) for d in range(0, 40, 2)}
