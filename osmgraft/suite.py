@@ -3713,6 +3713,20 @@ def q168_wav_decode(spark, sf_dir):
     return wav_pcm_stats(synth_wav(spark, n))
 
 
+def q170_edit_neardup(spark, sf_dir):
+    """Character-level near-duplicate pairs: 40-char text prefixes
+    within Levenshtein distance 1, candidates from the EXACT
+    SymSpell deletion-neighborhood blocking (operators/editsim —
+    each title explodes to <= 41 deletion keys, one hash shuffle,
+    builtin `levenshtein` verify; never an all-pairs join). The
+    oracle IS the all-pairs definition (quadratic cross join on
+    DuckDB's levenshtein), deliberately independent of the
+    blocking, so the hash match also proves candidate recall."""
+    from .operators.editsim import edit_neardup_pairs
+
+    return edit_neardup_pairs(load(spark, sf_dir, "documents"))
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -4819,6 +4833,7 @@ QUERIES = {
     "q167_bmp_decode": q167_bmp_decode,
     "q168_wav_decode": q168_wav_decode,
     "q169_bmp_ahash": q169_bmp_ahash,
+    "q170_edit_neardup": q170_edit_neardup,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -5442,6 +5457,18 @@ SELECT doc_id,
     THEN bit * (CAST(1 AS BIGINT) << idx) ELSE 0 END)
     AS BIGINT) AS ahash_lo
 FROM bits GROUP BY 1
+""",
+        # quadratic by design: the definition of the result, free of
+        # the engine's deletion-key blocking, so a hash match proves
+        # the blocking recalls every qualifying pair
+        "q170_edit_neardup": """
+WITH t AS (
+  SELECT doc_id, substr(text, 1, 40) AS title FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 1
 """,
         "q71_image_resize": """
 WITH dims AS (
