@@ -385,3 +385,74 @@ def colocation_pairs(
             F.countDistinct("cell").cast("long").alias("n_cells"),
         )
     )
+
+
+def cusum_mean_shift(
+    dense_counts: DataFrame,
+    key_col: str = "event_type",
+    t_col: str = "day",
+    n_col: str = "n_events",
+    allowance: int = 1,
+    threshold: int = 5,
+) -> DataFrame:
+    """One-sided CUSUM mean-shift statistic per key over a DENSE
+    (gap-filled) integer time series, exactly and without any
+    sequential recurrence.
+
+    Textbook CUSUM is S_t = max(0, S_{t-1} + x_t - mu - k) — a
+    reset recurrence no window function expresses directly. The
+    prefix identity makes it windowable:
+
+        S_t = P_t - min(0, min_{j<=t} P_j),   P_t = sum_{j<=t} z_t
+
+    (the running minimum replays every reset). To stay integer-
+    exact, everything is scaled by D = the key's series length:
+    z_t = x_t*D - T - k*D where T = the key's total (so mu = T/D
+    never materializes as a float). Alarms fire where
+    S_t > threshold*D, i.e. the cumulated excess over
+    (mean + allowance) exceeds `threshold` counts.
+
+    One shuffle on key_col; both windows (running sum, running min)
+    and the per-key aggregates share that single partitioning —
+    the same Exchange-reuse shape as sessionize above. Assumes the
+    dense frame (e.g. suite.q158's calendar) so silent days count
+    against the statistic, as CUSUM semantics require.
+    """
+    w_key = Window.partitionBy(key_col)
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scaled = dense_counts.select(
+        key_col,
+        t_col,
+        F.col(n_col).cast("long").alias("x"),
+        F.count("*").over(w_key).cast("long").alias("d_scale"),
+        F.sum(n_col).over(w_key).cast("long").alias("total"),
+    ).withColumn(
+        "z",
+        F.col("x") * F.col("d_scale")
+        - F.col("total")
+        - F.lit(int(allowance)) * F.col("d_scale"),
+    )
+    run = scaled.select(
+        key_col,
+        t_col,
+        "x",
+        "d_scale",
+        F.sum("z").over(w_run).alias("p"),
+    ).withColumn("pmin", F.min("p").over(w_run))
+    return run.select(
+        key_col,
+        t_col,
+        F.col("x").alias(n_col),
+        (F.col("p") - F.least(F.lit(0), F.col("pmin")))
+        .cast("long")
+        .alias("cusum_scaled"),
+        F.col("d_scale").alias("scale"),
+        (
+            F.col("p") - F.least(F.lit(0), F.col("pmin"))
+            > F.lit(int(threshold)) * F.col("d_scale")
+        ).alias("is_alarm"),
+    )

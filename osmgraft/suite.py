@@ -3727,6 +3727,21 @@ def q170_edit_neardup(spark, sf_dir):
     return edit_neardup_pairs(load(spark, sf_dir, "documents"))
 
 
+def q171_cusum_alarms(spark, sf_dir):
+    """Change-point detection: one-sided CUSUM mean-shift statistic
+    over q158's gap-filled daily series, computed exactly via the
+    prefix identity S_t = P_t - min(0, running_min(P)) — the reset
+    recurrence becomes two windows over ONE event_type shuffle
+    (operators/events.cusum_mean_shift). Integer-exact: everything
+    is scaled by the series length so the mean never becomes a
+    float. The oracle replays the same identity in SQL windows —
+    and a unit test checks the identity against the literal
+    sequential recurrence."""
+    from .operators.events import cusum_mean_shift
+
+    return cusum_mean_shift(q158_dense_daily(spark, sf_dir))
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -4834,6 +4849,7 @@ QUERIES = {
     "q168_wav_decode": q168_wav_decode,
     "q169_bmp_ahash": q169_bmp_ahash,
     "q170_edit_neardup": q170_edit_neardup,
+    "q171_cusum_alarms": q171_cusum_alarms,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6045,6 +6061,42 @@ GROUP BY 1, 2
         "q152_stay_points": _stay_points_oracle_sql(),
         "q153_colocation": _colocation_oracle_sql(),
         "q158_dense_daily": _DENSE_DAILY_ORACLE,
+        # CUSUM via the same prefix identity the engine uses:
+        # S_t = P_t - min(0, running_min(P)), all integer (scaled
+        # by the series length D so mu = T/D never floats)
+        "q171_cusum_alarms": f"""
+WITH dense AS ({_DENSE_DAILY_ORACLE}),
+keyed AS (
+  SELECT event_type, day, n_events,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+      AS d_scale,
+    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+      AS total
+  FROM dense
+),
+z AS (
+  SELECT event_type, day, n_events, d_scale,
+    n_events * d_scale - total - 1 * d_scale AS z
+  FROM keyed
+),
+p AS (
+  SELECT event_type, day, n_events, d_scale,
+    CAST(SUM(z) OVER w AS BIGINT) AS p
+  FROM z
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+),
+m AS (
+  SELECT *, MIN(p) OVER w AS pmin FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, n_events,
+  CAST(p - LEAST(0, pmin) AS BIGINT) AS cusum_scaled,
+  d_scale AS scale,
+  (p - LEAST(0, pmin)) > 5 * d_scale AS is_alarm
+FROM m
+""",
         "q159_home_cells": _home_cells_oracle_sql(),
         # dominance anti-join on the per-user aggregate: (x,y)
         # survives iff no user strictly dominates it
