@@ -229,3 +229,70 @@ def k_core(
         .unionByName(cur.select(F.col("b").alias("host")))
         .distinct()
     )
+
+
+def lpa_communities(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. 2007, the near-linear-time baseline) over an undirected
+    (src, dst) edge list, made fully deterministic: every node
+    starts labeled with its own id, each round adopts the label
+    most frequent among its neighbors with ties broken toward the
+    SMALLEST label, and all nodes update simultaneously. Fixed
+    `iters` rounds (the async convergence heuristic is
+    nondeterministic by design, useless for an oracle-checked
+    engine).
+
+    Complements the two connected-component resolvers (dedup.py
+    min-label propagation, cluster_star star-contraction): those
+    find maximal reachable sets; LPA splits a connected graph into
+    DENSE blocks — the community structure a crawl scheduler or
+    near-dup family viewer actually wants.
+
+    Scale: per round, one shuffle of the edge list keyed on dst to
+    look up neighbor labels (ranks-style small side — one row per
+    node — AQE-broadcastable), then a (node, label) count whose
+    argmax is a partial-aggregable max(struct(cnt, -label)). No
+    window over the full edge list, no driver state; plan depth
+    grows linearly with the small fixed round count.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        nbr = und.join(
+            labels, und["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "label")
+        best = (
+            nbr.groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        "c", (-F.col("label")).alias("neg"), "label"
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label")
+                .cast("long")
+                .alias("label"),
+            )
+        )
+    return labels.select(
+        "node", F.col("label").alias("community")
+    )

@@ -1572,6 +1572,57 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _lpa_oracle_sql(iters: int = 4) -> str:
+    """Unrolled synchronous LPA rounds: per round a neighbor-label
+    count, a windowed argmax (count DESC, label ASC — the engine's
+    min-tie-break), and a coalescing carry for nodes whose
+    neighborhood vanished. Mirrors q172's planted 4-block graph."""
+    rounds = []
+    prev = "l0"
+    for r in range(1, iters + 1):
+        rounds.append(
+            f"""
+c{r} AS (
+  SELECT e.src AS node, l.label, COUNT(*) AS c
+  FROM und e JOIN {prev} l ON l.node = e.dst GROUP BY 1, 2
+),
+b{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+      ROW_NUMBER() OVER (PARTITION BY node
+                         ORDER BY c DESC, label) AS rn
+    FROM c{r}) WHERE rn = 1
+),
+l{r} AS (
+  SELECT p.node,
+         CAST(COALESCE(b.label, p.label) AS BIGINT) AS label
+  FROM {prev} p LEFT JOIN b{r} b ON b.node = p.node
+)"""
+        )
+        prev = f"l{r}"
+    joined = ",".join(rounds)
+    return f"""
+WITH raw AS (
+  SELECT doc_id % 120 AS u,
+    CASE WHEN doc_id % 17 = 0 THEN (doc_id % 120 + 30) % 120
+         ELSE (doc_id % 120) - ((doc_id % 120) % 30)
+              + ((doc_id * 2654435761) % 4294967296) % 30
+    END AS v
+  FROM documents
+),
+und AS (
+  SELECT u AS src, v AS dst FROM raw WHERE u <> v
+  UNION
+  SELECT v, u FROM raw WHERE u <> v
+),
+l0 AS (
+  SELECT DISTINCT CAST(src AS BIGINT) AS node,
+         CAST(src AS BIGINT) AS label FROM und
+),{joined}
+SELECT node, label AS community FROM {prev}
+"""
+
+
 _DENSE_DAILY_ORACLE = """
 WITH ev AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
@@ -3742,6 +3793,38 @@ def q171_cusum_alarms(spark, sf_dir):
     return cusum_mean_shift(q158_dense_daily(spark, sf_dir))
 
 
+def q172_lpa_communities(spark, sf_dir):
+    """Community detection: 4 deterministic synchronous rounds of
+    label propagation (operators/linkgraph.lpa_communities —
+    neighbor-majority label, ties to the smallest, min-id init)
+    over a planted 4-block graph: every doc wires its node
+    (doc%120) inside its 30-node block via a Knuth-hash neighbor,
+    and every 17th doc adds a cross-block bridge — so the graph is
+    CONNECTED (one component; any reachability resolver returns a
+    single cluster) yet LPA must still recover the dense blocks.
+    The oracle unrolls all 4 rounds as windowed-argmax CTEs."""
+    from .operators.linkgraph import lpa_communities
+
+    d = F.col("doc_id")
+    u = F.pmod(d, F.lit(120))
+    h = F.pmod(d * F.lit(2654435761), F.lit(4294967296))
+    intra = u - F.pmod(u, F.lit(30)) + F.pmod(h, F.lit(30))
+    inter = F.pmod(u + F.lit(30), F.lit(120))
+    edges = (
+        load(spark, sf_dir, "documents")
+        .select(
+            u.cast("long").alias("src"),
+            F.when(d % 17 == 0, inter)
+            .otherwise(intra)
+            .cast("long")
+            .alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return lpa_communities(edges, iters=4)
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -4850,6 +4933,7 @@ QUERIES = {
     "q169_bmp_ahash": q169_bmp_ahash,
     "q170_edit_neardup": q170_edit_neardup,
     "q171_cusum_alarms": q171_cusum_alarms,
+    "q172_lpa_communities": q172_lpa_communities,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6061,6 +6145,7 @@ GROUP BY 1, 2
         "q152_stay_points": _stay_points_oracle_sql(),
         "q153_colocation": _colocation_oracle_sql(),
         "q158_dense_daily": _DENSE_DAILY_ORACLE,
+        "q172_lpa_communities": _lpa_oracle_sql(4),
         # CUSUM via the same prefix identity the engine uses:
         # S_t = P_t - min(0, running_min(P)), all integer (scaled
         # by the series length D so mu = T/D never floats)
