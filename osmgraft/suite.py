@@ -1432,9 +1432,10 @@ def q158_dense_daily(spark, sf_dir):
     events landed — the calendar densification every BI/anomaly
     layer needs before windowed baselines. Integer day = FLOOR
     division of epoch micros by 86.4e9, computed exactly as
-    (us - pmod(us, k)) div k so it matches DuckDB's floor-division
-    `//` for pre-1970 timestamps too (Spark's bare `div` truncates
-    toward zero and would diverge there). Plan: the day span is
+    (us - pmod(us, k)) div k. NOTE: DuckDB's integer `//` also
+    TRUNCATES toward zero (-7 // 4 = -1), so the oracle applies the
+    same positive-mod subtraction before dividing — both sides
+    floor, even for pre-1970 timestamps. Plan: the day span is
     a 1-row aggregate (bounded funnel, documented class) exploded
     into the calendar and cross-joined with the tiny distinct
     type list (broadcast); actual counts LEFT-join onto the dense
@@ -1572,6 +1573,66 @@ FROM ranked WHERE rn = 1
 """
 
 
+def _power_iter_oracle_sql(iters: int = 3) -> str:
+    """Unrolled power-iteration rounds mirroring
+    operators/linalg.power_iteration_projection: per round a dot
+    product keyed vec_id, the 2^13 floor-shrink, the per-dim
+    contribution sum, and the value-adaptive power-of-two
+    renormalizer. DuckDB's `//` TRUNCATES toward zero on negatives
+    (-7 // 4 = -1), so every division first subtracts the positive
+    mod ((a % p + p) % p) — after that the quotient is exact and
+    truncate == floor == the engine's pmod form. y casts to BIGINT
+    (it fits by construction) so bin() stays in long range."""
+    rounds = []
+    prev = "v0"
+    for r in range(1, iters + 1):
+        rounds.append(
+            f"""
+s{r} AS (
+  SELECT x.vec_id, SUM(x.x * v.val) AS s
+  FROM xq x JOIN {prev} v USING (dim) GROUP BY 1
+),
+sp{r} AS (
+  SELECT vec_id,
+    CAST((s - ((s % 8192 + 8192) % 8192)) // 8192 AS BIGINT) AS sp
+  FROM s{r}
+),
+y{r} AS (
+  SELECT x.dim, CAST(SUM(x.x * p.sp) AS BIGINT) AS y
+  FROM xq x JOIN sp{r} p USING (vec_id) GROUP BY 1
+),
+m{r} AS (SELECT MAX(ABS(y)) AS mx FROM y{r}),
+v{r} AS (
+  SELECT dim,
+    CAST((y - ((y % p + p) % p)) // p AS BIGINT) AS val
+  FROM (
+    SELECT dim, y,
+      (CAST(1 AS BIGINT)
+        << GREATEST(0, LENGTH(bin(mx)) - 21)) AS p
+    FROM y{r}, m{r})
+)"""
+        )
+        prev = f"v{r}"
+    joined = ",".join(rounds)
+    return f"""
+WITH xq AS (
+  SELECT vec_id, generate_subscripts(qv, 1) AS dim,
+         unnest(qv) AS x
+  FROM (
+    SELECT vec_id,
+      list_transform(embedding,
+        e -> CAST(floor(CAST(e AS DOUBLE) * 128) AS BIGINT)) AS qv
+    FROM embeddings
+  )
+),
+v0 AS (
+  SELECT DISTINCT dim, CAST(16384 AS BIGINT) AS val FROM xq
+),{joined}
+SELECT x.vec_id, CAST(SUM(x.x * v.val) AS BIGINT) AS proj
+FROM xq x JOIN {prev} v USING (dim) GROUP BY 1
+"""
+
+
 def _lpa_oracle_sql(iters: int = 4) -> str:
     """Unrolled synchronous LPA rounds: per round a neighbor-label
     count, a windowed argmax (count DESC, label ASC — the engine's
@@ -1625,7 +1686,11 @@ SELECT node, label AS community FROM {prev}
 
 _DENSE_DAILY_ORACLE = """
 WITH ev AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+  SELECT event_type,
+    (epoch_us(ts)
+      - ((epoch_us(ts) % 86400000000 + 86400000000) % 86400000000))
+      // 86400000000 AS day
+  FROM events
 ),
 counts AS (
   SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events
@@ -3825,6 +3890,24 @@ def q172_lpa_communities(spark, sf_dir):
     return lpa_communities(edges, iters=4)
 
 
+def q173_power_iteration(spark, sf_dir):
+    """Distributed PCA direction: 3 rounds of integer-exact power
+    iteration on the embedding Gram matrix via the matvec identity
+    y = sum_rows x (x . v) — G itself never materializes
+    (operators/linalg.power_iteration_projection; O(d) per row per
+    round, the tall-skinny plan RowMatrix uses). Output: each
+    vector's integer projection onto the estimated dominant
+    eigenvector. The oracle unrolls the same three matvec +
+    floor-renormalize rounds as CTEs — every floor-division is the
+    pmod form that makes Spark's truncating div equal DuckDB's
+    flooring //."""
+    from .operators.linalg import power_iteration_projection
+
+    return power_iteration_projection(
+        load(spark, sf_dir, "embeddings"), iters=3
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -4934,6 +5017,7 @@ QUERIES = {
     "q170_edit_neardup": q170_edit_neardup,
     "q171_cusum_alarms": q171_cusum_alarms,
     "q172_lpa_communities": q172_lpa_communities,
+    "q173_power_iteration": q173_power_iteration,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6146,6 +6230,7 @@ GROUP BY 1, 2
         "q153_colocation": _colocation_oracle_sql(),
         "q158_dense_daily": _DENSE_DAILY_ORACLE,
         "q172_lpa_communities": _lpa_oracle_sql(4),
+        "q173_power_iteration": _power_iter_oracle_sql(3),
         # CUSUM via the same prefix identity the engine uses:
         # S_t = P_t - min(0, running_min(P)), all integer (scaled
         # by the series length D so mu = T/D never floats)
