@@ -1038,3 +1038,86 @@ def reciprocal_nn(knn: DataFrame) -> DataFrame:
         F.col("rank").alias("rank_ba"),
     )
     return l.join(r, ["a", "b"]).where(F.col("a") < F.col("b"))
+
+
+def containment_on_rare_grams(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 5,
+    min_shared: int = 2,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: pairs where one
+    document's n-gram set is (nearly) CONTAINED in the other's —
+    quotes, snippets, and page-inside-digest relations that Jaccard
+    misses entirely (a 10-gram snippet inside a 1000-gram page has
+    Jaccard ~0.01 but containment 1.0, so MinHash-LSH candidates
+    never surface it).
+
+    Candidate generation is rare-gram blocking: the gram inverted
+    index KEEPS only grams whose document frequency is <= max_df,
+    and pairs sharing >= min_shared rare grams become candidates.
+    The df cap is the scale guarantee — boilerplate grams ("terms
+    of service") with millions of postings would otherwise make the
+    postings self-join quadratic per hot key; rare grams bound each
+    key's pair fan-out by max_df^2. The documented recall trade:
+    a containment made ONLY of corpus-common grams is invisible
+    here (that shape belongs to the chunk-dedup path, text.py).
+
+    Exact verification on candidates only, via array_intersect on
+    the per-doc gram arrays (the jaccard_on_candidates shape).
+    Output (a, b, inter, containment) with containment =
+    inter / min(|A|, |B|) — 1.0 = the smaller side is fully inside
+    the larger.
+    """
+    g = with_gram_array(docs, text_col, n).select(
+        F.col(id_col).alias("_id"), "_g"
+    )
+    postings = g.select(
+        "_id", F.explode("_g").alias("gram")
+    )
+    rare = (
+        postings.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("gram")
+    )
+    rp = postings.join(rare, "gram")
+    cand = (
+        rp.alias("x")
+        .join(
+            rp.alias("y"),
+            (F.col("x.gram") == F.col("y.gram"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .groupBy(
+            F.col("x._id").alias("a"), F.col("y._id").alias("b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .select("a", "b")
+    )
+    withg = cand.join(
+        g.select(F.col("_id").alias("a"), F.col("_g").alias("_ga")),
+        "a",
+    ).join(
+        g.select(F.col("_id").alias("b"), F.col("_g").alias("_gb")),
+        "b",
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("long")
+    return (
+        withg.select(
+            "a",
+            "b",
+            inter.alias("inter"),
+            (
+                inter
+                / F.least(F.size("_ga"), F.size("_gb")).cast(
+                    "double"
+                )
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -3546,6 +3546,55 @@ def q17_ngram_jaccard(spark, sf_dir):
     ).select("a", "b", "inter", "jaccard")
 
 
+def _containment_oracle() -> str:
+    """q174: planted snippets + rare-gram blocking + exact
+    containment, the gram CTE identical to _q17_oracle's."""
+    return """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 21)
+  FROM documents WHERE doc_id % 33 = 0
+),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(toks[CAST(i.i AS BIGINT):CAST(i.i + 2 AS BIGINT)],
+                    ' ') AS gram
+  FROM docs
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS i
+  ) i
+),
+rare AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 5
+),
+rp AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare r USING (gram)),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM rp x JOIN rp y
+    ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN grams g1 ON g1.doc_id = c.a
+  JOIN grams g2 ON g2.doc_id = c.b AND g2.gram = g1.gram
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter,
+  i.inter / LEAST(sa.sz, sb.sz) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter / LEAST(sa.sz, sb.sz) >= 0.8
+"""
+
+
 def _q17_oracle() -> str:
     """Oracle for the composed q17 plan: MinHash-LSH candidates
     (identical salted-md5 signature arithmetic to q29) followed by
@@ -3906,6 +3955,28 @@ def q173_power_iteration(spark, sf_dir):
     return power_iteration_projection(
         load(spark, sf_dir, "embeddings"), iters=3
     )
+
+
+def q174_containment(spark, sf_dir):
+    """Asymmetric containment dedup (operators/dedup.
+    containment_on_rare_grams): snippet-inside-page pairs that
+    Jaccard/MinHash structurally miss. Corpus = the mod-11 sample
+    plus planted snippets (the tail from char 21 of every mod-33
+    doc, id + 2000000). Candidates from rare-gram blocking
+    (df <= 5, >= 2 shared), exact array_intersect verify,
+    containment = inter / min(|A|,|B|) >= 0.8. The oracle replays
+    the planting and the full blocking+verify chain in SQL."""
+    from .operators.dedup import containment_on_rare_grams
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 11 == 0
+    )
+    snippets = docs.where(F.col("doc_id") % 33 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 21)").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(snippets)
+    return containment_on_rare_grams(corpus)
 
 
 def q36_geobase_build(spark, sf_dir):
@@ -5018,6 +5089,7 @@ QUERIES = {
     "q171_cusum_alarms": q171_cusum_alarms,
     "q172_lpa_communities": q172_lpa_communities,
     "q173_power_iteration": q173_power_iteration,
+    "q174_containment": q174_containment,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6862,6 +6934,7 @@ WHERE (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
     <= {2_000_000 * 2_000_000}
 """,
         "q17_ngram_jaccard": _q17_oracle(),
+        "q174_containment": _containment_oracle(),
         "q18_keep_filter": _keep_oracle(_KEEP_EXPR),
         "q19_keep_wildcards": _keep_oracle(_KEEP_EXPR2),
         "q20_keep_tags": f"""
