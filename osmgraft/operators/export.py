@@ -173,3 +173,66 @@ def spatial_shard_plan(
         "hd",
         F.expr(f"(pos * {n_shards}) div {n}").alias("shard"),
     )
+
+
+def rendezvous_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    drop_shard: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Highest-random-weight (rendezvous) shard assignment — the
+    consistent-placement scheme whose guarantee matters at fleet
+    scale: when a shard leaves, ONLY the rows that lived on it move
+    (1/n of the data), versus `id % n` where a topology change
+    reshuffles nearly everything. Weight = md5(shard || ':' || id),
+    assignment = the weight-minimizing shard (ties impossible in
+    practice, broken by shard id in the struct order anyway).
+
+    Entirely map-side: the shard list is a literal array and the
+    argmin is an in-row array_min over transform — zero shuffles,
+    zero joins; the plan is a projection over the scan, which is
+    exactly what lets a 10^12-row placement pass run at input
+    bandwidth.
+
+    With drop_shard set, also emits the assignment over the
+    surviving shards and a `moved` flag; tests assert moved ==
+    (shard = drop_shard) — the minimal-movement property, row for
+    row.
+    """
+
+    def argmin_shard(shard_ids: list[int]):
+        arr = F.array(
+            *[F.lit(s).cast("long") for s in shard_ids]
+        )
+        return F.array_min(
+            F.transform(
+                arr,
+                lambda s: F.struct(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            s.cast("string"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ).alias("h"),
+                    s.alias("s"),
+                ),
+            )
+        )["s"]
+
+    all_ids = list(range(n_shards))
+    out = docs.select(
+        F.col(id_col),
+        argmin_shard(all_ids).cast("long").alias("shard"),
+    )
+    if drop_shard is None:
+        return out
+    survivors = [s for s in all_ids if s != drop_shard]
+    return docs.select(
+        F.col(id_col),
+        argmin_shard(all_ids).cast("long").alias("shard"),
+        argmin_shard(survivors).cast("long").alias("shard_after"),
+    ).withColumn(
+        "moved", F.col("shard") != F.col("shard_after")
+    )

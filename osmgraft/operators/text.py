@@ -868,3 +868,66 @@ def corpus_delta(
         .otherwise(F.lit("same"))
         .alias("change"),
     ).filter(F.col("change") != "same")
+
+
+def quality_calibrate(
+    docs: DataFrame,
+    by: str = "lang",
+    n_buckets: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group quality calibration: rank-normalize a quality
+    score WITHIN each group so a fixed keep-fraction threshold
+    means the same thing in every language — the standard fix for
+    cross-lingual quality filtering, where a raw heuristic score
+    keeps 80% of English but 30% of German purely because the
+    heuristic is English-tuned.
+
+    The composite score (space count, then length, then doc_id as
+    the total tie-break) is all-integer; the bucket is computed
+    from row_number and the group count as
+    floor((rn - 1) * n_buckets / cnt) — deliberately NOT NTILE,
+    whose uneven-bucket placement rules would have to be trusted
+    to match across engines; this arithmetic is unambiguous and
+    oracle-replayable. Plan: one shuffle on the group key; both
+    window functions share that single partitioning. The exact
+    per-group sort is the honest definition; the sketch-based
+    approximation for skewed giant groups is the existing
+    quantile-sketch path (operators/sketches.py).
+    """
+    from pyspark.sql import Window
+
+    score = (
+        F.col("n_spaces") * F.lit(1_000_000) + F.col("text_len")
+    ).alias("score")
+    scored = docs.select(
+        "doc_id",
+        F.col(by).alias("grp"),
+        F.length(F.col(text_col)).cast("long").alias("text_len"),
+        (
+            F.length(F.col(text_col))
+            - F.length(
+                F.replace(F.col(text_col), F.lit(" "), F.lit(""))
+            )
+        )
+        .cast("long")
+        .alias("n_spaces"),
+    ).select("doc_id", "grp", score)
+    w = Window.partitionBy("grp").orderBy("score", "doc_id")
+    wc = Window.partitionBy("grp")
+    # all operands non-negative, so Spark's truncating `div` IS
+    # floor and matches DuckDB's `//` exactly
+    return scored.select(
+        "doc_id",
+        F.col("grp").alias("lang"),
+        "score",
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count("*").over(wc).cast("long").alias("_cnt"),
+    ).select(
+        "doc_id",
+        "lang",
+        "score",
+        F.expr(f"((_rn - 1) * {n_buckets}) div _cnt")
+        .cast("long")
+        .alias("decile"),
+    )

@@ -3979,6 +3979,30 @@ def q174_containment(spark, sf_dir):
     return containment_on_rare_grams(corpus)
 
 
+def q175_quality_calibration(spark, sf_dir):
+    """Cross-lingual quality calibration (operators/text.
+    quality_calibrate): rank-normalized quality deciles WITHIN each
+    language, so one keep-fraction threshold means the same thing
+    for every lang — integer composite score, explicit
+    floor-arithmetic bucketing (not NTILE), one shuffle on lang."""
+    from .operators.text import quality_calibrate
+
+    return quality_calibrate(load(spark, sf_dir, "documents"))
+
+
+def q176_rendezvous_shards(spark, sf_dir):
+    """Consistent placement: rendezvous (HRW) shard assignment over
+    16 shards plus the re-assignment after shard 7 leaves
+    (operators/export.rendezvous_shards). Map-only in-row argmin —
+    zero shuffles — and the output carries the minimal-movement
+    property the unit test asserts: moved == (shard = 7)."""
+    from .operators.export import rendezvous_shards
+
+    return rendezvous_shards(
+        load(spark, sf_dir, "documents"), n_shards=16, drop_shard=7
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5090,6 +5114,8 @@ QUERIES = {
     "q172_lpa_communities": q172_lpa_communities,
     "q173_power_iteration": q173_power_iteration,
     "q174_containment": q174_containment,
+    "q175_quality_calibration": q175_quality_calibration,
+    "q176_rendezvous_shards": q176_rendezvous_shards,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6935,6 +6961,49 @@ WHERE (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
 """,
         "q17_ngram_jaccard": _q17_oracle(),
         "q174_containment": _containment_oracle(),
+        "q176_rendezvous_shards": """
+WITH sh AS (SELECT unnest(range(0, 16)) AS s),
+w AS (
+  SELECT d.doc_id, sh.s,
+    md5(CAST(sh.s AS VARCHAR) || ':'
+        || CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d CROSS JOIN sh
+),
+a1 AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS shard FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY h, s) AS rn FROM w)
+  WHERE rn = 1
+),
+a2 AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS shard_after FROM (
+    SELECT doc_id, s, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY h, s) AS rn
+    FROM w WHERE s <> 7)
+  WHERE rn = 1
+)
+SELECT a1.doc_id, a1.shard, a2.shard_after,
+       a1.shard <> a2.shard_after AS moved
+FROM a1 JOIN a2 USING (doc_id)
+""",
+        "q175_quality_calibration": """
+WITH scored AS (
+  SELECT doc_id, lang,
+    (length(text) - length(replace(text, ' ', ''))) * 1000000
+      + length(text) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY score, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM scored
+)
+SELECT doc_id, lang, score,
+  CAST(((rn - 1) * 10) // cnt AS BIGINT) AS decile
+FROM ranked
+""",
         "q18_keep_filter": _keep_oracle(_KEEP_EXPR),
         "q19_keep_wildcards": _keep_oracle(_KEEP_EXPR2),
         "q20_keep_tags": f"""
