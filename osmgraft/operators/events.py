@@ -456,3 +456,77 @@ def cusum_mean_shift(
             > F.lit(int(threshold)) * F.col("d_scale")
         ).alias("is_alarm"),
     )
+
+
+def sequence_funnel(
+    events: DataFrame,
+    steps: list[str],
+    step_window_s: int = 86400,
+) -> DataFrame:
+    """Ordered-sequence funnel: per user, how many step-1 events
+    complete the whole chain, where each next step is the EARLIEST
+    same-user event of that type strictly after the previous step
+    and within step_window_s of it (the deterministic
+    "next-step" matching product analytics uses — counting ALL
+    completions would be combinatorial and useless).
+
+    Scale shape per step: candidate pairing is the bucketed
+    interval-join pattern (interval_pairs above) — anchors explode
+    to their time bucket and the next one (fan-out exactly 2), the
+    join is an equi-join on (user_id, bucket) so no range
+    cross-join ever forms, and the earliest match is a groupBy-min
+    on the anchor id. len(steps)-1 such rounds; timestamps are
+    integer micros end to end.
+
+    Output: (user_id, n_anchors, n_converted).
+    """
+    win_us = step_window_s * 1_000_000
+    typed = events.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    frontier = typed.where(
+        F.col("event_type") == steps[0]
+    ).select("user_id", "anchor_id", F.col("us").alias("fr_us"))
+    anchors = frontier.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_anchors")
+    )
+    for step in steps[1:]:
+        nxt = typed.where(F.col("event_type") == step).select(
+            "user_id",
+            F.col("us").alias("nx_us"),
+            F.expr(f"us div {win_us}").alias("bucket"),
+        )
+        cand = (
+            frontier.select(
+                "user_id",
+                "anchor_id",
+                "fr_us",
+                F.explode(
+                    F.array(
+                        F.expr(f"fr_us div {win_us}"),
+                        F.expr(f"fr_us div {win_us} + 1"),
+                    )
+                ).alias("bucket"),
+            )
+            .join(nxt, ["user_id", "bucket"])
+            .where(
+                (F.col("nx_us") > F.col("fr_us"))
+                & (F.col("nx_us") <= F.col("fr_us") + F.lit(win_us))
+            )
+        )
+        frontier = cand.groupBy("user_id", "anchor_id").agg(
+            F.min("nx_us").alias("fr_us")
+        )
+    converted = frontier.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_converted")
+    )
+    return anchors.join(converted, "user_id", "left").select(
+        "user_id",
+        "n_anchors",
+        F.coalesce("n_converted", F.lit(0))
+        .cast("long")
+        .alias("n_converted"),
+    )

@@ -134,3 +134,67 @@ def power_iteration_projection(
             .alias("proj")
         )
     )
+
+
+def label_scatter(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label cluster-quality report, integer-exact: for each
+    label, the SCALED within-class scatter
+
+        W_c = n_c * sum_i ||x_i||^2  -  ||sum_i x_i||^2
+            = n_c * sum_i ||x_i - mu_c||^2
+
+    — the algebraic identity keeps the centroid mu_c (a rational)
+    out of the computation entirely, so everything is sums of
+    products of the fixed-point codes (quantized_dims' floor(x*128):
+    |code| < 2^7, d = 64, so ||sum x||^2 fits a long comfortably to
+    ~10^6 rows per label; the same expression over DECIMAL(38,0)
+    covers any real corpus).
+
+    The standard eval for an embedding labeling/clustering: small
+    scatter per member = tight cluster. Shape: one (label, dim)
+    groupBy with map-side partial sums (d rows per label), then one
+    label groupBy — both combiner-friendly, nothing corpus-sized
+    shuffles."""
+    xq = emb.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * QUANT).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "x"),
+    )
+    per_dim = xq.groupBy("label", "dim").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.sum("sxx").cast("long").alias("sum_sq"),
+            F.sum(F.col("sx") * F.col("sx"))
+            .cast("long")
+            .alias("norm_sum_sq"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "sum_sq",
+            "norm_sum_sq",
+            (
+                F.col("n_vectors") * F.col("sum_sq")
+                - F.col("norm_sum_sq")
+            )
+            .cast("long")
+            .alias("scatter_scaled"),
+        )
+    )

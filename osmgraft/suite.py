@@ -4003,6 +4003,35 @@ def q176_rendezvous_shards(spark, sf_dir):
     )
 
 
+def q177_sequence_funnel(spark, sf_dir):
+    """Ordered-sequence funnel view->click->purchase with
+    deterministic next-step matching (operators/events.
+    sequence_funnel): each step is the EARLIEST same-user event of
+    the next type strictly after the previous step and within one
+    day of it. Candidate pairing per step is the bucketed
+    interval-join (fan-out exactly 2, equi-join on (user, bucket)),
+    never a range cross-join. Oracle: correlated min-joins
+    replaying the same chain."""
+    from .operators.events import sequence_funnel
+
+    return sequence_funnel(
+        load(spark, sf_dir, "events"),
+        steps=["view", "click", "purchase"],
+        step_window_s=86400,
+    )
+
+
+def q178_label_scatter(spark, sf_dir):
+    """Embedding-cluster quality report (operators/linalg.
+    label_scatter): per-label scaled within-class scatter via the
+    centroid-free identity n*sum||x||^2 - ||sum x||^2 — all sums of
+    fixed-point code products, so exact in any engine. Two
+    combiner-friendly groupBys; nothing corpus-sized shuffles."""
+    from .operators.linalg import label_scatter
+
+    return label_scatter(load(spark, sf_dir, "embeddings"))
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5116,6 +5145,8 @@ QUERIES = {
     "q174_containment": q174_containment,
     "q175_quality_calibration": q175_quality_calibration,
     "q176_rendezvous_shards": q176_rendezvous_shards,
+    "q177_sequence_funnel": q177_sequence_funnel,
+    "q178_label_scatter": q178_label_scatter,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6961,6 +6992,66 @@ WHERE (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
 """,
         "q17_ngram_jaccard": _q17_oracle(),
         "q174_containment": _containment_oracle(),
+        "q178_label_scatter": """
+WITH per_dim AS (
+  SELECT label, generate_subscripts(qv, 1) AS dim, unnest(qv) AS x
+  FROM (
+    SELECT label,
+      list_transform(embedding,
+        e -> CAST(floor(CAST(e AS DOUBLE) * 128) AS BIGINT)) AS qv
+    FROM (SELECT CAST(label AS BIGINT) AS label, embedding
+          FROM embeddings)
+  )
+),
+sums AS (
+  SELECT label, dim, SUM(x) AS sx, SUM(x * x) AS sxx,
+         COUNT(*) AS n
+  FROM per_dim GROUP BY 1, 2
+)
+SELECT label,
+  CAST(MAX(n) AS BIGINT) AS n_vectors,
+  CAST(SUM(sxx) AS BIGINT) AS sum_sq,
+  CAST(SUM(sx * sx) AS BIGINT) AS norm_sum_sq,
+  CAST(MAX(n) * SUM(sxx) - SUM(sx * sx) AS BIGINT)
+    AS scatter_scaled
+FROM sums GROUP BY 1
+""",
+        # next-step funnel chain: per view the earliest in-window
+        # click, per that click the earliest in-window purchase
+        "q177_sequence_funnel": """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS us
+  FROM events
+),
+v AS (SELECT user_id, event_id, us FROM e
+      WHERE event_type = 'view'),
+c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+anchors AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_anchors
+  FROM v GROUP BY 1
+),
+step1 AS (
+  SELECT v.user_id, v.event_id, MIN(c.us) AS us
+  FROM v JOIN c ON c.user_id = v.user_id
+    AND c.us > v.us AND c.us <= v.us + 86400000000
+  GROUP BY 1, 2
+),
+step2 AS (
+  SELECT s.user_id, s.event_id, MIN(p.us) AS us
+  FROM step1 s JOIN p ON p.user_id = s.user_id
+    AND p.us > s.us AND p.us <= s.us + 86400000000
+  GROUP BY 1, 2
+),
+conv AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_converted
+  FROM step2 GROUP BY 1
+)
+SELECT a.user_id, a.n_anchors,
+  CAST(COALESCE(c2.n_converted, 0) AS BIGINT) AS n_converted
+FROM anchors a LEFT JOIN conv c2 USING (user_id)
+""",
         "q176_rendezvous_shards": """
 WITH sh AS (SELECT unnest(range(0, 16)) AS s),
 w AS (
