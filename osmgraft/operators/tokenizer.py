@@ -262,3 +262,128 @@ def bpe_segment(
         .cast("long")
         .alias("n_bpe_symbols"),
     )
+
+
+def vocab_top_grams(
+    words: DataFrame,
+    k_max: int = 4,
+    top_n: int = 32,
+) -> DataFrame:
+    """Top-`top_n` character 2..k_max-grams of a (word) column by
+    (count DESC, gram ASC). The gram table this ranks is bounded by
+    |alphabet|^k_max — independent of corpus size — so the global
+    top-N window is a bounded funnel, not a corpus sort (same class
+    as the heavy-hitter gate in sketches.py)."""
+    # sequence(1, n) with n <= 0 COUNTS DOWN in Spark, so the upper
+    # bound clamps to 1 and an explicit filter drops start positions
+    # whose k-gram would run past the word end (words shorter than
+    # k contribute nothing, matching the oracle's i + k - 1 <= len)
+    grams = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(k_max)),
+                    lambda k: F.transform(
+                        F.filter(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(
+                                    F.length("word") - k + 1,
+                                    F.lit(1),
+                                ),
+                            ),
+                            lambda i: i + k - 1
+                            <= F.length("word"),
+                        ),
+                        lambda i: F.expr("word").substr(i, k),
+                    ),
+                )
+            )
+        ).alias("gram")
+    )
+    from pyspark.sql import Window
+
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .select("gram", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def segment_optimal(
+    docs: DataFrame,
+    max_word_len: int = 12,
+    max_token_len: int = 4,
+    top_n: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Optimal (minimum-token-count) segmentation of each doc's
+    first word against a corpus-derived subword vocabulary — the
+    Viterbi/unigram-style DP that SentencePiece uses, where greedy
+    BPE merging (bpe_segment above) can be suboptimal: vocabulary
+    {ab, bc, c, a, b} segments "abc" greedily as a|bc or ab|c
+    depending on merge order, but the DP always finds the 2-token
+    optimum.
+
+    cost[j] = min over k<=max_token_len of cost[j-k] + 1 for every
+    k-suffix ending at j that is a vocab gram (k=1 single chars are
+    always available — the <unk>-free byte fallback). The whole DP
+    runs IN-ROW as one F.aggregate fold over positions (the word is
+    <= max_word_len chars), with the tiny vocabulary embedded as a
+    literal array — zero shuffles beyond the vocab derivation, the
+    dominant cost is one corpus scan. Output: (doc_id, word,
+    word_len, n_tokens).
+
+    Determinism: the vocab is top-N by (count DESC, gram ASC); the
+    DP returns only the optimal COUNT (unique), never a
+    tie-dependent token sequence.
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(
+            F.split(F.col(text_col), " ")[0], 1, max_word_len
+        ).alias("word"),
+    ).where(F.length("word") >= 1)
+    vocab = [
+        r.gram
+        for r in vocab_top_grams(
+            words, k_max=max_token_len, top_n=top_n
+        ).collect()
+    ]
+    vocab_arr = F.array(*[F.lit(g) for g in sorted(vocab)])
+    big = F.lit(1 << 30).cast("long")
+
+    def step(acc, j):
+        # acc holds cost[0..j-1]; append cost[j]
+        cands = [
+            F.when(
+                (j - k >= 0)
+                & (
+                    F.lit(k == 1)
+                    | F.array_contains(
+                        vocab_arr,
+                        F.expr("word").substr(j - k + 1, F.lit(k)),
+                    )
+                ),
+                F.element_at(acc, j - k + 1) + F.lit(1).cast("long"),
+            ).otherwise(big)
+            for k in range(1, max_token_len + 1)
+        ]
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    costs = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.array(F.lit(0).cast("long")),
+        step,
+    )
+    return words.select(
+        "doc_id",
+        "word",
+        F.length("word").cast("long").alias("word_len"),
+        F.element_at(costs, F.length("word") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )

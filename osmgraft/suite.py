@@ -1633,6 +1633,69 @@ FROM xq x JOIN {prev} v USING (dim) GROUP BY 1
 """
 
 
+def _segment_oracle_sql(
+    max_word_len: int = 12, max_token_len: int = 4, top_n: int = 32
+) -> str:
+    """q179: the min-token DP unrolled as one CTE per position —
+    cost[r] = min over in-vocab (or single-char) suffixes ending at
+    r of cost[r-k] + 1. Vocabulary = top-N char 2..4-grams by
+    (count DESC, gram ASC), exactly the engine's ranking. The
+    round CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs, and
+    the chained union referencing each previous round twice would
+    otherwise blow up exponentially (observed as a hang at 12
+    rounds)."""
+    rounds = []
+    prev = "pall0"
+    for r in range(1, max_word_len + 1):
+        rounds.append(
+            f"""
+p{r} AS MATERIALIZED (
+  SELECT w.doc_id, {r} AS pos, MIN(p.cost + 1) AS cost
+  FROM words w JOIN {prev} p ON p.doc_id = w.doc_id
+    AND p.pos >= {r} - {max_token_len} AND p.pos <= {r} - 1
+  WHERE length(w.word) >= {r}
+    AND ({r} - p.pos = 1
+         OR substr(w.word, p.pos + 1, {r} - p.pos)
+            IN (SELECT gram FROM vocab))
+  GROUP BY 1
+),
+pall{r} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM p{r}
+)"""
+        )
+        prev = f"pall{r}"
+    joined = ",".join(rounds)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+    substr(string_split(text, ' ')[1], 1, {max_word_len}) AS word
+  FROM documents
+  WHERE length(substr(string_split(text, ' ')[1],
+                      1, {max_word_len})) >= 1
+),
+grams AS (
+  SELECT substr(word, i.i, k.k) AS gram
+  FROM words
+  CROSS JOIN (SELECT unnest(range(2, {max_token_len + 1})) AS k) k
+  CROSS JOIN (SELECT unnest(range(1, {max_word_len})) AS i) i
+  WHERE i.i + k.k - 1 <= length(word)
+),
+vocab AS (
+  SELECT gram FROM (
+    SELECT gram,
+      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, gram) AS rn
+    FROM grams GROUP BY gram)
+  WHERE rn <= {top_n}
+),
+pall0 AS (SELECT doc_id, 0 AS pos, 0 AS cost FROM words),{joined}
+SELECT w.doc_id, w.word,
+  CAST(length(w.word) AS BIGINT) AS word_len,
+  CAST(p.cost AS BIGINT) AS n_tokens
+FROM words w JOIN {prev} p
+  ON p.doc_id = w.doc_id AND p.pos = length(w.word)
+"""
+
+
 def _lpa_oracle_sql(iters: int = 4) -> str:
     """Unrolled synchronous LPA rounds: per round a neighbor-label
     count, a windowed argmax (count DESC, label ASC — the engine's
@@ -4032,6 +4095,20 @@ def q178_label_scatter(spark, sf_dir):
     return label_scatter(load(spark, sf_dir, "embeddings"))
 
 
+def q179_segment_optimal(spark, sf_dir):
+    """Optimal min-token segmentation (operators/tokenizer.
+    segment_optimal): the SentencePiece-style Viterbi DP over each
+    doc's first word against the corpus top-32 subword vocabulary —
+    the optimality guarantee greedy BPE (q77) lacks. The DP runs
+    in-row as one F.aggregate fold (word <= 12 chars, vocab as a
+    literal array, zero extra shuffles); the oracle unrolls the
+    same 12 position rounds as relational CTEs, deliberately a
+    different computational shape."""
+    from .operators.tokenizer import segment_optimal
+
+    return segment_optimal(load(spark, sf_dir, "documents"))
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5147,6 +5224,7 @@ QUERIES = {
     "q176_rendezvous_shards": q176_rendezvous_shards,
     "q177_sequence_funnel": q177_sequence_funnel,
     "q178_label_scatter": q178_label_scatter,
+    "q179_segment_optimal": q179_segment_optimal,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6360,6 +6438,7 @@ GROUP BY 1, 2
         "q158_dense_daily": _DENSE_DAILY_ORACLE,
         "q172_lpa_communities": _lpa_oracle_sql(4),
         "q173_power_iteration": _power_iter_oracle_sql(3),
+        "q179_segment_optimal": _segment_oracle_sql(),
         # CUSUM via the same prefix identity the engine uses:
         # S_t = P_t - min(0, running_min(P)), all integer (scaled
         # by the series length D so mu = T/D never floats)
