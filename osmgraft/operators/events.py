@@ -530,3 +530,64 @@ def sequence_funnel(
         .cast("long")
         .alias("n_converted"),
     )
+
+
+def robust_spikes(
+    counts: DataFrame,
+    key_col: str = "event_type",
+    t_col: str = "hr",
+    n_col: str = "cnt",
+    k_mad: int = 3,
+) -> DataFrame:
+    """Median/MAD spike detection — the robust sibling of
+    event_spikes (mean-based flags drown when the spike itself
+    inflates the mean; the median and the median absolute deviation
+    ignore any minority of wild hours by construction).
+
+    All integer, no percentile_approx: the LOWER MEDIAN is the
+    value at row_number (n+1) div 2 under the deterministic
+    (value, t) order, computed per key with one window + a
+    self-join of the 1-row-per-key median back onto the series; MAD
+    repeats the identical trick over |x - median|. A point is a
+    spike when x - med > k_mad * mad (one-sided, strict).
+
+    Shape: everything partitions by key_col — two window sorts over
+    each key's own series and two key-equi-joins, no global funnel;
+    per-key state bounded by that key's series length.
+    """
+    from pyspark.sql import Window
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("k").orderBy(val, t_col)
+        wc = Window.partitionBy("k")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wc))
+            .where(F.expr("_rn = (_n + 1) div 2"))
+            .select("k", F.col(val).alias(out))
+        )
+
+    base = counts.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).alias(t_col),
+        F.col(n_col).cast("long").alias("x"),
+    )
+    med = lower_median(base, "x", "med")
+    with_med = base.join(med, "k").withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = lower_median(with_med, "dev", "mad")
+    return (
+        with_med.join(mad, "k")
+        .select(
+            F.col("k").alias(key_col),
+            t_col,
+            F.col("x").alias(n_col),
+            "med",
+            "mad",
+            (
+                F.col("x") - F.col("med")
+                > F.lit(int(k_mad)) * F.col("mad")
+            ).alias("is_spike"),
+        )
+    )

@@ -180,3 +180,41 @@ def ranked_search(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    top_n: int = 3,
+) -> DataFrame:
+    """Anchor-text index: the classic crawl/ranking signal — for
+    every link target, the terms other pages use when linking to
+    it, ranked per target. Input (dst_host, anchor_text); output
+    (host, term, cnt, rank) keeping the top_n terms per host by
+    (count DESC, term ASC).
+
+    Shape: one (host, term) groupBy with map-side combine over the
+    exploded anchor tokens, then a window partitioned BY HOST — the
+    sort is per-target over its distinct anchor vocabulary (bounded
+    by language, not corpus), never a global sort. The hot-target
+    skew case (everyone links to one homepage) is exactly what the
+    partial aggregation absorbs: duplicates combine map-side before
+    the shuffle."""
+    from pyspark.sql import Window
+
+    terms = links.select(
+        F.col("dst_host").alias("host"),
+        F.explode(F.split(F.col("anchor_text"), " ")).alias("term"),
+    ).where(F.length("term") >= 1)
+    counts = terms.groupBy("host", "term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+    return (
+        counts.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rank") <= top_n)
+        .select("host", "term", "cnt", "rank")
+    )

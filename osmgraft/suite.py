@@ -4109,6 +4109,50 @@ def q179_segment_optimal(spark, sf_dir):
     return segment_optimal(load(spark, sf_dir, "documents"))
 
 
+def q180_anchor_text(spark, sf_dir):
+    """Anchor-text index (operators/search.anchor_text_index): per
+    link target, the top-3 terms by which pages link to it — the
+    crawl-graph twin of q68's PageRank, fed by the same
+    deterministic link synthesis (every mod-3 doc links host
+    doc%23 -> Knuth-hashed host; anchor = the doc's first two
+    tokens). Per-host window over the bounded anchor vocabulary;
+    hot targets absorb into map-side combine."""
+    from .operators.search import anchor_text_index
+
+    d = F.col("doc_id")
+    dst_idx = F.pmod(
+        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
+    )
+    links = (
+        load(spark, sf_dir, "documents")
+        .filter(d % 3 == 0)
+        .select(
+            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
+                "dst_host"
+            ),
+            F.concat_ws(
+                " ",
+                F.split(F.col("text"), " ")[0],
+                F.split(F.col("text"), " ")[1],
+            ).alias("anchor_text"),
+        )
+    )
+    return anchor_text_index(links, top_n=3)
+
+
+def q181_robust_spikes(spark, sf_dir):
+    """Median/MAD rate anomalies over the hourly counts
+    (operators/events.robust_spikes): the robust sibling of q117 —
+    lower medians via the exact row_number rank trick (never
+    percentile_approx), all integer, spikes = x - med > 3*mad.
+    Everything partitions by event_type; no global funnel."""
+    from .operators.events import hour_counts, robust_spikes
+
+    return robust_spikes(
+        hour_counts(load(spark, sf_dir, "events"))
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5225,6 +5269,8 @@ QUERIES = {
     "q177_sequence_funnel": q177_sequence_funnel,
     "q178_label_scatter": q178_label_scatter,
     "q179_segment_optimal": q179_segment_optimal,
+    "q180_anchor_text": q180_anchor_text,
+    "q181_robust_spikes": q181_robust_spikes,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6439,6 +6485,30 @@ GROUP BY 1, 2
         "q172_lpa_communities": _lpa_oracle_sql(4),
         "q173_power_iteration": _power_iter_oracle_sql(3),
         "q179_segment_optimal": _segment_oracle_sql(),
+        "q180_anchor_text": """
+WITH links AS (
+  SELECT 'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
+                        AS VARCHAR) AS host,
+    string_split(text, ' ')[1:2] AS toks
+  FROM documents WHERE doc_id % 3 = 0
+),
+terms AS (
+  SELECT host, t.term
+  FROM links CROSS JOIN LATERAL
+    (SELECT unnest(toks) AS term) t
+  WHERE length(t.term) >= 1
+),
+counts AS (
+  SELECT host, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM terms GROUP BY 1, 2
+)
+SELECT host, term, cnt, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT host, term, cnt,
+    ROW_NUMBER() OVER (PARTITION BY host
+                       ORDER BY cnt DESC, term) AS rank
+  FROM counts)
+WHERE rank <= 3
+""",
         # CUSUM via the same prefix identity the engine uses:
         # S_t = P_t - min(0, running_min(P)), all integer (scaled
         # by the series length D so mu = T/D never floats)
@@ -6510,6 +6580,43 @@ SELECT l.user_id, l.left_id, r.right_id,
 FROM l JOIN r ON r.user_id = l.user_id
  AND r.rus >= l.lus - 1800000000
  AND r.rus <= l.lus + 1800000000
+""",
+        # lower medians by the same row_number rank trick the
+        # engine uses; is_spike one-sided strict
+        "q181_robust_spikes": """
+WITH hc AS (
+  SELECT event_type,
+    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+         + hour(ts) AS BIGINT) AS hr,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, cnt AS med FROM (
+    SELECT event_type, cnt, hr,
+      ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY cnt, hr) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM hc)
+  WHERE rn = (n + 1) // 2
+),
+devs AS (
+  SELECT h.event_type, h.hr, h.cnt, m.med,
+         ABS(h.cnt - m.med) AS dev
+  FROM hc h JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev, hr,
+      ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY dev, hr) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM devs)
+  WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type, d.hr, d.cnt, d.med, a.mad,
+       d.cnt - d.med > 3 * a.mad AS is_spike
+FROM devs d JOIN mad a USING (event_type)
 """,
         "q117_event_spikes": """
 WITH hc AS (
