@@ -591,3 +591,73 @@ def robust_spikes(
             ).alias("is_spike"),
         )
     )
+
+
+def gps_jump_profile(
+    fixes: DataFrame,
+    max_cheb_per_s: int = 1000,
+) -> DataFrame:
+    """Trajectory hygiene: per-user GPS fix profiling with
+    teleport-jump detection — the standard cleaning pass before any
+    trajectory analytics (stay points, co-location, map matching
+    all assume physically plausible tracks).
+
+    Input (user_id, us, x, y): epoch micros + fixed-point coords.
+    A MOVE is a consecutive fix pair (user order by us, ties by x
+    then y for total determinism); its Chebyshev speed is
+    max(|dx|, |dy|) per second, long-safe at any coordinate
+    magnitude (a squared-euclidean speed on fix7 coords would
+    overflow int64 at antipodal jumps — and for a plausibility
+    GATE the metric choice is free, so the operator DEFINES speed
+    as Chebyshev and documents it). A move is a JUMP when speed
+    exceeds max_cheb_per_s, where zero-elapsed moves (dt = 0) that
+    displace at all are jumps by definition.
+
+    speed = (cheb * 1000000) div dt_us — integer floor, exact in
+    every engine for the non-negative operands here.
+
+    One shuffle (the user window), one groupBy on the same key —
+    the sessionize Exchange-reuse shape. Output per user:
+    (user_id, n_fixes, n_moves, n_jumps, max_speed) with max_speed
+    the largest finite move speed (NULL if no finite moves).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "x", "y")
+    moves = fixes.select(
+        "user_id",
+        "us",
+        "x",
+        "y",
+        (F.col("us") - F.lag("us").over(w)).alias("dt"),
+        F.abs(F.col("x") - F.lag("x").over(w)).alias("adx"),
+        F.abs(F.col("y") - F.lag("y").over(w)).alias("ady"),
+    )
+    cheb = F.greatest("adx", "ady")
+    speed = F.expr(
+        "(greatest(adx, ady) * 1000000) div dt"
+    )
+    classified = moves.select(
+        "user_id",
+        F.lit(1).cast("long").alias("one"),
+        F.col("dt").isNotNull().alias("is_move"),
+        F.when(
+            F.col("dt").isNull(), F.lit(False)
+        )
+        .when(F.col("dt") == 0, cheb > 0)
+        .otherwise(speed > F.lit(int(max_cheb_per_s)))
+        .alias("is_jump"),
+        F.when(
+            F.col("dt").isNotNull() & (F.col("dt") > 0), speed
+        ).alias("speed"),
+    )
+    return classified.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_fixes"),
+        F.sum(F.col("is_move").cast("long"))
+        .cast("long")
+        .alias("n_moves"),
+        F.sum(F.col("is_jump").cast("long"))
+        .cast("long")
+        .alias("n_jumps"),
+        F.max("speed").cast("long").alias("max_speed"),
+    )

@@ -1633,6 +1633,45 @@ FROM xq x JOIN {prev} v USING (dim) GROUP BY 1
 """
 
 
+def _gps_jumps_oracle_sql(max_cheb_per_s: int = 25000) -> str:
+    lat = LAT_EXPR.replace("doc_id", "event_id")
+    lon = LON_EXPR.replace("doc_id", "event_id")
+    return f"""
+WITH fixes AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CAST({lon} AS BIGINT) AS x, CAST({lat} AS BIGINT) AS y
+  FROM events
+),
+moves AS (
+  SELECT user_id,
+    us - LAG(us) OVER w AS dt,
+    ABS(x - LAG(x) OVER w) AS adx,
+    ABS(y - LAG(y) OVER w) AS ady
+  FROM fixes
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, x, y)
+),
+cls AS (
+  SELECT user_id,
+    dt IS NOT NULL AS is_move,
+    CASE WHEN dt IS NULL THEN FALSE
+         WHEN dt = 0 THEN GREATEST(adx, ady) > 0
+         ELSE (GREATEST(adx, ady) * 1000000) // dt
+              > {max_cheb_per_s} END AS is_jump,
+    CASE WHEN dt IS NOT NULL AND dt > 0
+         THEN (GREATEST(adx, ady) * 1000000) // dt END AS speed
+  FROM moves
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_fixes,
+  CAST(SUM(CASE WHEN is_move THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_moves,
+  CAST(SUM(CASE WHEN is_jump THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_jumps,
+  CAST(MAX(speed) AS BIGINT) AS max_speed
+FROM cls GROUP BY 1
+"""
+
+
 def _segment_oracle_sql(
     max_word_len: int = 12, max_token_len: int = 4, top_n: int = 32
 ) -> str:
@@ -4153,6 +4192,26 @@ def q181_robust_spikes(spark, sf_dir):
     )
 
 
+def q182_gps_jumps(spark, sf_dir):
+    """Trajectory hygiene (operators/events.gps_jump_profile):
+    per-user fix/move/jump profile with integer Chebyshev speeds —
+    the cleaning gate before stay-point/co-location/map-matching
+    analytics. One user-keyed window + same-key groupBy."""
+    from .operators.events import gps_jump_profile
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr(LON_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("x"),
+        F.expr(LAT_EXPR.replace("doc_id", "event_id"))
+        .cast("long")
+        .alias("y"),
+    )
+    return gps_jump_profile(ev, max_cheb_per_s=25000)
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5271,6 +5330,7 @@ QUERIES = {
     "q179_segment_optimal": q179_segment_optimal,
     "q180_anchor_text": q180_anchor_text,
     "q181_robust_spikes": q181_robust_spikes,
+    "q182_gps_jumps": q182_gps_jumps,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6485,6 +6545,7 @@ GROUP BY 1, 2
         "q172_lpa_communities": _lpa_oracle_sql(4),
         "q173_power_iteration": _power_iter_oracle_sql(3),
         "q179_segment_optimal": _segment_oracle_sql(),
+        "q182_gps_jumps": _gps_jumps_oracle_sql(),
         "q180_anchor_text": """
 WITH links AS (
   SELECT 'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
