@@ -1362,3 +1362,98 @@ def trace_dtw_pairs(
         "trace_b",
         F.col("f").cast("long").alias("dtw2"),
     )
+
+
+def way_centroids(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Exact integer centroid (label point) of closed ways — the
+    area-weighted polygon centroid, floor-rounded to fix7 units:
+
+        C = v0 + floor( sum (p_i + p_{i+1}) x cross_i / (3 * 2A) )
+
+    computed entirely in first-vertex-centered coordinates like
+    way_signed_area above (same scan/window plan, one extra column
+    pair). The numerator terms exceed int64 (extent * cross), so
+    they ride as decimal(38,0)/HUGEINT; the final floor-division
+    normalizes the sign so the denominator 3|2A| is positive, then
+    subtracts the positive pmod — after that the quotient is exact
+    and Spark's truncating `div` equals true floor equals DuckDB's
+    `//`, the engine-portable discipline of operators/linalg.py.
+
+    Output (way_id, two_a, cx_fix, cy_fix): winding-signed area
+    plus the centroid in plain fix7 coordinates — the point a
+    renderer would label, exact in any engine. Degenerate
+    zero-area rings are dropped (their centroid is undefined)."""
+    closed = ways.where(
+        (F.element_at("refs", 1) == F.element_at("refs", -1))
+        & (F.size("refs") >= 4)
+    )
+    pos = closed.select(
+        "way_id", F.posexplode("refs").alias("j", "ref")
+    ).join(
+        nodes.select(
+            F.col("doc_id").alias("ref"), "lat_i", "lon_i"
+        ),
+        "ref",
+    )
+    w = Window.partitionBy("way_id").orderBy("j")
+    wa = w.rowsBetween(Window.unboundedPreceding, 0)
+    seg = pos.select(
+        "way_id",
+        F.first("lon_i").over(wa).alias("x0"),
+        F.first("lat_i").over(wa).alias("y0"),
+        (F.col("lon_i") - F.first("lon_i").over(wa)).alias("x"),
+        (F.col("lat_i") - F.first("lat_i").over(wa)).alias("y"),
+        (
+            F.lead("lon_i").over(w) - F.first("lon_i").over(wa)
+        ).alias("x2"),
+        (
+            F.lead("lat_i").over(w) - F.first("lat_i").over(wa)
+        ).alias("y2"),
+    ).where(F.col("x2").isNotNull())
+    dec = "decimal(38,0)"
+    cross = F.col("x").cast(dec) * F.col("y2").cast(dec) - F.col(
+        "x2"
+    ).cast(dec) * F.col("y").cast(dec)
+    sums = (
+        seg.select(
+            "way_id",
+            "x0",
+            "y0",
+            cross.alias("_c"),
+            ((F.col("x") + F.col("x2")).cast(dec) * cross).alias(
+                "_nx"
+            ),
+            ((F.col("y") + F.col("y2")).cast(dec) * cross).alias(
+                "_ny"
+            ),
+        )
+        .groupBy("way_id")
+        .agg(
+            F.min("x0").alias("x0"),
+            F.min("y0").alias("y0"),
+            F.sum("_c").alias("two_a"),
+            F.sum("_nx").alias("nx"),
+            F.sum("_ny").alias("ny"),
+        )
+        .where(F.col("two_a") != 0)
+    )
+    sgn = F.when(F.col("two_a") < 0, F.lit(-1)).otherwise(
+        F.lit(1)
+    ).cast(dec)
+    den = (F.abs(F.col("two_a")) * F.lit(3).cast(dec)).alias("den")
+    normalized = sums.select(
+        "way_id",
+        "x0",
+        "y0",
+        F.col("two_a").cast("long").alias("two_a"),
+        (F.col("nx") * sgn).alias("nxs"),
+        (F.col("ny") * sgn).alias("nys"),
+        den,
+    )
+    out = normalized.selectExpr(
+        "way_id",
+        "two_a",
+        "cast(x0 + (nxs - pmod(nxs, den)) div den as long) as cx_fix",
+        "cast(y0 + (nys - pmod(nys, den)) div den as long) as cy_fix",
+    )
+    return out

@@ -635,6 +635,18 @@ def q160_way_crossings(spark, sf_dir):
     return way_crossings(ways, _nodes(spark, sf_dir), shift=24)
 
 
+def q183_way_centroids(spark, sf_dir):
+    """Exact polygon label points (operators/linecover.
+    way_centroids): area-weighted centroid of every closed way,
+    floor-rounded to fix7 integers via sign-normalized positive-mod
+    floor-division over decimal(38,0) sums — same scan/window plan
+    as q112's shoelace area with two extra aggregate columns."""
+    from .operators.linecover import way_centroids
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    return way_centroids(synth_ways(docs, n), _nodes(spark, sf_dir))
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -662,6 +674,7 @@ GRAPH_QUERIES = {
     "q160_way_crossings": q160_way_crossings,
     "q161_trace_dtw": q161_trace_dtw,
     "q162_convex_hull": q162_convex_hull,
+    "q183_way_centroids": q183_way_centroids,
 }
 
 _RELS_CTE = f"""
@@ -1146,6 +1159,62 @@ SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
   CAST(SUM(CAST(x AS HUGEINT) * y2
            - CAST(x2 AS HUGEINT) * y) AS BIGINT) AS two_a
 FROM seg WHERE x2 IS NOT NULL GROUP BY 1
+""",
+        # the q112 seg CTE plus centroid numerators; floor division
+        # by sign-normalized 3|2A| via the positive-mod subtraction
+        # (DuckDB // truncates; after the subtraction it floors)
+        "q183_way_centroids": f"""
+{g},
+wn AS (
+  SELECT way_id, MAX(j) AS jmax, COUNT(*) AS n
+  FROM wrefs GROUP BY 1
+),
+cl AS (
+  SELECT w.way_id FROM wn w
+  JOIN wrefs a ON a.way_id = w.way_id AND a.j = 1
+  JOIN wrefs b ON b.way_id = w.way_id AND b.j = w.jmax
+  WHERE a.ref = b.ref AND w.n >= 4
+),
+pos AS (
+  SELECT r.way_id, r.j, p.lat_i, p.lon_i
+  FROM wrefs r JOIN pts p ON p.doc_id = r.ref
+  WHERE r.way_id IN (SELECT way_id FROM cl)
+),
+seg AS (
+  SELECT way_id,
+    FIRST_VALUE(lon_i) OVER w AS x0,
+    FIRST_VALUE(lat_i) OVER w AS y0,
+    lon_i - FIRST_VALUE(lon_i) OVER w AS x,
+    lat_i - FIRST_VALUE(lat_i) OVER w AS y,
+    LEAD(lon_i) OVER w - FIRST_VALUE(lon_i) OVER w AS x2,
+    LEAD(lat_i) OVER w - FIRST_VALUE(lat_i) OVER w AS y2
+  FROM pos WINDOW w AS (PARTITION BY way_id ORDER BY j)
+),
+sums AS (
+  SELECT way_id, MIN(x0) AS x0, MIN(y0) AS y0,
+    SUM(CAST(x AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y)
+      AS two_a,
+    SUM(CAST(x + x2 AS HUGEINT)
+        * (CAST(x AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y))
+      AS nx,
+    SUM(CAST(y + y2 AS HUGEINT)
+        * (CAST(x AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y))
+      AS ny
+  FROM seg WHERE x2 IS NOT NULL GROUP BY 1
+),
+norm AS (
+  SELECT way_id, x0, y0, two_a,
+    nx * (CASE WHEN two_a < 0 THEN -1 ELSE 1 END) AS nxs,
+    ny * (CASE WHEN two_a < 0 THEN -1 ELSE 1 END) AS nys,
+    ABS(two_a) * 3 AS den
+  FROM sums WHERE two_a <> 0
+)
+SELECT way_id, CAST(two_a AS BIGINT) AS two_a,
+  CAST(x0 + (nxs - ((nxs % den + den) % den)) // den AS BIGINT)
+    AS cx_fix,
+  CAST(y0 + (nys - ((nys % den + den) % den)) // den AS BIGINT)
+    AS cy_fix
+FROM norm
 """,
         # cosr-scaled route length; same 16-bit-halves exact
         # 2^32 division as the operator, sqrt IEEE-pinned
