@@ -647,6 +647,50 @@ def q183_way_centroids(spark, sf_dir):
     return way_centroids(synth_ways(docs, n), _nodes(spark, sf_dir))
 
 
+def q184_way_chains(spark, sf_dir):
+    """Way stitching: ways sharing an ENDPOINT node form one
+    polyline chain — the rendering/routing preprocessing step the
+    reference leaves to consumers of its ring assembly. Chain ids
+    by star-contraction connected components (operators/dedup.
+    cluster_star — chains are exactly the unbounded-diameter case
+    propagation's pass cap cannot resolve); singleton ways chain
+    to themselves. Oracle: recursive transitive closure, min-id
+    per component."""
+    from .operators.dedup import cluster_star
+
+    docs, n = _docs_and_n(spark, sf_dir)
+    ways = synth_ways(docs, n)
+    ends = ways.select(
+        "way_id",
+        F.explode(
+            F.array(
+                F.element_at("refs", 1), F.element_at("refs", -1)
+            )
+        ).alias("ep"),
+    ).distinct()
+    pairs = (
+        ends.alias("x")
+        .join(
+            ends.alias("y"),
+            (F.col("x.ep") == F.col("y.ep"))
+            & (F.col("x.way_id") < F.col("y.way_id")),
+        )
+        .select(
+            F.col("x.way_id").alias("a"),
+            F.col("y.way_id").alias("b"),
+        )
+    )
+    comp = cluster_star(pairs).withColumnRenamed(
+        "doc_id", "way_id"
+    )
+    return ways.select("way_id").join(comp, "way_id", "left").select(
+        "way_id",
+        F.coalesce("cluster", F.col("way_id"))
+        .cast("long")
+        .alias("chain"),
+    )
+
+
 GRAPH_QUERIES = {
     "q23_way_geometry": q23_way_geometry,
     "q24_way_clip": q24_way_clip,
@@ -675,6 +719,7 @@ GRAPH_QUERIES = {
     "q161_trace_dtw": q161_trace_dtw,
     "q162_convex_hull": q162_convex_hull,
     "q183_way_centroids": q183_way_centroids,
+    "q184_way_chains": q184_way_chains,
 }
 
 _RELS_CTE = f"""
@@ -1159,6 +1204,32 @@ SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
   CAST(SUM(CAST(x AS HUGEINT) * y2
            - CAST(x2 AS HUGEINT) * y) AS BIGINT) AS two_a
 FROM seg WHERE x2 IS NOT NULL GROUP BY 1
+""",
+        # endpoint-shared transitive closure, min-id per component;
+        # singletons chain to themselves
+        "q184_way_chains": f"""
+WITH RECURSIVE {pts_cte},
+{_GRAPH_CTES},
+ends AS (
+  SELECT DISTINCT r.way_id, r.ref AS ep
+  FROM wrefs r
+  JOIN (SELECT way_id, MAX(j) AS jmax FROM wrefs GROUP BY 1) m
+    ON m.way_id = r.way_id AND (r.j = 1 OR r.j = m.jmax)
+),
+wedges AS (
+  SELECT DISTINCT x.way_id AS u, y.way_id AS v
+  FROM ends x JOIN ends y
+    ON x.ep = y.ep AND x.way_id <> y.way_id
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM wedges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN wedges e ON e.u = r.v
+),
+comp AS (SELECT u AS way_id, MIN(v) AS chain FROM reach GROUP BY u)
+SELECT w.way_id,
+  CAST(COALESCE(c.chain, w.way_id) AS BIGINT) AS chain
+FROM ways w LEFT JOIN comp c USING (way_id)
 """,
         # the q112 seg CTE plus centroid numerators; floor division
         # by sign-normalized 3|2A| via the positive-mod subtraction
