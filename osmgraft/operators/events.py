@@ -661,3 +661,62 @@ def gps_jump_profile(
         .alias("n_jumps"),
         F.max("speed").cast("long").alias("max_speed"),
     )
+
+
+def collapse_bursts(
+    events: DataFrame, window_s: int = 60
+) -> DataFrame:
+    """Retry/burst deduplication: collapse runs of same-user
+    same-type events separated by <= window_s seconds into one
+    logical event (the earliest), counting what was absorbed — the
+    cleaning pass for at-least-once event producers whose retries
+    would otherwise inflate every downstream count.
+
+    Gaps-and-islands per (user_id, event_type): a run starts where
+    the previous same-key event is more than window_s away (floor
+    epoch seconds, the sessionize discipline). One shuffle on the
+    composite key; the groupBy reuses the window partitioning.
+
+    Output one row per burst: (user_id, event_type, first_us,
+    last_us, n_raw) — n_raw = 1 means the event was never retried.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    typed = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    marked = typed.withColumn(
+        "is_new",
+        F.coalesce(
+            F.when(
+                F.col("us") - F.lag("us").over(w)
+                > F.lit(window_s * 1_000_000),
+                F.lit(1),
+            ),
+            F.when(F.lag("us").over(w).isNull(), F.lit(1)),
+            F.lit(0),
+        ),
+    ).withColumn("burst", F.sum("is_new").over(wrun))
+    return (
+        marked.groupBy("user_id", "event_type", "burst")
+        .agg(
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+            F.count("*").cast("long").alias("n_raw"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("burst").cast("long").alias("burst"),
+            "first_us",
+            "last_us",
+            "n_raw",
+        )
+    )

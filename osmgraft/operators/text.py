@@ -931,3 +931,57 @@ def quality_calibrate(
         .cast("long")
         .alias("decile"),
     )
+
+
+def length_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    bucket_chars: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, exact: the
+    per-bucket terms of the total-variation distance over the doc-
+    length histogram, kept as INTEGERS by cross-multiplying away
+    the normalizers — term_b = |n1_b * N2 - n2_b * N1|, so
+    TVD = sum(term) / (2 * N1 * N2) is an exact rational whose
+    numerator and denominator both ship in the output. The
+    pipeline tripwire for "did this crawl batch change shape" that
+    float histograms can't make reproducible across engines.
+
+    One bucket-keyed groupBy per side (map-side combined), a full
+    outer join on the bounded bucket table, and two 1-row totals —
+    nothing corpus-sized shuffles.
+    """
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.expr(
+                    f"length({text_col}) div {int(bucket_chars)}"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    h1 = hist(old_docs, "n1")
+    h2 = hist(new_docs, "n2")
+    joined = h1.join(h2, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+        F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+    )
+    tot = joined.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n1",
+        "n2",
+        F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+        .cast("long")
+        .alias("tvd_num"),
+        (F.lit(2) * F.col("t1") * F.col("t2"))
+        .cast("long")
+        .alias("tvd_den"),
+    )

@@ -4212,6 +4212,35 @@ def q182_gps_jumps(spark, sf_dir):
     return gps_jump_profile(ev, max_cheb_per_s=25000)
 
 
+def q185_burst_collapse(spark, sf_dir):
+    """Retry-burst deduplication (operators/events.collapse_bursts):
+    same-user same-type events within one day collapse to one
+    logical event with its absorbed count — gaps-and-islands on the
+    composite key, one shuffle, groupBy rides the window
+    partitioning."""
+    from .operators.events import collapse_bursts
+
+    return collapse_bursts(
+        load(spark, sf_dir, "events"), window_s=86400
+    )
+
+
+def q186_length_drift(spark, sf_dir):
+    """Snapshot drift tripwire (operators/text.length_drift): exact
+    total-variation-distance terms between the doc-length
+    histograms of two corpus halves (mod-2 split as the stand-in
+    snapshots) — integers end to end via cross-multiplied
+    normalizers, so the drift number is an exact rational any
+    engine reproduces."""
+    from .operators.text import length_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return length_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5331,6 +5360,8 @@ QUERIES = {
     "q180_anchor_text": q180_anchor_text,
     "q181_robust_spikes": q181_robust_spikes,
     "q182_gps_jumps": q182_gps_jumps,
+    "q185_burst_collapse": q185_burst_collapse,
+    "q186_length_drift": q186_length_drift,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6546,6 +6577,58 @@ GROUP BY 1, 2
         "q173_power_iteration": _power_iter_oracle_sql(3),
         "q179_segment_optimal": _segment_oracle_sql(),
         "q182_gps_jumps": _gps_jumps_oracle_sql(),
+        "q185_burst_collapse": """
+WITH typed AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_type, event_id, us,
+    CASE WHEN LAG(us) OVER w IS NULL THEN 1
+         WHEN us - LAG(us) OVER w > 86400000000 THEN 1
+         ELSE 0 END AS is_new
+  FROM typed
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY us, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, us,
+    SUM(is_new) OVER (PARTITION BY user_id, event_type
+                      ORDER BY us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS burst
+  FROM marked
+)
+SELECT user_id, event_type, CAST(burst AS BIGINT) AS burst,
+  CAST(MIN(us) AS BIGINT) AS first_us,
+  CAST(MAX(us) AS BIGINT) AS last_us,
+  CAST(COUNT(*) AS BIGINT) AS n_raw
+FROM runs GROUP BY 1, 2, 3
+""",
+        "q186_length_drift": """
+WITH h1 AS (
+  SELECT length(text) // 100 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n1
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+h2 AS (
+  SELECT length(text) // 100 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n2
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(h1.bucket, h2.bucket) AS bucket,
+         COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+  FROM h1 FULL OUTER JOIN h2 ON h1.bucket = h2.bucket
+),
+tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+         CAST(SUM(n2) AS BIGINT) AS t2 FROM j
+)
+SELECT bucket, n1, n2,
+  CAST(ABS(n1 * t2 - n2 * t1) AS BIGINT) AS tvd_num,
+  CAST(2 * t1 * t2 AS BIGINT) AS tvd_den
+FROM j, tot
+""",
         "q180_anchor_text": """
 WITH links AS (
   SELECT 'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
