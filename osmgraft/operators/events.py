@@ -720,3 +720,69 @@ def collapse_bursts(
             "n_raw",
         )
     )
+
+
+def seasonal_anomaly(
+    events: DataFrame, k_mad: int = 3
+) -> DataFrame:
+    """Seasonality-aligned anomaly detection: a Monday-9am count is
+    judged against OTHER Monday-9ams, not against the global hourly
+    median — the step robust_spikes (q181) skips, which makes it
+    blind to "weekend traffic always looks low" and loud about
+    ordinary Friday peaks.
+
+    Grid: how = hour-of-week (0..167, Sunday 0h = 0 under the
+    civil-epoch identity dow = (days + 4) % 7; 1970-01-01 was a
+    Thursday), week = (days + 4) div 7.  Counts per (event_type,
+    week, how); baseline per (event_type, how) = lower median of
+    the weekly series and MAD of deviations, both via the exact
+    row_number rank trick (never percentile_approx) — all integer.
+    Weeks with zero events for a cell are absent from the series
+    (presence-median, documented; a dense grid would need a
+    calendar spine).  Anomaly: cnt - med > k_mad * mad, one-sided
+    strict, the robust_spikes rule on the aligned axis.
+
+    Shape: one (type, week, how) groupBy, then two window sorts and
+    two equi-joins all partitioned by the bounded (type, how) key —
+    at most 168 x |types| baseline rows, nothing global.
+    """
+    days = F.expr("datediff(to_date(ts), DATE'1970-01-01')")
+    cells = events.select(
+        "event_type",
+        # integer div: exact, and days + 4 >= 0 under the post-1970
+        # data contract (see colocation_pairs), so div == floor
+        F.expr(
+            "(datediff(to_date(ts), DATE'1970-01-01') + 4) div 7"
+        ).cast("long").alias("week"),
+        (
+            F.pmod(days + 4, F.lit(7)) * 24 + F.hour("ts")
+        ).cast("long").alias("how"),
+    ).groupBy("event_type", "week", "how").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+    def lower_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type", "how").orderBy(
+            val, "week"
+        )
+        wc = Window.partitionBy("event_type", "how")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(wc))
+            .where(F.expr("_rn = (_n + 1) div 2"))
+            .select("event_type", "how", F.col(val).alias(out))
+        )
+
+    med = lower_median(cells, "cnt", "med")
+    with_med = cells.join(med, ["event_type", "how"]).withColumn(
+        "dev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = lower_median(with_med, "dev", "mad")
+    return (
+        with_med.join(mad, ["event_type", "how"])
+        .where(
+            F.col("cnt") - F.col("med")
+            > F.lit(k_mad) * F.col("mad")
+        )
+        .select("event_type", "how", "week", "cnt", "med", "mad")
+    )

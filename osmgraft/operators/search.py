@@ -218,3 +218,70 @@ def anchor_text_index(
         .where(F.col("rank") <= top_n)
         .select("host", "term", "cnt", "rank")
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    vocab_k: int = 200,
+    min_co: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Term co-occurrence lift (the integer PMI core) over a
+    bounded vocabulary: for every pair of top-vocab_k terms that
+    co-occur in >= min_co documents, the exact rational lift
+    P(t1,t2)/(P(t1)P(t2)) shipped as integers — lift_num = co * N,
+    lift_den = n1 * n2 (PMI = log of that ratio; the log is
+    monotone, so ranking/thresholding needs only the cross-
+    multiplied integers and no float ever enters).  The collocation
+    / topic-drift primitive corpus-analysis pipelines run next to
+    distinctive_terms.
+
+    Scale shape: the vocabulary is an exact global top-k by
+    document frequency (TakeOrdered — per-partition heads, driver
+    merge of vocab_k rows), broadcast back as an equi-join gate, so
+    the per-document pair explosion is bounded by (vocab hits per
+    doc)^2 <= vocab_k^2 and in practice by document length; the
+    pair groupBy output is <= vocab_k^2 rows total.  No all-pairs
+    join on the corpus anywhere.
+    """
+    dt = _doc_terms(df, text_col).select("doc_id", "term")
+    dfreq = dt.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    vocab = dfreq.orderBy(
+        F.desc("n_docs"), F.asc("term")
+    ).limit(vocab_k)
+    gated = dt.join(F.broadcast(vocab), "term")
+    n_total = df.select(
+        F.count("*").cast("long").alias("n_corpus")
+    )
+    pairs = (
+        gated.select(
+            "doc_id",
+            F.col("term").alias("t1"),
+            F.col("n_docs").alias("n1"),
+        )
+        .join(
+            gated.select(
+                "doc_id",
+                F.col("term").alias("t2"),
+                F.col("n_docs").alias("n2"),
+            ),
+            "doc_id",
+        )
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2", "n1", "n2")
+        .agg(F.count("*").cast("long").alias("co"))
+        .where(F.col("co") >= min_co)
+    )
+    return pairs.crossJoin(F.broadcast(n_total)).select(
+        "t1",
+        "t2",
+        "co",
+        "n1",
+        "n2",
+        (F.col("co") * F.col("n_corpus"))
+        .cast("long")
+        .alias("lift_num"),
+        (F.col("n1") * F.col("n2")).cast("long").alias("lift_den"),
+    )

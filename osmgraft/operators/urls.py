@@ -228,3 +228,67 @@ def blocklist_filter(
     return with_rd.join(bl, "_reg_domain", "left_anti").drop(
         "_reg_domain", "_rd_host"
     )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    max_hosts_per_fp: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Mirror/syndication detection: host pairs whose page sets
+    overlap on >= min_shared identical content fingerprints, with
+    the exact overlap and both hosts' distinct-fingerprint counts
+    so containment = shared / min(n1, n2) is a caller-side exact
+    rational. The host-level twin of doc-level dedup — what a crawl
+    pipeline runs to stop re-fetching example.org AND its CDN
+    mirror (the reference dedups objects, osmconvert.c:61; hosts
+    are the web corpus' analogous unit).
+
+    Scale shape: everything is keyed by fingerprint. Fingerprints
+    on > max_hosts_per_fp hosts are dropped BEFORE the self-join —
+    they are boilerplate (empty pages, soft-404 templates) and the
+    classic quadratic skew key; with the cap, pairs per fingerprint
+    are <= cap^2 and the join is an ordinary bucketed equi-join, no
+    all-pairs anywhere. Output is host x host, bounded by the host
+    vocabulary, orders of magnitude below page count.
+    """
+    hf = pages.select(
+        F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
+    ).distinct()
+    sizes = hf.groupBy("host").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    shared_fp = (
+        hf.groupBy("fp")
+        .agg(F.count("*").alias("nh"))
+        .where(
+            (F.col("nh") >= 2) & (F.col("nh") <= max_hosts_per_fp)
+        )
+        .select("fp")
+    )
+    gated = hf.join(shared_fp, "fp")
+    pairs = (
+        gated.select("fp", F.col("host").alias("h1"))
+        .join(gated.select("fp", F.col("host").alias("h2")), "fp")
+        .where(F.col("h1") < F.col("h2"))
+        .groupBy("h1", "h2")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("host").alias("h1"), F.col("n").alias("n1")
+            ),
+            "h1",
+        )
+        .join(
+            sizes.select(
+                F.col("host").alias("h2"), F.col("n").alias("n2")
+            ),
+            "h2",
+        )
+        .select("h1", "h2", "shared", "n1", "n2")
+    )

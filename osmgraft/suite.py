@@ -4241,6 +4241,53 @@ def q186_length_drift(spark, sf_dir):
     )
 
 
+def q187_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aligned anomaly detection
+    (operators/events.seasonal_anomaly): hour-of-week cells judged
+    against their own weekly series via exact lower-median/MAD —
+    the aligned axis q181's global hourly median is blind to. All
+    integer; state bounded by 168 x |event types| baseline rows."""
+    from .operators.events import seasonal_anomaly
+
+    return seasonal_anomaly(load(spark, sf_dir, "events"), k_mad=2)
+
+
+def q188_mirror_hosts(spark, sf_dir):
+    """Mirror detection (operators/urls.mirror_hosts): host pairs
+    sharing identical content fingerprints, exact overlap +
+    per-host set sizes. Hosts via the q180 Knuth-hash synthesis, fp
+    = md5 of the 160-char text head (so the corpus' planted
+    duplicate docs create real cross-host mirrors). Fingerprint-
+    bucketed self-join behind a boilerplate cap — no all-pairs."""
+    from .operators.urls import mirror_hosts
+
+    d = F.col("doc_id")
+    host_idx = F.pmod(
+        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
+    )
+    pages = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("host"), host_idx.cast("string")).alias(
+            "host"
+        ),
+        F.md5(
+            F.col("text").substr(1, 160).cast("binary")
+        ).alias("fp"),
+    )
+    return mirror_hosts(pages, max_hosts_per_fp=16, min_shared=1)
+
+
+def q189_pmi_pairs(spark, sf_dir):
+    """Collocation mining (operators/search.pmi_pairs): exact
+    integer PMI lift over the top-60 vocabulary — co*N vs n1*n2
+    cross-multiplied so no float/log enters; TakeOrdered vocab
+    broadcast back as the explosion gate."""
+    from .operators.search import pmi_pairs
+
+    return pmi_pairs(
+        load(spark, sf_dir, "documents"), vocab_k=60, min_co=2
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5362,6 +5409,9 @@ QUERIES = {
     "q182_gps_jumps": q182_gps_jumps,
     "q185_burst_collapse": q185_burst_collapse,
     "q186_length_drift": q186_length_drift,
+    "q187_seasonal_anomaly": q187_seasonal_anomaly,
+    "q188_mirror_hosts": q188_mirror_hosts,
+    "q189_pmi_pairs": q189_pmi_pairs,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6603,6 +6653,102 @@ SELECT user_id, event_type, CAST(burst AS BIGINT) AS burst,
   CAST(MAX(us) AS BIGINT) AS last_us,
   CAST(COUNT(*) AS BIGINT) AS n_raw
 FROM runs GROUP BY 1, 2, 3
+""",
+        "q189_pmi_pairs": """
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents)
+  WHERE term <> ''
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dt GROUP BY 1
+),
+vocab AS (
+  SELECT term, n_docs FROM dfreq
+  ORDER BY n_docs DESC, term ASC LIMIT 60
+),
+gated AS (
+  SELECT dt.doc_id, dt.term, v.n_docs
+  FROM dt JOIN vocab v USING (term)
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, a.n_docs AS n1,
+    b.n_docs AS n2, CAST(COUNT(*) AS BIGINT) AS co
+  FROM gated a JOIN gated b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2
+)
+SELECT t1, t2, co, n1, n2,
+  CAST(co * n_corpus AS BIGINT) AS lift_num,
+  CAST(n1 * n2 AS BIGINT) AS lift_den
+FROM pairs, tot
+""",
+        "q188_mirror_hosts": """
+WITH hf AS (
+  SELECT DISTINCT
+    'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
+              AS VARCHAR) AS host,
+    md5(substr(text, 1, 160)) AS fp
+  FROM documents
+),
+sizes AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM hf GROUP BY 1
+),
+shared_fp AS (
+  SELECT fp FROM hf GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND 16
+),
+gated AS (SELECT hf.* FROM hf JOIN shared_fp USING (fp)),
+pairs AS (
+  SELECT a.host AS h1, b.host AS h2,
+    CAST(COUNT(*) AS BIGINT) AS shared
+  FROM gated a JOIN gated b
+    ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2 HAVING COUNT(*) >= 1
+)
+SELECT h1, h2, shared, s1.n AS n1, s2.n AS n2
+FROM pairs
+JOIN sizes s1 ON s1.host = h1
+JOIN sizes s2 ON s2.host = h2
+""",
+        "q187_seasonal_anomaly": """
+WITH cells AS (
+  SELECT event_type,
+    CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+         // 7 AS BIGINT) AS week,
+    CAST(((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+          % 7) * 24 + hour(ts) AS BIGINT) AS how,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT event_type, how, cnt AS med FROM (
+    SELECT event_type, how, cnt,
+      ROW_NUMBER() OVER (PARTITION BY event_type, how
+                         ORDER BY cnt, week) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type, how) AS n
+    FROM cells)
+  WHERE rn = (n + 1) // 2
+),
+withmed AS (
+  SELECT c.*, med, ABS(cnt - med) AS dev
+  FROM cells c JOIN med USING (event_type, how)
+),
+mad AS (
+  SELECT event_type, how, dev AS mad FROM (
+    SELECT event_type, how, dev,
+      ROW_NUMBER() OVER (PARTITION BY event_type, how
+                         ORDER BY dev, week) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type, how) AS n
+    FROM withmed)
+  WHERE rn = (n + 1) // 2
+)
+SELECT event_type, how, week, cnt, med, CAST(mad AS BIGINT) AS mad
+FROM withmed JOIN mad USING (event_type, how)
+WHERE cnt - med > 2 * mad
 """,
         "q186_length_drift": """
 WITH h1 AS (
