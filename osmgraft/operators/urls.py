@@ -292,3 +292,52 @@ def mirror_hosts(
         )
         .select("h1", "h2", "shared", "n1", "n2")
     )
+
+
+def crawl_plan(
+    df: DataFrame,
+    per_round: int,
+    url_col: str = "url",
+    host_col: str | None = None,
+) -> DataFrame:
+    """Politeness-bounded crawl schedule: assign every URL a fetch
+    round such that no host is hit more than per_round times in any
+    round — the frontier planner a crawler runs after host_stats
+    tells it the per-domain volumes. Deterministic: URLs order
+    lexicographically within their host, slot = that rank, round =
+    (slot - 1) div per_round, and n_rounds carries each host's
+    total so the scheduler can see its makespan driver (the global
+    round count is max(n_rounds), a 1-row agg the caller can take).
+
+    Shape: one host-keyed window sort + one host-keyed count — the
+    whole plan is a single shuffle on host; megahosts are exactly
+    the rows a politeness planner MUST colocate, so that key skew
+    is semantic, not accidental (a host's partition holds its URL
+    list, bounded by the crawl frontier per host, not the corpus).
+    """
+    from pyspark.sql import Window
+
+    host = (
+        F.col(host_col)
+        if host_col
+        else F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    )
+    base = df.select(F.col(url_col).alias("url"), host.alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    wc = Window.partitionBy("host")
+    ranked = base.select(
+        "url",
+        "host",
+        F.row_number().over(w).cast("long").alias("slot"),
+        F.count("*").over(wc).cast("long").alias("_n"),
+    )
+    # integer div: slots/counts are positive, div == floor
+    return ranked.select(
+        "url",
+        "host",
+        "slot",
+        F.expr(f"(slot - 1) div {int(per_round)}").alias("round"),
+        F.expr(
+            f"(_n + {int(per_round)} - 1) div {int(per_round)}"
+        ).alias("n_rounds"),
+    )

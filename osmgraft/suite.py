@@ -4288,6 +4288,43 @@ def q189_pmi_pairs(spark, sf_dir):
     )
 
 
+def q190_conflate_places(spark, sf_dir):
+    """POI conflation (operators/conflate.conflate_places): place
+    records sharing a name key within 0.5 fixed-degrees merge into
+    one canonical entity — (name_key, cell) blocked pairs, exact
+    distance gate, min-label components. Places = doc points named
+    by their first text token."""
+    from .operators.conflate import conflate_places
+
+    docs = load(spark, sf_dir, "documents")
+    places = docs.select(
+        F.col("doc_id").alias("place_id"),
+        F.lower(F.split(F.col("text"), " ")[0]).alias("name_key"),
+        F.expr(LAT_EXPR).cast("long").alias("lat_i"),
+        F.expr(LON_EXPR).cast("long").alias("lon_i"),
+    )
+    return conflate_places(places, radius_fix=5_000_000)
+
+
+def q191_crawl_plan(spark, sf_dir):
+    """Politeness-bounded crawl schedule (operators/urls.crawl_plan):
+    every URL gets a deterministic fetch round with <= 3 hits per
+    host per round; one host-keyed window, skew = the semantics.
+    URL synthesis mirrors q59's canonical shapes."""
+    from .operators.urls import crawl_plan
+
+    d = F.col("doc_id")
+    urls = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod(d, F.lit(11)).cast("string"),
+            F.lit(".example.com/doc/"),
+            d.cast("string"),
+        ).alias("url")
+    )
+    return crawl_plan(urls, per_round=3)
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5412,6 +5449,8 @@ QUERIES = {
     "q187_seasonal_anomaly": q187_seasonal_anomaly,
     "q188_mirror_hosts": q188_mirror_hosts,
     "q189_pmi_pairs": q189_pmi_pairs,
+    "q190_conflate_places": q190_conflate_places,
+    "q191_crawl_plan": q191_crawl_plan,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -6653,6 +6692,53 @@ SELECT user_id, event_type, CAST(burst AS BIGINT) AS burst,
   CAST(MAX(us) AS BIGINT) AS last_us,
   CAST(COUNT(*) AS BIGINT) AS n_raw
 FROM runs GROUP BY 1, 2, 3
+""",
+        "q191_crawl_plan": """
+WITH urls AS (
+  SELECT 'https://host' || CAST(doc_id % 11 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    'host' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+),
+ranked AS (
+  SELECT url, host,
+    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+         AS BIGINT) AS slot,
+    CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS n
+  FROM urls
+)
+SELECT url, host, slot,
+  CAST((slot - 1) // 3 AS BIGINT) AS round,
+  CAST((n + 2) // 3 AS BIGINT) AS n_rounds
+FROM ranked
+""",
+        "q190_conflate_places": f"""
+WITH RECURSIVE {_PTS_CTE},
+places AS (
+  SELECT d.doc_id AS place_id,
+    lower(string_split(d.text, ' ')[1]) AS name_key,
+    p.lat_i, p.lon_i
+  FROM documents d JOIN pts p USING (doc_id)
+),
+edges AS (
+  SELECT a.place_id AS u, b.place_id AS v
+  FROM places a JOIN places b
+    ON a.name_key = b.name_key AND a.place_id <> b.place_id
+   AND (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+     + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i)
+     <= CAST(5000000 AS BIGINT) * CAST(5000000 AS BIGINT)
+),
+reach(u, v) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (
+  SELECT u AS place_id, MIN(v) AS canonical FROM reach GROUP BY u
+)
+SELECT p.place_id, p.name_key,
+  CAST(COALESCE(c.canonical, p.place_id) AS BIGINT) AS canonical
+FROM places p LEFT JOIN comp c USING (place_id)
 """,
         "q189_pmi_pairs": """
 WITH dt AS (
