@@ -296,3 +296,83 @@ def lpa_communities(edges: DataFrame, iters: int = 4) -> DataFrame:
     return labels.select(
         "node", F.col("label").alias("community")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Personalized PageRank: host_pagerank's integer fixed point
+    with the teleport mass restricted to a SEED set — the
+    crawl-expansion / trusted-neighborhood ranker ("score every
+    host by its link proximity to these known-good hubs"), and the
+    standard seed-propagation primitive for spam/quality label
+    smoothing over the link graph.
+
+    Update per host h (all longs, same rational damping as
+    host_pagerank):
+        rank'(h) = is_seed(h) * base
+                 + d * sum_{e: src->h} rank(src) div out_deg(src)
+    with base = scale*(den-num) div den.  Non-seeds get teleport 0,
+    so after k iterations a host's rank is exactly the damped
+    integer mass reaching it over <= k-step paths from the seeds —
+    rank 0 MEANS unreachable within the horizon, which the caller
+    can filter on.
+
+    Scale plan: identical to host_pagerank (one dst-keyed edge
+    shuffle + one ranks join per iteration, ranks one row/host);
+    the seed flag rides the ranks table as a long, the seeds side
+    is a broadcast-size dimension joined once before the loop.
+    """
+    src_h = edges.select(F.col("src").alias("host"))
+    dst_h = edges.select(F.col("dst").alias("host"))
+    hosts = src_h.union(dst_h).distinct()
+    seed_flag = (
+        hosts.join(
+            F.broadcast(
+                seeds.select(F.col("host")).distinct().withColumn(
+                    "_seed", F.lit(1).cast("long")
+                )
+            ),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            F.coalesce("_seed", F.lit(0)).cast("long").alias("seed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("out_deg")
+    )
+    edges_deg = edges.join(deg, "src")
+    base = scale * (damping_den - damping_num) // damping_den
+    ranks = seed_flag.select(
+        "host", (F.col("seed") * scale).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contribs = edges_deg.join(
+            ranks, edges_deg["src"] == ranks["host"]
+        ).select(
+            F.col("dst").alias("host"),
+            F.expr("rank div out_deg").alias("c"),
+        )
+        sums = contribs.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = seed_flag.join(sums, "host", "left").select(
+            "host",
+            (
+                F.col("seed") * base
+                + F.expr(
+                    f"({damping_num} * coalesce(s, 0L))"
+                    f" div {damping_den}"
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks

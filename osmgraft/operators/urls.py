@@ -341,3 +341,66 @@ def crawl_plan(
             f"(_n + {int(per_round)} - 1) div {int(per_round)}"
         ).alias("n_rounds"),
     )
+
+
+def robots_gate(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Robots-style longest-prefix-match gating: decide every URL
+    against a per-host table of (path_prefix, allow) rules under
+    the public robots.txt precedence — the MOST SPECIFIC (longest)
+    matching prefix wins, equal-length ties go to allow, and a URL
+    whose host has no matching rule is allowed. The crawl
+    front-gate that runs right before crawl_plan.
+
+    Output: (url, host, path, matched_prefix NULL when no rule
+    fired, allow 1/0).
+
+    Shape: rules are the contractually-small side (robots rules per
+    host are tens, the corpus is pages) — one broadcast hash join
+    on host, a startswith filter, then a per-url max_by over the
+    handful of matched rules: pages never shuffle. Exact prefix
+    semantics via startswith (no LIKE wildcard injection).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(url_col), _HOST_RE, 1).alias("host"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col(url_col), _PATH_RE, 1),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    r = F.broadcast(
+        rules.select(
+            F.col("host"),
+            F.col("path_prefix"),
+            F.col("allow").cast("long").alias("allow"),
+        )
+    )
+    cand = base.join(r, "host", "left").where(
+        F.col("path_prefix").isNull()
+        | F.col("path").startswith(F.col("path_prefix"))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc(F.length(F.coalesce("path_prefix", F.lit("")))),
+        F.desc("allow"),
+        F.asc("path_prefix"),
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url",
+            "host",
+            "path",
+            F.col("path_prefix").alias("matched_prefix"),
+            F.coalesce("allow", F.lit(1)).cast("long").alias("allow"),
+        )
+    )

@@ -5106,6 +5106,68 @@ def q68_host_pagerank(spark, sf_dir):
     return host_pagerank(edges, iters=3)
 
 
+def q192_seed_pagerank(spark, sf_dir):
+    """Personalized PageRank (operators/linkgraph.
+    personalized_pagerank): q68's integer fixed point with teleport
+    mass restricted to seed hosts {host0, host1, host2} — the
+    trusted-hub proximity ranker; rank 0 = unreachable from the
+    seeds within 3 steps. Same deterministic link graph and
+    bit-exact unrolled-SQL parity as q68."""
+    from .operators.linkgraph import personalized_pagerank
+
+    d = F.col("doc_id")
+    dst_idx = F.pmod(
+        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
+    )
+    edges = (
+        load(spark, sf_dir, "documents")
+        .filter(d % 3 == 0)
+        .select(
+            F.concat(F.lit("host"), (d % 23).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = spark.createDataFrame(
+        [("host0",), ("host1",), ("host2",)], "host string"
+    )
+    return personalized_pagerank(edges, seeds, iters=3)
+
+
+def q193_robots_gate(spark, sf_dir):
+    """Robots longest-prefix gating (operators/urls.robots_gate):
+    q191's URL population decided against 3 rules per host ('/'
+    allow, '/doc/1' deny, '/doc/13' allow) — most-specific-wins,
+    allow beats deny on ties, broadcast rules, pages never
+    shuffle (the final per-url max_by is over <= 3 candidate
+    rows)."""
+    from .operators.urls import robots_gate
+
+    d = F.col("doc_id")
+    urls = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod(d, F.lit(11)).cast("string"),
+            F.lit(".example.com/doc/"),
+            d.cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [
+            (f"host{h}.example.com", p, a)
+            for h in range(11)
+            for p, a in (("/", 1), ("/doc/1", 0), ("/doc/13", 1))
+        ],
+        "host string, path_prefix string, allow long",
+    )
+    return robots_gate(urls, rules)
+
+
 def q69_corpus_build(spark, sf_dir):
     """The composed corpus-build pipeline (pipeline.corpus_build):
     boilerplate strip -> PII scrub -> filter verdict -> stratified
@@ -5451,6 +5513,8 @@ QUERIES = {
     "q189_pmi_pairs": q189_pmi_pairs,
     "q190_conflate_places": q190_conflate_places,
     "q191_crawl_plan": q191_crawl_plan,
+    "q192_seed_pagerank": q192_seed_pagerank,
+    "q193_robots_gate": q193_robots_gate,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7322,6 +7386,87 @@ FROM planted
 """,
         # 3 unrolled integer-PageRank iterations (bit-exact vs
         # Spark because every step is long add/mul/integer-divide)
+        "q193_robots_gate": """
+WITH urls AS (
+  SELECT 'https://host' || CAST(doc_id % 11 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    'host' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS host,
+    '/doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+rules AS (
+  SELECT 'host' || CAST(t.h AS VARCHAR) || '.example.com' AS host,
+    p.path_prefix, CAST(p.allow AS BIGINT) AS allow
+  FROM range(11) t(h),
+    (VALUES ('/', 1), ('/doc/1', 0), ('/doc/13', 1))
+      p(path_prefix, allow)
+),
+cand AS (
+  SELECT u.url, u.host, u.path, r.path_prefix, r.allow
+  FROM urls u LEFT JOIN rules r USING (host)
+  WHERE r.path_prefix IS NULL
+     OR starts_with(u.path, r.path_prefix)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY url
+    ORDER BY length(COALESCE(path_prefix, '')) DESC,
+             allow DESC, path_prefix ASC) AS rn
+  FROM cand
+)
+SELECT url, host, path, path_prefix AS matched_prefix,
+  CAST(COALESCE(allow, 1) AS BIGINT) AS allow
+FROM ranked WHERE rn = 1
+""",
+        "q192_seed_pagerank": """
+WITH edges AS (
+  SELECT DISTINCT
+    'host' || CAST(doc_id % 23 AS VARCHAR) AS src,
+    'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
+      AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 3 = 0
+    AND doc_id % 23 <> ((doc_id * 2654435761) % 4294967296) % 23
+),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+sf AS (
+  SELECT host,
+    CASE WHEN host IN ('host0','host1','host2')
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS seed
+  FROM hosts),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT host, CAST(seed * 1000000000000 AS BIGINT) AS rank
+       FROM sf),
+s1 AS (
+  SELECT e.dst AS host, SUM(r.rank // d.out_deg) AS s
+  FROM edges e JOIN r0 r ON e.src = r.host
+  JOIN deg d ON e.src = d.src GROUP BY 1),
+r1 AS (
+  SELECT f.host,
+    CAST(f.seed * 150000000000
+         + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS rank
+  FROM sf f LEFT JOIN s1 ON f.host = s1.host),
+s2 AS (
+  SELECT e.dst AS host, SUM(r.rank // d.out_deg) AS s
+  FROM edges e JOIN r1 r ON e.src = r.host
+  JOIN deg d ON e.src = d.src GROUP BY 1),
+r2 AS (
+  SELECT f.host,
+    CAST(f.seed * 150000000000
+         + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS rank
+  FROM sf f LEFT JOIN s2 ON f.host = s2.host),
+s3 AS (
+  SELECT e.dst AS host, SUM(r.rank // d.out_deg) AS s
+  FROM edges e JOIN r2 r ON e.src = r.host
+  JOIN deg d ON e.src = d.src GROUP BY 1),
+r3 AS (
+  SELECT f.host,
+    CAST(f.seed * 150000000000
+         + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS rank
+  FROM sf f LEFT JOIN s3 ON f.host = s3.host)
+SELECT host, rank FROM r3
+""",
         "q68_host_pagerank": """
 WITH edges AS (
   SELECT DISTINCT
