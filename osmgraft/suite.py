@@ -4325,6 +4325,49 @@ def q191_crawl_plan(spark, sf_dir):
     return crawl_plan(urls, per_round=3)
 
 
+def q194_idw_surface(spark, sf_dir):
+    """Exact-rational IDW interpolation (operators/interp.
+    idw_surface): leave-one-out estimate at every mod-5 doc point
+    with the integer kernel r^2 - d^2, value = n_chars — num/den
+    ship separately so the surface is engine-reproducible. Same
+    cell-join population as q16."""
+    from .operators.interp import idw_surface
+
+    pts = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("value"),
+            F.expr(LAT_EXPR).cast("long").alias("lat_i"),
+            F.expr(LON_EXPR).cast("long").alias("lon_i"),
+        )
+    )
+    return idw_surface(pts, radius_fix=2_000_000)
+
+
+def q195_spatial_outliers(spark, sf_dir):
+    """Local robust anomalies (operators/interp.spatial_outliers):
+    q181's median/MAD rule on the SPATIAL axis — a point whose
+    n_chars deviates > 3 MADs from its radius-neighborhood's lower
+    median, neighborhoods under 3 points skipped. All integer."""
+    from .operators.interp import spatial_outliers
+
+    pts = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("value"),
+            F.expr(LAT_EXPR).cast("long").alias("lat_i"),
+            F.expr(LON_EXPR).cast("long").alias("lon_i"),
+        )
+    )
+    return spatial_outliers(
+        pts, radius_fix=8_000_000, k_mad=3, min_neighbors=3
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5515,6 +5558,8 @@ QUERIES = {
     "q191_crawl_plan": q191_crawl_plan,
     "q192_seed_pagerank": q192_seed_pagerank,
     "q193_robots_gate": q193_robots_gate,
+    "q194_idw_surface": q194_idw_surface,
+    "q195_spatial_outliers": q195_spatial_outliers,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7386,6 +7431,75 @@ FROM planted
 """,
         # 3 unrolled integer-PageRank iterations (bit-exact vs
         # Spark because every step is long add/mul/integer-divide)
+        "q194_idw_surface": f"""
+WITH {_PTS_CTE},
+pv AS (
+  SELECT p.doc_id, p.lat_i, p.lon_i,
+    CAST(d.n_chars AS BIGINT) AS v
+  FROM pts p JOIN documents d USING (doc_id)
+  WHERE p.doc_id % 5 = 0
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.v AS bv,
+    (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+    + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i) AS d2
+  FROM pv a JOIN pv b ON a.doc_id <> b.doc_id
+  WHERE (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+      + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i)
+      <= CAST(2000000 AS BIGINT) * CAST(2000000 AS BIGINT)
+),
+est AS (
+  SELECT a,
+    CAST(SUM((4000000000000 - d2) * bv) AS BIGINT) AS num,
+    CAST(SUM(4000000000000 - d2) AS BIGINT) AS den,
+    CAST(COUNT(*) AS BIGINT) AS n_neighbors
+  FROM pairs GROUP BY a
+)
+SELECT e.a AS doc_id, p.v, e.num, e.den, e.n_neighbors
+FROM est e JOIN pv p ON p.doc_id = e.a
+""",
+        "q195_spatial_outliers": f"""
+WITH {_PTS_CTE},
+pv AS (
+  SELECT p.doc_id, p.lat_i, p.lon_i,
+    CAST(d.n_chars AS BIGINT) AS v
+  FROM pts p JOIN documents d USING (doc_id)
+  WHERE p.doc_id % 5 = 0
+),
+nb AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, b.v AS bv
+  FROM pv a JOIN pv b ON a.doc_id <> b.doc_id
+  WHERE (a.lat_i - b.lat_i) * (a.lat_i - b.lat_i)
+      + (a.lon_i - b.lon_i) * (a.lon_i - b.lon_i)
+      <= CAST(8000000 AS BIGINT) * CAST(8000000 AS BIGINT)
+),
+med AS (
+  SELECT a, bv AS med, n AS n_neighbors FROM (
+    SELECT a, b, bv,
+      ROW_NUMBER() OVER (PARTITION BY a ORDER BY bv, b) AS rn,
+      COUNT(*) OVER (PARTITION BY a) AS n
+    FROM nb)
+  WHERE rn = (n + 1) // 2 AND n >= 3
+),
+devs AS (
+  SELECT nb.a, nb.b, ABS(nb.bv - m.med) AS dev
+  FROM nb JOIN med m ON nb.a = m.a
+),
+mad AS (
+  SELECT a, dev AS mad FROM (
+    SELECT a, b, dev,
+      ROW_NUMBER() OVER (PARTITION BY a ORDER BY dev, b) AS rn,
+      COUNT(*) OVER (PARTITION BY a) AS n
+    FROM devs)
+  WHERE rn = (n + 1) // 2
+)
+SELECT m.a AS doc_id, p.v, CAST(m.med AS BIGINT) AS med,
+  CAST(d.mad AS BIGINT) AS mad,
+  CAST(m.n_neighbors AS BIGINT) AS n_neighbors
+FROM med m JOIN mad d ON m.a = d.a
+JOIN pv p ON p.doc_id = m.a
+WHERE ABS(p.v - m.med) > 3 * d.mad
+""",
         "q193_robots_gate": """
 WITH urls AS (
   SELECT 'https://host' || CAST(doc_id % 11 AS VARCHAR)
