@@ -36,7 +36,7 @@ from __future__ import annotations
 import hashlib
 import logging
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _LOG = logging.getLogger("osmgraft")
 
@@ -1121,3 +1121,133 @@ def containment_on_rare_grams(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via the prefix-filtering
+    principle (Chaudhuri/Ganti/Kaushik 2006, Xiao et al. PPJoin):
+    every pair with Jaccard(A, B) >= t is guaranteed to share at
+    least one token among each side's first |X| - ceil(t*|X|) + 1
+    tokens under a GLOBAL rarity order — so candidates come from
+    equi-joining only those prefix tokens, and the exact verify
+    runs on the candidate set.  The exact complement to the
+    MinHash-LSH family (q29/q17): no false negatives at all, the
+    pruning is lossless by theorem, and the threshold is the exact
+    rational num/den (verify: I*(den+num) >= num*(|A|+|B|), all
+    int64 — Jaccard = I/(|A|+|B|-I) never materializes as a
+    float).
+
+    Scale shape: the global order is token document-frequency
+    ascending (ties bytewise), so PREFIX tokens are each document's
+    rarest — exactly the tokens with the shortest postings. The
+    candidate join is keyed on those rare tokens; frequent tokens
+    never join (they sort to the suffix), which is what kills the
+    hot-key quadratic a naive token self-join dies on. Verify cost
+    is one sorted-array intersection per surviving candidate.
+
+    Items are word gram_n-grams (distinct per doc): unigram sets
+    are near-degenerate on natural corpora (every long document
+    shares the stopword vocabulary, so token-Jaccard saturates and
+    the prefix filter prunes nothing); shingles make the set
+    signature positional, the same reason the MinHash family
+    shingles.  gram_n=1 degrades to plain token sets.
+
+    Output: (a, b, inter, na, nb) for passing pairs, a < b.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_ts"),
+    )
+    if gram_n <= 1:
+        grams = toks.select(
+            "doc_id", F.explode("_ts").alias("term")
+        ).where(F.col("term") != "")
+    else:
+        grams = toks.where(F.size("_ts") >= gram_n).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("_ts") - gram_n
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_ts"), i + 1, gram_n), " "
+                    ),
+                )
+            ).alias("term"),
+        )
+    dt = grams.distinct()
+    dfreq = dt.groupBy("term").agg(
+        F.count("*").cast("long").alias("_df")
+    )
+    ranked = dt.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy("_df", "term")
+        )
+        .alias("_pos"),
+        F.count("*")
+        .over(Window.partitionBy("doc_id"))
+        .alias("_sz"),
+    )
+    # prefix length p = sz - ceil(t*sz) + 1
+    p = (
+        F.col("_sz")
+        - F.expr(
+            f"(({threshold_num} * _sz) + {threshold_den} - 1) "
+            f"div {threshold_den}"
+        )
+        + 1
+    )
+    prefix = ranked.where(F.col("_pos") <= p).select(
+        "doc_id", "term"
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("a"), "term")
+        .join(
+            prefix.select(F.col("doc_id").alias("b"), "term"),
+            "term",
+        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sets = dt.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term")).alias("_ts"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("a"),
+                F.col("_ts").alias("_ta"),
+                F.col("_n").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("b"),
+                F.col("_ts").alias("_tb"),
+                F.col("_n").alias("nb"),
+            ),
+            "b",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("_ta", "_tb")).cast("long"),
+        )
+    )
+    return joined.where(
+        F.col("inter") * F.lit(threshold_den + threshold_num)
+        >= F.lit(threshold_num) * (F.col("na") + F.col("nb"))
+    ).select("a", "b", "inter", "na", "nb")

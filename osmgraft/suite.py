@@ -4368,6 +4368,23 @@ def q195_spatial_outliers(spark, sf_dir):
     )
 
 
+def q196_jaccard_prefix(spark, sf_dir):
+    """Exact set-similarity self-join (operators/dedup.
+    jaccard_prefix_join): word-3-gram-set Jaccard >= 1/2 pairs via
+    lossless prefix filtering under the global rarity order — the
+    zero-false-negative complement to the q29 MinHash family. The
+    oracle verifies against the UNPRUNED all-pairs join, proving
+    the prefix filter drops nothing."""
+    from .operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(
+        load(spark, sf_dir, "documents"),
+        threshold_num=1,
+        threshold_den=2,
+        gram_n=3,
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5560,6 +5577,7 @@ QUERIES = {
     "q193_robots_gate": q193_robots_gate,
     "q194_idw_surface": q194_idw_surface,
     "q195_spatial_outliers": q195_spatial_outliers,
+    "q196_jaccard_prefix": q196_jaccard_prefix,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7457,6 +7475,33 @@ est AS (
 )
 SELECT e.a AS doc_id, p.v, e.num, e.den, e.n_neighbors
 FROM est e JOIN pv p ON p.doc_id = e.a
+""",
+        "q196_jaccard_prefix": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+dt AS (
+  SELECT DISTINCT doc_id,
+    ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS term
+  FROM toks,
+    LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY 1
+),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CAST(COUNT(*) AS BIGINT) AS inter
+  FROM dt a JOIN dt b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, i.inter, sa.n AS na, sb.n AS nb
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 3 >= 1 * (sa.n + sb.n)
 """,
         "q195_spatial_outliers": f"""
 WITH {_PTS_CTE},
