@@ -404,3 +404,116 @@ def robots_gate(
             F.coalesce("allow", F.lit(1)).cast("long").alias("allow"),
         )
     )
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    trap_threshold: int = 1000,
+) -> DataFrame:
+    """URL template mining: collapse every digit run in the path to
+    '{n}' and profile each (host, template) — the pattern view that
+    exposes crawler traps (calendar pages, session-id paths,
+    faceted-search explosions) as templates whose URL count dwarfs
+    their distinct-template population.  A template with n_urls >=
+    trap_threshold is flagged; the caller feeds flagged templates
+    to robots_gate/crawl_plan as deny rules.
+
+    Output: (host, template, n_urls, n_slots, is_trap) with n_slots
+    = the template's '{n}' count (how many independent axes the
+    trap enumerates).
+
+    Shape: pure-Catalyst regexp projection + one (host, template)
+    groupBy with map-side combine — template cardinality is
+    orders below URL cardinality, which is the entire point.
+    """
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(url_col), _PATH_RE, 1), F.lit("")
+        ),
+        F.lit("/"),
+    )
+    template = F.regexp_replace(path, r"[0-9]+", "{n}")
+    base = df.select(
+        host.alias("host"), template.alias("template")
+    )
+    return base.groupBy("host", "template").agg(
+        F.count("*").cast("long").alias("n_urls"),
+    ).select(
+        "host",
+        "template",
+        "n_urls",
+        (
+            F.size(F.split(F.col("template"), r"\{n\}")) - 1
+        )
+        .cast("long")
+        .alias("n_slots"),
+        (F.col("n_urls") >= F.lit(trap_threshold)).alias("is_trap"),
+    )
+
+
+def recrawl_estimate(
+    crawls: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Change-rate estimation for recrawl scheduling (the Cho &
+    Garcia-Molina freshness-policy primitive): per URL, order its
+    crawl observations by timestamp and count fingerprint CHANGES
+    between consecutive crawls; the exact rational change rate
+    n_changes / (n_obs - 1) drives the revisit tier —
+    2 = hot (changes at least every other crawl), 0 = static
+    (never changed), 1 = everything between.  URLs crawled once
+    have no interval evidence: rate 0/0 reported as (0, 0), tier 1
+    (unknown defaults to the middle, never to static).
+
+    Shape: one url-keyed window (lag) + one url-keyed groupBy —
+    the same single shuffle; per-url state is its crawl history,
+    bounded by recrawl policy, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    marked = crawls.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(fp_col).alias("_fp"),
+    ).withColumn(
+        "_chg",
+        F.when(
+            F.lag("_fp").over(
+                Window.partitionBy("url").orderBy("_ts")
+            ).isNull(),
+            F.lit(0),
+        )
+        .when(
+            F.lag("_fp").over(
+                Window.partitionBy("url").orderBy("_ts")
+            )
+            != F.col("_fp"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+    )
+    intervals = (F.col("n_obs") - 1).cast("long")
+    return agg.select(
+        "url",
+        "n_obs",
+        "n_changes",
+        F.when(intervals > 0, intervals)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_intervals"),
+        F.when(intervals <= 0, F.lit(1))
+        .when(F.col("n_changes") * 2 >= intervals, F.lit(2))
+        .when(F.col("n_changes") == 0, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("tier"),
+    )

@@ -4385,6 +4385,60 @@ def q196_jaccard_prefix(spark, sf_dir):
     )
 
 
+def q197_url_templates(spark, sf_dir):
+    """Crawler-trap template mining (operators/urls.url_templates):
+    digit runs collapse to {n}, per-(host, template) profile with
+    n_urls >= 30 flagged — template cardinality is orders below URL
+    cardinality, so the groupBy output is the bounded side."""
+    from .operators.urls import url_templates
+
+    d = F.col("doc_id")
+    urls = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod(d, F.lit(11)).cast("string"),
+            F.lit(".example.com/item/"),
+            d.cast("string"),
+            F.lit("/view"),
+        ).alias("url")
+    )
+    return url_templates(urls, trap_threshold=30)
+
+
+def q198_recrawl_estimate(spark, sf_dir):
+    """Recrawl change-rate estimation (operators/urls.
+    recrawl_estimate): 5 synthetic crawls per URL (1 for mod-4-3
+    urls) with planted change patterns — every-crawl, once, never —
+    so all four tiers (hot 2 / mid 1 / static 0 / single-crawl
+    unknown 1) appear; rate is the exact rational
+    n_changes/n_intervals."""
+    from .operators.urls import recrawl_estimate
+
+    d = F.col("doc_id")
+    crawls = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+        )
+        .where((d % 4 != 3) | (F.col("k") == 0))
+        .select(
+            F.concat(
+                F.lit("https://h.example.com/p/"), d.cast("string")
+            ).alias("url"),
+            F.col("k").cast("long").alias("warc_ts"),
+            F.when(d % 4 == 0, F.col("k").cast("string"))
+            .when(
+                d % 4 == 1,
+                (F.col("k") >= 2).cast("int").cast("string"),
+            )
+            .otherwise(F.lit("0"))
+            .alias("fp"),
+        )
+    )
+    return recrawl_estimate(crawls)
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5578,6 +5632,8 @@ QUERIES = {
     "q194_idw_surface": q194_idw_surface,
     "q195_spatial_outliers": q195_spatial_outliers,
     "q196_jaccard_prefix": q196_jaccard_prefix,
+    "q197_url_templates": q197_url_templates,
+    "q198_recrawl_estimate": q198_recrawl_estimate,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7475,6 +7531,63 @@ est AS (
 )
 SELECT e.a AS doc_id, p.v, e.num, e.den, e.n_neighbors
 FROM est e JOIN pv p ON p.doc_id = e.a
+""",
+        "q197_url_templates": """
+WITH urls AS (
+  SELECT 'https://host' || CAST(doc_id % 11 AS VARCHAR)
+    || '.example.com/item/' || CAST(doc_id AS VARCHAR)
+    || '/view' AS url
+  FROM documents
+),
+parsed AS (
+  SELECT 'host' || CAST(
+    CAST(regexp_extract(url,
+      'host([0-9]+)\.example\.com', 1) AS BIGINT) AS VARCHAR)
+    || '.example.com' AS host,
+    regexp_replace(
+      regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+      '[0-9]+', '{n}', 'g') AS template
+  FROM urls
+)
+SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(len(string_split(template, '{n}')) - 1 AS BIGINT)
+    AS n_slots,
+  COUNT(*) >= 30 AS is_trap
+FROM parsed GROUP BY 1, 2
+""",
+        "q198_recrawl_estimate": """
+WITH crawls AS (
+  SELECT 'https://h.example.com/p/' || CAST(doc_id AS VARCHAR)
+           AS url,
+    CAST(k AS BIGINT) AS warc_ts,
+    CASE WHEN doc_id % 4 = 0 THEN CAST(k AS VARCHAR)
+         WHEN doc_id % 4 = 1 THEN
+           CAST(CAST(k >= 2 AS INTEGER) AS VARCHAR)
+         ELSE '0' END AS fp
+  FROM documents, LATERAL (SELECT unnest(range(0, 5)) AS k) t
+  WHERE doc_id % 4 <> 3 OR k = 0
+),
+marked AS (
+  SELECT url,
+    CASE WHEN LAG(fp) OVER w IS NULL THEN 0
+         WHEN LAG(fp) OVER w <> fp THEN 1 ELSE 0 END AS chg
+  FROM crawls
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+),
+agg AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS n_obs,
+    CAST(SUM(chg) AS BIGINT) AS n_changes
+  FROM marked GROUP BY 1
+)
+SELECT url, n_obs, n_changes,
+  CAST(CASE WHEN n_obs > 1 THEN n_obs - 1 ELSE 0 END AS BIGINT)
+    AS n_intervals,
+  CAST(CASE WHEN n_obs <= 1 THEN 1
+       WHEN n_changes * 2 >= n_obs - 1 THEN 2
+       WHEN n_changes = 0 THEN 0
+       ELSE 1 END AS BIGINT) AS tier
+FROM agg
 """,
         "q196_jaccard_prefix": """
 WITH toks AS (
