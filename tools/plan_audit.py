@@ -96,6 +96,25 @@ EXPECTED_ONEPART = {
         "the 1-row (min_day, max_day) corpus span that seeds the"
         " calendar explode (final agg of per-partition partials)",
     ),
+    "q184_way_chains": (
+        2,
+        "Catalyst-INJECTED bloom-filter join pruning: the optimizer"
+        " merges fixed-size partial bloom sketches (one per"
+        " partition) into the runtime filter it pushes into the"
+        " probe scan — a bounded-sketch merge the engine adds for"
+        " us, not a corpus funnel",
+    ),
+    "q186_length_drift": (
+        1,
+        "the 1-row (t1, t2) snapshot totals over the bounded"
+        " length-bucket table, broadcast back for the exact TVD"
+        " cross-multiplication",
+    ),
+    "q189_pmi_pairs": (
+        1,
+        "the 1-row corpus doc count broadcast onto the <= vocab^2"
+        " pair table for the exact lift numerator",
+    ),
     "q163_user_skyline": (
         2,
         "the strict running max over the FRONTIER BAND — the"
