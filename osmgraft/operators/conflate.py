@@ -104,3 +104,56 @@ def conflate_places(
             .alias("canonical"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    order_cols: list,
+    window: int,
+    id_col: str = "place_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): sort
+    the corpus by a discriminating key and emit every record pair
+    within `window` positions — the OTHER classic entity-resolution
+    blocking family (conflate_places blocks by hash/cell equality;
+    sorted-neighborhood catches near-misses that equality blocking
+    splits, e.g. 'cafe' / 'caffe' sorting adjacently while hashing
+    apart).  Output: (a, b, rank_a, rank_b), a's rank < b's.
+
+    Scale shape: the global dense rank comes from with_global_index
+    (range-repartition + per-partition offset cumsum — one pass,
+    no single-partition sort).  Pair generation is rank-bucket
+    arithmetic: the left side keys on bucket rank div window, the
+    right side explodes to its bucket and the one below, so every
+    qualifying pair meets on EXACTLY one key (bucket delta is 0 or
+    1 when rank distance < window) — an ordinary equi-join, w-1
+    pairs per record, no distinct pass and no quadratic block.
+    """
+    from .indexing import with_global_index
+
+    ranked = with_global_index(
+        df, order_cols=order_cols, index_col="_rank"
+    ).select(F.col(id_col), F.col("_rank"))
+    left = ranked.select(
+        F.col(id_col).alias("a"),
+        F.col("_rank").alias("rank_a"),
+        F.expr(f"_rank div {int(window)}").alias("_bk"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("b"),
+        F.col("_rank").alias("rank_b"),
+        F.explode(
+            F.array(
+                F.expr(f"_rank div {int(window)}"),
+                F.expr(f"_rank div {int(window)} - 1"),
+            )
+        ).alias("_bk"),
+    )
+    return (
+        left.join(right, "_bk")
+        .where(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") - F.col("rank_a") < window)
+        )
+        .select("a", "b", "rank_a", "rank_b")
+    )

@@ -786,3 +786,57 @@ def seasonal_anomaly(
         )
         .select("event_type", "how", "week", "cnt", "med", "mad")
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    half_life_days: int = 7,
+    horizon_days: int = 56,
+) -> DataFrame:
+    """Exponentially time-decayed activity score per key, EXACT:
+    an event s half-lives old contributes (1/2)^s, carried as the
+    integer pair num = sum(2^(S - s)), den = 2^S with S =
+    horizon_days div half_life_days decay steps — so the freshness
+    score every ranking pipeline wants (recent activity dominates,
+    stale activity fades) is an exact rational, reproducible
+    bit-for-bit in any engine, instead of a float pow() whose
+    aggregation order drifts.  Events older than the horizon
+    contribute nothing (their weight would round to 0 anyway; the
+    cutoff makes it exact).
+
+    The reference day is the corpus' own max event day (1-row
+    scalar aggregate, broadcast back — the whitelisted funnel
+    class), so the operator is deterministic on a snapshot without
+    a wall-clock parameter.
+
+    Shape: one 1-row max, one map-side-combined groupBy on the
+    key; weights are powers of two <= 2^S, S bounded by the
+    horizon/half-life contract (56/7 -> 2^8), far inside int64.
+    """
+    steps_total = horizon_days // half_life_days
+    days = F.expr(
+        "datediff(to_date(ts), DATE'1970-01-01')"
+    ).cast("long")
+    base = events.select(F.col(key_col).alias("key"), days.alias("day"))
+    ref = base.agg(F.max("day").alias("ref_day"))
+    aged = base.crossJoin(F.broadcast(ref)).withColumn(
+        "age", F.col("ref_day") - F.col("day")
+    ).where(F.col("age") < horizon_days)
+    w = F.expr(
+        f"shiftleft(1L, cast({steps_total}"
+        f" - (age div {int(half_life_days)}) as int))"
+    )
+    return (
+        aged.groupBy("key")
+        .agg(
+            F.sum(w).cast("long").alias("num"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "num",
+            F.lit(1 << steps_total).cast("long").alias("den"),
+            "n_events",
+        )
+    )

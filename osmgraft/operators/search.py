@@ -285,3 +285,53 @@ def pmi_pairs(
         .alias("lift_num"),
         (F.col("n1") * F.col("n2")).cast("long").alias("lift_den"),
     )
+
+
+def skipgram_counts(
+    df: DataFrame,
+    window_k: int = 2,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Positional co-occurrence counts — the (center, context)
+    pair-frequency table word2vec/GloVe training starts from:
+    count of (w_i, w_j) with 0 < j - i <= window_k over every
+    document, direction preserved (center first).  The positional
+    sibling of pmi_pairs (which is doc-level and unordered).
+
+    Scale shape: the naive plan self-joins tokens on doc_id and
+    filters |i-j| <= k — a per-document QUADRATIC intermediate
+    that dies on long documents.  This plan instead explodes each
+    token into its k FORWARD target positions ((doc_id, i+1) ..
+    (doc_id, i+k)) and equi-joins on the exact (doc_id, pos) key:
+    the intermediate is len*k rows per document, linear in corpus
+    size, and the join is an ordinary bucketed hash join.  One
+    final map-side-combined groupBy on the bounded pair
+    vocabulary.
+    """
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), " ")).alias(
+            "pos", "term"
+        ),
+    ).where(F.col("term") != "")
+    probes = toks.select(
+        "doc_id",
+        F.col("term").alias("center"),
+        F.explode(
+            F.sequence(
+                F.col("pos") + 1, F.col("pos") + window_k
+            )
+        ).alias("pos"),
+    )
+    pairs = probes.join(
+        toks.select(
+            "doc_id", "pos", F.col("term").alias("context")
+        ),
+        ["doc_id", "pos"],
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= min_count)
+    )

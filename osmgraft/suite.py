@@ -4439,6 +4439,54 @@ def q198_recrawl_estimate(spark, sf_dir):
     return recrawl_estimate(crawls)
 
 
+def q199_skipgrams(spark, sf_dir):
+    """Skip-gram pair counts (operators/search.skipgram_counts):
+    directional (center, context) frequencies within a forward
+    window of 2 — the word2vec/GloVe preprocessing table, built by
+    offset-explode + exact positional equi-join (len*k linear, no
+    per-doc quadratic)."""
+    from .operators.search import skipgram_counts
+
+    return skipgram_counts(
+        load(spark, sf_dir, "documents"), window_k=2, min_count=2
+    )
+
+
+def q200_decayed_scores(spark, sf_dir):
+    """Exact exponential freshness (operators/events.
+    decayed_counts): per event-type activity score with 7-day
+    half-life over a 56-day horizon, carried as the integer pair
+    num/2^8 — reproducible ranking, no float pow. Reference day =
+    the snapshot's own max event day (1-row whitelisted funnel)."""
+    from .operators.events import decayed_counts
+
+    return decayed_counts(
+        load(spark, sf_dir, "events"),
+        half_life_days=7,
+        horizon_days=56,
+    )
+
+
+def q201_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/conflate.
+    sorted_neighborhood_pairs): candidate pairs within 4 positions
+    of the (first-token, n_chars, doc_id) sort order — the
+    equality-free blocking family; rank-bucket equi-join, each
+    pair meets on exactly one key."""
+    from .operators.conflate import sorted_neighborhood_pairs
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("place_id"),
+        F.lower(F.split(F.col("text"), " ")[0]).alias("name_key"),
+        F.col("n_chars"),
+    )
+    return sorted_neighborhood_pairs(
+        docs,
+        order_cols=["name_key", "n_chars", "place_id"],
+        window=4,
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5634,6 +5682,9 @@ QUERIES = {
     "q196_jaccard_prefix": q196_jaccard_prefix,
     "q197_url_templates": q197_url_templates,
     "q198_recrawl_estimate": q198_recrawl_estimate,
+    "q199_skipgrams": q199_skipgrams,
+    "q200_decayed_scores": q200_decayed_scores,
+    "q201_sorted_neighborhood": q201_sorted_neighborhood,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7555,6 +7606,57 @@ SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
     AS n_slots,
   COUNT(*) >= 30 AS is_trap
 FROM parsed GROUP BY 1, 2
+""",
+        "q201_sorted_neighborhood": """
+WITH docs AS (
+  SELECT doc_id AS place_id,
+    lower(string_split(text, ' ')[1]) AS name_key, n_chars
+  FROM documents
+),
+ranked AS (
+  SELECT place_id,
+    CAST(ROW_NUMBER() OVER (
+      ORDER BY name_key, n_chars, place_id) AS BIGINT) AS rank
+  FROM docs
+)
+SELECT a.place_id AS a, b.place_id AS b,
+  a.rank AS rank_a, b.rank AS rank_b
+FROM ranked a JOIN ranked b
+  ON b.rank > a.rank AND b.rank - a.rank < 4
+""",
+        "q200_decayed_scores": """
+WITH base AS (
+  SELECT event_type AS key,
+    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS day
+  FROM events
+),
+ref AS (SELECT MAX(day) AS ref_day FROM base),
+aged AS (
+  SELECT key, ref_day - day AS age FROM base, ref
+  WHERE ref_day - day < 56
+)
+SELECT key AS event_type,
+  CAST(SUM(1 << (8 - (age // 7))) AS BIGINT) AS num,
+  CAST(256 AS BIGINT) AS den,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM aged GROUP BY 1
+""",
+        "q199_skipgrams": """
+WITH toks AS (
+  SELECT doc_id, t.term, t.pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents) s,
+    LATERAL (SELECT unnest(ts) AS term,
+                    generate_subscripts(ts, 1) AS pos) t
+  WHERE t.term <> ''
+)
+SELECT a.term AS center, b.term AS context,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id
+ AND b.pos - a.pos BETWEEN 1 AND 2
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """,
         "q198_recrawl_estimate": """
 WITH crawls AS (
