@@ -1251,3 +1251,99 @@ def jaccard_prefix_join(
         F.col("inter") * F.lit(threshold_den + threshold_num)
         >= F.lit(threshold_num) * (F.col("na") + F.col("nb"))
     ).select("a", "b", "inter", "na", "nb")
+
+
+def embed_ann_multiprobe(
+    emb: DataFrame,
+    band_bits: int = 6,
+    n_bands: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe hyperplane ANN (Lv et al., VLDB 2007): each
+    vector probes its own bucket AND every bucket at Hamming
+    distance 1 (one hyperplane bit flipped) — the recall of
+    roughly band_bits extra tables for the cost of one, because a
+    near neighbor that lands JUST across one hyperplane is the
+    overwhelmingly common miss mode of bucketed LSH.  The third
+    recall knob in the family: band_bits bounds bucket population,
+    n_bands multiplies independent signatures, probing sweeps the
+    adjacent buckets of the signatures you already have (more
+    probe rows, NO new shuffle key skew — probe fan-out is exactly
+    band_bits + 1 per band).
+
+    Join discipline: the PROBE side explodes to its flip set, the
+    BUILD side keeps exact buckets, and probe.id < build.id — so
+    every candidate pair meets exactly once per band (same-bucket
+    via the identity probe, distance-1 via the single matching
+    flip), and the final groupBy counts shared probe hits across
+    bands. Exact cosine on candidates, as everywhere in the
+    family.
+
+    Output: (a, b, shared_probes, min_hamming, cos_r).
+    """
+    planes = hyperplanes(n_bands * band_bits, dim)
+    base = with_norm2(emb, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col("_n2").alias("n2"),
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket(
+                        F.col(vec_col),
+                        planes[
+                            band * band_bits : (band + 1) * band_bits
+                        ],
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    probe = base.select(
+        F.col("vid"),
+        "v",
+        "n2",
+        "band",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(band_bits)
+                ],
+            )
+        ).alias("pbucket"),
+        F.col("bucket").alias("obucket"),
+    )
+    build = base.select(
+        F.col("vid").alias("bvid"),
+        F.col("v").alias("bv"),
+        F.col("n2").alias("bn2"),
+        F.col("band").alias("bband"),
+        F.col("bucket").alias("bbucket"),
+    )
+    pairs = probe.join(
+        build,
+        (F.col("band") == F.col("bband"))
+        & (F.col("pbucket") == F.col("bbucket"))
+        & (F.col("vid") < F.col("bvid")),
+    ).select(
+        F.col("vid").alias("a"),
+        F.col("bvid").alias("b"),
+        F.bit_count(
+            F.col("obucket").bitwiseXOR(F.col("bbucket"))
+        )
+        .cast("long")
+        .alias("_ham"),
+        cosine(
+            F.col("v"), F.col("bv"), F.col("n2"), F.col("bn2")
+        ).alias("_cos"),
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("shared_probes"),
+        F.min("_ham").cast("long").alias("min_hamming"),
+        F.round(F.first("_cos"), 6).alias("cos_r"),
+    )

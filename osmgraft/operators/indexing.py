@@ -188,3 +188,48 @@ def exact_percentiles(
             for p in ps
         ]
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list, out_rows: str = "n_rows"
+) -> DataFrame:
+    """Shuffle-skew diagnostics: the log2 frequency spectrum of a
+    prospective join/groupBy key — for each bucket b =
+    floor(log2(key count)), how many keys live there, how many
+    rows they carry, and the single hottest key as the named
+    suspect.  The report every partitioning decision in this
+    engine starts from (salting, AQE skew thresholds, broadcast
+    choices) made a first-class operator instead of an ad-hoc
+    notebook query.
+
+    All integer: the bucket is length(bin(n)) - 1 — floor(log2)
+    computed on the binary STRING, no float log anywhere, so the
+    report is engine-reproducible (the DuckDB twin uses
+    printf('%b')).
+
+    Shape: one map-side-combined groupBy on the key, then a
+    groupBy on the ~64 possible buckets with a max_by argmax —
+    output bounded by 64 rows whatever the corpus.
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        counts.select(
+            key_str.alias("_key"),
+            "_n",
+            (F.length(F.bin(F.col("_n"))) - 1)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("_n").cast("long").alias(out_rows),
+            F.max("_n").cast("long").alias("max_count"),
+            F.max_by(F.col("_key"), F.struct("_n", "_key")).alias(
+                "hottest_key"
+            ),
+        )
+    )

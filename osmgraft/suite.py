@@ -4487,6 +4487,19 @@ def q201_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def q203_key_skew(spark, sf_dir):
+    """Shuffle-skew spectrum (operators/indexing.key_skew_report):
+    log2 frequency histogram of the events user_id key with the
+    hottest key named per bucket — the partitioning-decision
+    input, <= 64 output rows at any scale, floor(log2) on the
+    binary string so no float log."""
+    from .operators.indexing import key_skew_report
+
+    return key_skew_report(
+        load(spark, sf_dir, "events"), key_cols=["user_id"]
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5685,6 +5698,7 @@ QUERIES = {
     "q199_skipgrams": q199_skipgrams,
     "q200_decayed_scores": q200_decayed_scores,
     "q201_sorted_neighborhood": q201_sorted_neighborhood,
+    "q203_key_skew": q203_key_skew,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7606,6 +7620,30 @@ SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
     AS n_slots,
   COUNT(*) >= 30 AS is_trap
 FROM parsed GROUP BY 1, 2
+""",
+        "q203_key_skew": """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+bucketed AS (
+  SELECT key, n,
+    CAST(length(printf('%b', n)) - 1 AS BIGINT) AS bucket
+  FROM counts
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY bucket ORDER BY n DESC, key DESC) AS rn
+  FROM bucketed
+)
+SELECT b.bucket, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(b.n) AS BIGINT) AS n_rows,
+  CAST(MAX(b.n) AS BIGINT) AS max_count,
+  MAX(r.key) AS hottest_key
+FROM bucketed b
+JOIN ranked r ON r.bucket = b.bucket AND r.rn = 1
+GROUP BY b.bucket
 """,
         "q201_sorted_neighborhood": """
 WITH docs AS (

@@ -409,6 +409,97 @@ def q45_embed_ann_banded(spark, sf_dir):
     )
 
 
+def q202_embed_ann_multiprobe(spark, sf_dir):
+    """Multi-probe hyperplane ANN (operators/dedup.
+    embed_ann_multiprobe): each vector also probes the band_bits
+    buckets one hyperplane-flip away — ~band_bits extra tables of
+    recall from the signatures already built (Lv et al. 2007).
+    2 bands of 6 bits, probe fan-out 7/band; exact cosine verify;
+    candidate set provably superset of the same-band exact-bucket
+    join."""
+    from .suite import load
+
+    from .operators.dedup import embed_ann_multiprobe
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embed_ann_multiprobe(
+        emb, band_bits=BAND_BITS, n_bands=2, dim=DIM
+    )
+
+
+def _ann_multiprobe_oracle() -> str:
+    n_bands = 2
+    planes = hyperplanes(n_bands * BAND_BITS, DIM)
+    vals = ",".join(
+        f"({p},{d + 1},{c})"
+        for p, row in enumerate(planes)
+        for d, c in enumerate(row)
+    )
+    projs = ",\n    ".join(
+        f"SUM(CASE WHEN pl.p = {p} THEN el.val * pl.coef ELSE 0 END)"
+        f" AS s{p}"
+        for p in range(n_bands * BAND_BITS)
+    )
+    band_selects = []
+    for band in range(n_bands):
+        assemble = " + ".join(
+            f"CASE WHEN s{band * BAND_BITS + j} > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+            for j in range(BAND_BITS)
+        )
+        band_selects.append(
+            f"  SELECT vec_id, {band} AS band, "
+            f"CAST({assemble} AS BIGINT) AS bucket FROM proj"
+        )
+    bands_sql = "\n  UNION ALL\n".join(band_selects)
+    flip_rows = ",".join(f"(0),({1 << j})" if j == 0 else f"({1 << j})" for j in range(BAND_BITS))
+    return f"""
+WITH planes(p, d, coef) AS (VALUES {vals}),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+el AS (
+  SELECT vec_id, unnest(v) AS val,
+         generate_subscripts(v, 1) AS d
+  FROM e
+),
+proj AS (
+  SELECT el.vec_id,
+    {projs}
+  FROM el JOIN planes pl ON pl.d = el.d
+  GROUP BY el.vec_id
+),
+buckets AS (
+{bands_sql}
+),
+flips(f) AS (VALUES {flip_rows}),
+probes AS (
+  SELECT vec_id, band, bucket AS obucket,
+         xor(bucket, f) AS pbucket
+  FROM buckets, flips
+),
+n AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e
+),
+cand AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    CAST(COUNT(*) AS BIGINT) AS shared_probes,
+    CAST(MIN(bit_count(xor(x.obucket, y.bucket))) AS BIGINT)
+      AS min_hamming
+  FROM probes x JOIN buckets y
+    ON x.band = y.band AND x.pbucket = y.bucket
+   AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.shared_probes, c.min_hamming,
+  round(list_dot_product(na.v, nb.v) / sqrt(na.n2) / sqrt(nb.n2), 6)
+    AS cos_r
+FROM cand c
+JOIN n na ON na.vec_id = c.a
+JOIN n nb ON nb.vec_id = c.b
+"""
+
+
 def _ann_banded_oracle(source: str = "embeddings") -> str:
     planes = hyperplanes(N_ANN_BANDS * BAND_BITS, DIM)
     vals = ",".join(
@@ -768,6 +859,7 @@ ML_QUERIES = {
     "q55_dedup_keep_list": q55_dedup_keep_list,
     "q57_semantic_dedup": q57_semantic_dedup,
     "q45_embed_ann_banded": q45_embed_ann_banded,
+    "q202_embed_ann_multiprobe": q202_embed_ann_multiprobe,
     "q47_embed_ann_ivf": q47_embed_ann_ivf,
     "q149_sq8_rescore": q149_sq8_rescore,
 }
@@ -785,6 +877,7 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q55_dedup_keep_list": _keep_oracle(),
         "q57_semantic_dedup": _semantic_keep_oracle(),
         "q45_embed_ann_banded": _ann_banded_oracle(),
+        "q202_embed_ann_multiprobe": _ann_multiprobe_oracle(),
         "q47_embed_ann_ivf": _IVF_ORACLE,
         "q149_sq8_rescore": _SQ8_ORACLE,
     }
