@@ -115,6 +115,13 @@ EXPECTED_ONEPART = {
         "the 1-row corpus doc count broadcast onto the <= vocab^2"
         " pair table for the exact lift numerator",
     ),
+    "q200_decayed_scores": (
+        1,
+        "the 1-row max-event-day reference aggregate (final agg of"
+        " per-partition partials) broadcast back for the age"
+        " arithmetic — the snapshot's own clock, no wall-time"
+        " parameter",
+    ),
     "q163_user_skyline": (
         2,
         "the strict running max over the FRONTIER BAND — the"
