@@ -258,3 +258,48 @@ def funnel_report(
             )
         ).cast("long").alias("n_bins"),
     )
+
+
+def crawl_frontier_plan(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    trap_threshold: int = 1000,
+    per_round: int = 3,
+) -> DataFrame:
+    """urls(url) + robots rules(host, path_prefix, allow) -> the
+    politeness-scheduled fetch plan for every URL that survives the
+    crawl front gates — the crawl-side sibling of corpus_build,
+    owning only the composition order:
+
+      1. robots_gate first (the binding contract — a disallowed URL
+         must not even be counted against trap statistics),
+      2. crawler-trap template exclusion next (url_templates over
+         the ALLOWED population; a template's URL count is its trap
+         evidence),
+      3. crawl_plan last (rounds are assigned over the final
+         fetchable frontier, so the politeness budget is not spent
+         on URLs the gates dropped).
+
+    Every stage is an already-oracle-tested operator
+    (operators/urls.py). Output: (url, host, slot, round,
+    n_rounds)."""
+    from .operators.urls import crawl_plan, robots_gate, url_templates
+
+    allowed = robots_gate(urls, rules).where(
+        F.col("allow") == 1
+    )
+    tmpl = F.regexp_replace(F.col("path"), r"[0-9]+", "{n}")
+    traps = (
+        url_templates(
+            allowed.select("url"), trap_threshold=trap_threshold
+        )
+        .where(F.col("is_trap"))
+        .select("host", "template")
+    )
+    survivors = (
+        allowed.withColumn("template", tmpl)
+        .join(traps, ["host", "template"], "left_anti")
+        .select("url")
+    )
+    return crawl_plan(survivors, per_round=per_round)

@@ -4500,6 +4500,45 @@ def q203_key_skew(spark, sf_dir):
     )
 
 
+def q204_crawl_pipeline(spark, sf_dir):
+    """Composed crawl frontier plan (pipeline.crawl_frontier_plan):
+    robots gate -> trap-template exclusion -> politeness rounds,
+    end to end over q193's URL population plus a planted mod-2
+    calendar trap on host0 (flagged at threshold 100 at sf0.01).
+    The oracle recomposes the same three stages in SQL."""
+    from .pipeline import crawl_frontier_plan
+
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod(d, F.lit(11)).cast("string"),
+            F.lit(".example.com/doc/"),
+            d.cast("string"),
+        ).alias("url")
+    )
+    cal = docs.where(d % 2 == 0).select(
+        F.concat(
+            F.lit("https://host0.example.com/cal/"),
+            d.cast("string"),
+            F.lit("/x"),
+        ).alias("url")
+    )
+    urls = base.unionByName(cal)
+    rules = spark.createDataFrame(
+        [
+            (f"host{h}.example.com", p, a)
+            for h in range(11)
+            for p, a in (("/", 1), ("/doc/1", 0), ("/doc/13", 1))
+        ],
+        "host string, path_prefix string, allow long",
+    )
+    return crawl_frontier_plan(
+        urls, rules, trap_threshold=100, per_round=3
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5699,6 +5738,7 @@ QUERIES = {
     "q200_decayed_scores": q200_decayed_scores,
     "q201_sorted_neighborhood": q201_sorted_neighborhood,
     "q203_key_skew": q203_key_skew,
+    "q204_crawl_pipeline": q204_crawl_pipeline,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7620,6 +7660,79 @@ SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
     AS n_slots,
   COUNT(*) >= 30 AS is_trap
 FROM parsed GROUP BY 1, 2
+""",
+        "q204_crawl_pipeline": """
+WITH urls AS (
+  SELECT 'https://host' || CAST(doc_id % 11 AS VARCHAR)
+         || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT 'https://host0.example.com/cal/'
+         || CAST(doc_id AS VARCHAR) || '/x'
+  FROM documents WHERE doc_id % 2 = 0
+),
+parsed AS (
+  SELECT url,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)', 1) AS host,
+    COALESCE(NULLIF(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), ''),
+      '/') AS path
+  FROM urls
+),
+rules AS (
+  SELECT 'host' || CAST(t.h AS VARCHAR) || '.example.com' AS host,
+    p.path_prefix, CAST(p.allow AS BIGINT) AS allow
+  FROM range(11) t(h),
+    (VALUES ('/', 1), ('/doc/1', 0), ('/doc/13', 1))
+      p(path_prefix, allow)
+),
+cand AS (
+  SELECT u.url, u.host, u.path, r.path_prefix, r.allow
+  FROM parsed u LEFT JOIN rules r USING (host)
+  WHERE r.path_prefix IS NULL
+     OR starts_with(u.path, r.path_prefix)
+),
+gated AS (
+  SELECT url, host, path, COALESCE(allow, 1) AS allow FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY url
+      ORDER BY length(COALESCE(path_prefix, '')) DESC,
+               allow DESC, path_prefix ASC) AS rn
+    FROM cand) WHERE rn = 1
+),
+allowed AS (
+  SELECT url, host,
+    regexp_replace(path, '[0-9]+', '{n}', 'g') AS template
+  FROM gated WHERE allow = 1
+),
+traps AS (
+  SELECT host, template FROM allowed
+  GROUP BY 1, 2 HAVING COUNT(*) >= 100
+),
+survivors AS (
+  SELECT a.url FROM allowed a
+  LEFT JOIN traps t
+    ON a.host = t.host AND a.template = t.template
+  WHERE t.host IS NULL
+),
+withhost AS (
+  SELECT url,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)', 1) AS host
+  FROM survivors
+),
+ranked AS (
+  SELECT url, host,
+    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+         AS BIGINT) AS slot,
+    CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS n
+  FROM withhost
+)
+SELECT url, host, slot,
+  CAST((slot - 1) // 3 AS BIGINT) AS round,
+  CAST((n + 2) // 3 AS BIGINT) AS n_rounds
+FROM ranked
 """,
         "q203_key_skew": """
 WITH counts AS (
