@@ -4539,6 +4539,17 @@ def q204_crawl_pipeline(spark, sf_dir):
     )
 
 
+def q205_trend_slopes(spark, sf_dir):
+    """Exact OLS activity trends (operators/events.trend_slopes):
+    per event-type least-squares slope over the daily series as
+    the integer cross-product pair num/den — growth is a sign
+    test, never a float. One (key, day) rollup + one per-key
+    5-sum aggregate."""
+    from .operators.events import trend_slopes
+
+    return trend_slopes(load(spark, sf_dir, "events"))
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5739,6 +5750,7 @@ QUERIES = {
     "q201_sorted_neighborhood": q201_sorted_neighborhood,
     "q203_key_skew": q203_key_skew,
     "q204_crawl_pipeline": q204_crawl_pipeline,
+    "q205_trend_slopes": q205_trend_slopes,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7660,6 +7672,30 @@ SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
     AS n_slots,
   COUNT(*) >= 30 AS is_trap
 FROM parsed GROUP BY 1, 2
+""",
+        "q205_trend_slopes": """
+WITH daily AS (
+  SELECT event_type AS key,
+    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS day,
+    CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+centered AS (
+  SELECT key, day - MIN(day) OVER (PARTITION BY key) AS t, y
+  FROM daily
+),
+sums AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(t * y) AS BIGINT) AS sty,
+    CAST(SUM(t * t) AS BIGINT) AS stt
+  FROM centered GROUP BY 1
+)
+SELECT key AS event_type, n_days, sy,
+  CAST(n_days * sty - st * sy AS BIGINT) AS slope_num,
+  CAST(n_days * stt - st * st AS BIGINT) AS slope_den
+FROM sums
 """,
         "q204_crawl_pipeline": """
 WITH urls AS (
