@@ -4550,6 +4550,45 @@ def q205_trend_slopes(spark, sf_dir):
     return trend_slopes(load(spark, sf_dir, "events"))
 
 
+def q206_olap_rollup(spark, sf_dir):
+    """Hierarchical OLAP rollup over the q118 star join: revenue
+    per (nation, month) WITH nation subtotals and the grand total
+    in ONE pass via DataFrame.rollup — Catalyst's Expand operator
+    replicates each row once per grouping set before a single
+    shuffle, so the subtotal hierarchy costs one aggregation, not
+    three (the 100-TB argument for rollup over UNION ALL of
+    re-aggregations). gid = grouping_id disambiguates real NULLs
+    from subtotal rows; money in exact integer cents."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    fact = (
+        orders.select(
+            "o_custkey",
+            F.month("o_orderdate").cast("long").alias("month"),
+            cents.alias("cents"),
+        )
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return fact.rollup("n_name", "month").agg(
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5751,6 +5790,7 @@ QUERIES = {
     "q203_key_skew": q203_key_skew,
     "q204_crawl_pipeline": q204_crawl_pipeline,
     "q205_trend_slopes": q205_trend_slopes,
+    "q206_olap_rollup": q206_olap_rollup,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7672,6 +7712,21 @@ SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
     AS n_slots,
   COUNT(*) >= 30 AS is_trap
 FROM parsed GROUP BY 1, 2
+""",
+        "q206_olap_rollup": """
+WITH fact AS (
+  SELECT n.n_name, CAST(month(o.o_orderdate) AS BIGINT) AS month,
+    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, month,
+  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(GROUPING(n_name) * 2 + GROUPING(month) AS BIGINT) AS gid
+FROM fact
+GROUP BY ROLLUP (n_name, month)
 """,
         "q205_trend_slopes": """
 WITH daily AS (
