@@ -157,3 +157,127 @@ def sorted_neighborhood_pairs(
         )
         .select("a", "b", "rank_a", "rank_b")
     )
+
+
+def conflate_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    radius_fix: int,
+    id_col: str = "place_id",
+    key_col: str = "name_key",
+    lat_col: str = "lat_i",
+    lon_col: str = "lon_i",
+) -> DataFrame:
+    """Cross-snapshot entity matching — conflate_places' incremental
+    sibling: every NEW place is matched to its nearest OLD place
+    carrying the same name key within the radius (ties by lowest
+    old id), and the verdict table is the gazetteer-maintenance
+    diff:
+
+      status 'matched' — (new id, old id, exact squared distance),
+      status 'born'    — new place with no old counterpart in range,
+      status 'dead'    — old place no new place claimed.
+
+    One row per new place plus one per dead old place; columns
+    (place_id, name_key, matched_id, dist2, status) with the
+    integer sentinel -1 on the sides that don't apply — a sentinel
+    rather than NULL keeps every column totally orderable, which
+    engine-portable diffing (sort-then-hash) needs.
+
+    Scale shape: the same (name_key, cell) 3x3 block join as
+    conflate_places but BIPARTITE (new probes, old builds) — no
+    self-join, no components; the argmin is a per-new-place
+    window over its handful of block candidates, and 'dead' is one
+    anti-join keyed on the matched ids.
+    """
+    shift = DEFAULT_SHIFT
+    while (1 << shift) < radius_fix:
+        shift += 1
+
+    def prep(df: DataFrame) -> DataFrame:
+        pts = df.select(
+            F.col(id_col).alias("_pid"),
+            F.col(key_col).alias("_key"),
+            F.col(lat_col).alias("_lat"),
+            F.col(lon_col).alias("_lon"),
+        )
+        return with_cell(
+            pts, "_lat", "_lon", out="_cell", shift=shift
+        )
+
+    new_c = prep(new)
+    old_c = prep(old)
+    lon_bits = _lon_bits(shift)
+    offsets = [
+        (dy << lon_bits) + dx
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
+    probe = new_c.withColumn(
+        "_cell",
+        F.explode(
+            F.array(*[F.col("_cell") + F.lit(o) for o in offsets])
+        ),
+    )
+    build = old_c.select(
+        F.col("_pid").alias("_oid"),
+        F.col("_key").alias("_key"),
+        F.col("_lat").alias("_olat"),
+        F.col("_lon").alias("_olon"),
+        "_cell",
+    )
+    dlat = F.col("_lat") - F.col("_olat")
+    dlon = F.col("_lon") - F.col("_olon")
+    r2 = radius_fix * radius_fix
+    cand = (
+        probe.join(build, ["_key", "_cell"])
+        .withColumn("_d2", dlat * dlat + dlon * dlon)
+        .where(F.col("_d2") <= F.lit(r2))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy("_d2", "_oid")
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "_pid",
+            F.col("_oid").alias("matched_id"),
+            F.col("_d2").cast("long").alias("dist2"),
+        )
+    )
+    new_side = (
+        new.select(
+            F.col(id_col).alias("_pid"), F.col(key_col).alias(key_col)
+        )
+        .join(best, "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            key_col,
+            F.coalesce("matched_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_id"),
+            F.coalesce("dist2", F.lit(-1)).cast("long").alias("dist2"),
+            F.when(F.col("matched_id").isNotNull(), F.lit("matched"))
+            .otherwise(F.lit("born"))
+            .alias("status"),
+        )
+    )
+    dead = (
+        old.select(
+            F.col(id_col).alias(id_col), F.col(key_col).alias(key_col)
+        )
+        .join(
+            best.select(F.col("matched_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        .select(
+            id_col,
+            key_col,
+            F.lit(-1).cast("long").alias("matched_id"),
+            F.lit(-1).cast("long").alias("dist2"),
+            F.lit("dead").alias("status"),
+        )
+    )
+    return new_side.unionByName(dead)

@@ -4589,6 +4589,28 @@ def q206_olap_rollup(spark, sf_dir):
     )
 
 
+def q207_conflate_snapshots(spark, sf_dir):
+    """Cross-snapshot gazetteer diff (operators/conflate.
+    conflate_snapshots): odd-doc places (new) matched to even-doc
+    places (old) by name key + nearest-within-radius — matched /
+    born / dead verdicts, bipartite cell block, per-new-place
+    argmin window."""
+    from .operators.conflate import conflate_snapshots
+
+    docs = load(spark, sf_dir, "documents")
+    places = docs.select(
+        F.col("doc_id").alias("place_id"),
+        F.lower(F.split(F.col("text"), " ")[0]).alias("name_key"),
+        F.expr(LAT_EXPR).cast("long").alias("lat_i"),
+        F.expr(LON_EXPR).cast("long").alias("lon_i"),
+    )
+    return conflate_snapshots(
+        places.where(F.col("place_id") % 2 == 0),
+        places.where(F.col("place_id") % 2 == 1),
+        radius_fix=5_000_000,
+    )
+
+
 def q36_geobase_build(spark, sf_dir):
     """G13 geobase build: per-term used-by posting aggregates over
     the planted doc->city mapping (osmgeobase.c:2422-2444). Pure
@@ -5791,6 +5813,7 @@ QUERIES = {
     "q204_crawl_pipeline": q204_crawl_pipeline,
     "q205_trend_slopes": q205_trend_slopes,
     "q206_olap_rollup": q206_olap_rollup,
+    "q207_conflate_snapshots": q207_conflate_snapshots,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7712,6 +7735,43 @@ SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
     AS n_slots,
   COUNT(*) >= 30 AS is_trap
 FROM parsed GROUP BY 1, 2
+""",
+        "q207_conflate_snapshots": f"""
+WITH {_PTS_CTE},
+places AS (
+  SELECT d.doc_id AS place_id,
+    lower(string_split(d.text, ' ')[1]) AS name_key,
+    p.lat_i, p.lon_i
+  FROM documents d JOIN pts p USING (doc_id)
+),
+old AS (SELECT * FROM places WHERE place_id % 2 = 0),
+new AS (SELECT * FROM places WHERE place_id % 2 = 1),
+cand AS (
+  SELECT n.place_id AS pid, o.place_id AS oid,
+    (n.lat_i - o.lat_i) * (n.lat_i - o.lat_i)
+    + (n.lon_i - o.lon_i) * (n.lon_i - o.lon_i) AS d2
+  FROM new n JOIN old o ON n.name_key = o.name_key
+  WHERE (n.lat_i - o.lat_i) * (n.lat_i - o.lat_i)
+      + (n.lon_i - o.lon_i) * (n.lon_i - o.lon_i)
+      <= CAST(5000000 AS BIGINT) * CAST(5000000 AS BIGINT)
+),
+best AS (
+  SELECT pid, oid AS matched_id, CAST(d2 AS BIGINT) AS dist2
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY pid ORDER BY d2, oid) AS rn FROM cand)
+  WHERE rn = 1
+)
+SELECT n.place_id, n.name_key,
+  CAST(COALESCE(b.matched_id, -1) AS BIGINT) AS matched_id,
+  CAST(COALESCE(b.dist2, -1) AS BIGINT) AS dist2,
+  CASE WHEN b.matched_id IS NOT NULL THEN 'matched'
+       ELSE 'born' END AS status
+FROM new n LEFT JOIN best b ON b.pid = n.place_id
+UNION ALL
+SELECT o.place_id, o.name_key, CAST(-1 AS BIGINT),
+  CAST(-1 AS BIGINT), 'dead'
+FROM old o
+WHERE o.place_id NOT IN (SELECT matched_id FROM best)
 """,
         "q206_olap_rollup": """
 WITH fact AS (
