@@ -905,3 +905,69 @@ def trend_slopes(
         .cast("long")
         .alias("slope_den"),
     )
+
+
+def winsorized_stats(
+    values: DataFrame,
+    key_col: str = "key",
+    v_col: str = "v",
+    id_col: str = "id",
+    pct: int = 10,
+) -> DataFrame:
+    """Winsorized summary per key — the outlier-resistant mean's
+    integer-exact sibling (winsorization: clamp everything below
+    the p-th percentile value to it, everything above the
+    (100-p)-th to it; standard robust statistics, public
+    formulation). Crawl/telemetry use: a per-host token-count
+    budget that one 100 MB page should not be able to bend.
+
+    Rank bounds are integer: with n values per key,
+    lo_rank = n*pct div 100 + 1 and hi_rank = n - n*pct div 100
+    (1-based under the deterministic (value, id) order); the
+    clamp bounds are the VALUES at those ranks — deterministic
+    regardless of tie order — so the winsorized sum is exact
+    int64 and oracle-checkable.
+
+    Shape: one window sort per key for ranks, two 1-row-per-key
+    bound extractions equi-joined back, one partial-aggregable
+    groupBy. Everything partitions by key; no global funnel, no
+    floats. Same per-key-window discipline as robust_spikes
+    above."""
+    from pyspark.sql import Window
+
+    base = values.select(
+        F.col(key_col).alias("k"),
+        F.col(v_col).cast("long").alias("x"),
+        F.col(id_col).alias("i"),
+    )
+    w = Window.partitionBy("k").orderBy("x", "i")
+    wc = Window.partitionBy("k")
+    ranked = base.withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count("*").over(wc))
+    cut = F.expr(f"(_n * {int(pct)}) div 100")
+    lo = ranked.where(F.col("_rn") == cut + 1).select(
+        "k", F.col("x").alias("lo_val")
+    )
+    hi = ranked.where(F.col("_rn") == F.col("_n") - cut).select(
+        "k", F.col("x").alias("hi_val")
+    )
+    return (
+        base.join(lo, "k")
+        .join(hi, "k")
+        .groupBy(F.col("k").alias(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("lo_val").alias("lo_val"),
+            F.min("hi_val").alias("hi_val"),
+            F.sum(
+                F.greatest(
+                    F.col("lo_val"),
+                    F.least(F.col("hi_val"), F.col("x")),
+                )
+            )
+            .cast("long")
+            .alias("wsum"),
+            F.sum("x").cast("long").alias("rawsum"),
+        )
+    )

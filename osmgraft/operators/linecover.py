@@ -1457,3 +1457,122 @@ def way_centroids(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         "cast(y0 + (nys - pmod(nys, den)) div den as long) as cy_fix",
     )
     return out
+
+
+def trace_edr_pairs(
+    traces: DataFrame,
+    shift: int = 22,
+    eps2: int = 4_000_000_000_000,
+    n_steps: int | None = None,
+) -> DataFrame:
+    """Edit Distance on Real sequence (EDR, Chen-Ozsu-Oria
+    SIGMOD'05, the noise-robust member of the trajectory-
+    similarity family) between nearby trace pairs, exact int64.
+
+    Path-DP formulation on the same monotone lattice as
+    Frechet/DTW above: a diagonal move costs 0 when the step pair
+    matches (squared distance <= eps2) and 1 otherwise; a gap move
+    (skip one step of either trace) costs 1; the distance is the
+    min-total-cost path to (n-1, n-1) seeded with the (0,0) match
+    cost. Where DTW must pay every meter of a GPS glitch, EDR pays
+    at most 1 per glitched step — the tolerance band turns metric
+    noise into edit noise.
+
+    Relational plan: identical to trace_dtw_pairs — the cell-
+    complete candidate matrix, the unrolled right/down/diagonal
+    relaxation with up to four fused steps per shuffle round —
+    with the running sum `f + d2` swapped for the thresholded move
+    cost. Costs are bounded by path length (<= 2n-1), trivially
+    int64. The oracle is the same enumerate-all-monotone-paths
+    recursive CTE with the same per-move cost, so values
+    hash-match exactly (integer compares only — eps2 never meets
+    a float).
+
+    NOT a translation of reference code — ramunasd/osmctools has
+    no trajectory similarity; see trace_dtw_pairs."""
+    m = _trace_pair_matrix(traces, shift)
+
+    spark = m.sparkSession
+    moves = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 1)], "di long, dj long"
+    )
+
+    grid = m.select(
+        "trace_a", "trace_b",
+        F.col("ai").cast("long").alias("i"),
+        F.col("bj").cast("long").alias("j"),
+        F.when(F.col("d2") <= F.lit(int(eps2)), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("c"),
+    ).localCheckpoint(eager=False)
+
+    ends = grid.groupBy("trace_a", "trace_b").agg(
+        F.max("i").alias("li"), F.max("j").alias("lj")
+    ).select(
+        F.col("trace_a").alias("ea"),
+        F.col("trace_b").alias("eb"),
+        "li",
+        "lj",
+    )
+    f = grid.where((F.col("i") == 0) & (F.col("j") == 0)).select(
+        "trace_a", "trace_b", "i", "j", F.col("c").alias("f")
+    )
+    if n_steps is not None:
+        n_passes = 2 * (n_steps - 1)
+    else:
+        row = ends.agg(
+            F.max(F.col("li") + F.col("lj")).alias("mp")
+        ).collect()  # 1 row: longest monotone path over all pairs
+        n_passes = int(row[0]["mp"] if row[0]["mp"] is not None else 0)
+
+    def relax(state: DataFrame) -> DataFrame:
+        return (
+            state.join(F.broadcast(moves))
+            .select(
+                "trace_a",
+                "trace_b",
+                (F.col("i") + F.col("di")).alias("i"),
+                (F.col("j") + F.col("dj")).alias("j"),
+                "f",
+                (F.col("di") * F.col("dj")).alias("diag"),
+            )
+            .join(grid, ["trace_a", "trace_b", "i", "j"])
+            .select(
+                "trace_a",
+                "trace_b",
+                "i",
+                "j",
+                (
+                    F.col("f")
+                    + F.when(F.col("diag") == 1, F.col("c"))
+                    .otherwise(F.lit(1).cast("long"))
+                ).alias("f"),
+            )
+        )
+
+    done = 0
+    while done < n_passes:
+        k = min(4, n_passes - done)
+        u = f
+        s = f
+        for _ in range(k):
+            s = relax(s)
+            u = u.unionByName(s)
+        f = (
+            u.groupBy("trace_a", "trace_b", "i", "j")
+            .agg(F.min("f").alias("f"))
+            .localCheckpoint(eager=False)
+        )
+        done += k
+    return f.join(
+        ends,
+        (F.col("trace_a") == F.col("ea"))
+        & (F.col("trace_b") == F.col("eb"))
+        & (F.col("i") == F.col("li"))
+        & (F.col("j") == F.col("lj")),
+    ).select(
+        "trace_a",
+        "trace_b",
+        F.col("f").cast("long").alias("edr"),
+    )

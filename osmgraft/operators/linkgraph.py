@@ -376,3 +376,81 @@ def personalized_pagerank(
             .alias("rank"),
         )
     return ranks
+
+
+def hits_scores(
+    edges: DataFrame, iters: int = 2, shift: int = 0
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, the public
+    formulation) over a distinct (src, dst) host edge list —
+    `iters` synchronous rounds of the un-normalized power pair:
+
+        auth'(h) = sum_{e: src->h} hub(src)
+        hub'(h)  = sum_{e: h->dst} auth'(dst)
+
+    kept in exact int64 instead of the textbook L2 normalization
+    (a float sqrt that would drift between engines). Rankings are
+    normalization-invariant, which is all a crawl prioritizer or
+    mirror-detector consumes. Complements host_pagerank above:
+    PageRank scores global endorsement flow; HITS separates
+    directories (hubs) from destinations (authorities), and the
+    two argmaxes genuinely differ on asymmetric link graphs.
+
+    Magnitude: every round multiplies scores by at most
+    max_in_deg * max_out_deg, so unshifted int64 is safe for
+    iters<=2 on any graph with degree products < 2^31. For deeper
+    runs or hub-heavy web graphs pass `shift`: both scores are
+    right-shifted (floor, deterministic, mirrored verbatim in the
+    SQL oracle) once per round, the integer analogue of the
+    textbook rescale. Scale plan: per round, two shuffles of the
+    edge list (keyed on dst then src) with map-side partial sums;
+    the score table rides at one row per host (AQE-broadcastable
+    against billions of edges). No windows, no driver state.
+
+    NOT from the reference — ramunasd/osmctools has no link
+    analysis; this extends the crawl-frontier family (q68/q192)
+    the way osmposition extends geocoding.
+    """
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    scores = hosts.select(
+        "host",
+        F.lit(1).cast("long").alias("auth"),
+        F.lit(1).cast("long").alias("hub"),
+    )
+    for _ in range(iters):
+        a = (
+            edges.join(
+                scores.select(
+                    F.col("host").alias("src"), "hub"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = hosts.join(a, "host", "left").select(
+            "host",
+            F.shiftright(F.coalesce("s", F.lit(0)), shift)
+            .cast("long")
+            .alias("auth"),
+        )
+        h = (
+            edges.join(
+                auth.select(F.col("host").alias("dst"), "auth"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = hosts.join(h, "host", "left").select(
+            "host",
+            F.shiftright(F.coalesce("s", F.lit(0)), shift)
+            .cast("long")
+            .alias("hub"),
+        )
+        scores = auth.join(hub, "host")
+    return scores.select("host", "auth", "hub")

@@ -511,3 +511,59 @@ def quadtree_rollup_incremental(
         "min_doc",
     )
     return quadtree_from_counts(fcnt, cap, leaf_shift, levels)
+
+
+def contour_cases(
+    cells: DataFrame, threshold: int
+) -> DataFrame:
+    """Marching-squares case extraction over the per-cell count
+    raster — the raster->vector step that turns a density grid
+    into iso-line geometry (marching squares: the standard 2x2
+    corner-classification contouring algorithm, public since
+    Lorensen & Cline's marching cubes lineage).
+
+    cells(latb, lonb, n) are grid corners; a corner is INSIDE when
+    n > threshold (absent corners are 0, hence outside). Every
+    2x2 block whose corners straddle the threshold gets its case
+    index 1..14: bit 1 = corner (y, x), bit 2 = (y, x+1), bit 4 =
+    (y+1, x), bit 8 = (y+1, x+1), block keyed by its low corner.
+    Cases 0 and 15 (fully outside / fully inside) carry no
+    contour and are not emitted, so the output is sparse along
+    the iso-lines — exactly the rows a tile renderer strokes.
+
+    Shape: one filter to inside corners, an explode-by-4 (each
+    inside corner votes its bit into the <=4 blocks it touches),
+    one partial-aggregable groupBy summing bits, one filter. No
+    joins at all — the dilation trick turns the 4-neighbor
+    stencil into a single aggregation, the same shape as the
+    autocorrelation and blur stencils. Fully-inside plateaus
+    produce case 15 which the tail filter drops, keeping output
+    proportional to contour LENGTH, not area (the 100-TB
+    property: a planet-wide ocean of dense cells emits only its
+    coastline).
+
+    Complements rasterize/vectorize above: those materialize per-
+    tile grids; this extracts the geometry BETWEEN tiles. (The
+    reference draws no contours; csv/tile outputs stop at counts —
+    osmconvert.c --out-statistics lineage.)"""
+    spark = cells.sparkSession
+    votes = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 2), (1, 0, 4), (1, 1, 8)],
+        "dy long, dx long, bit long",
+    )
+    inside = cells.where(
+        F.col("n").cast("long") > F.lit(int(threshold))
+    ).select("latb", "lonb")
+    cased = (
+        inside.join(F.broadcast(votes))
+        .select(
+            (F.col("latb") - F.col("dy")).alias("latb"),
+            (F.col("lonb") - F.col("dx")).alias("lonb"),
+            "bit",
+        )
+        .groupBy("latb", "lonb")
+        .agg(F.sum("bit").cast("long").alias("mcase"))
+    )
+    return cased.where(
+        (F.col("mcase") > 0) & (F.col("mcase") < 15)
+    )

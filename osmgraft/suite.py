@@ -5673,6 +5673,211 @@ def q43_geocode_rank(spark, sf_dir):
     )
 
 
+def _host_edges(spark, sf_dir):
+    """The deterministic host link graph shared by q68/q192/q208:
+    every mod-3 doc links its host (doc%23) to a Knuth-hashed
+    destination host (out-degrees vary host to host)."""
+    d = F.col("doc_id")
+    dst_idx = F.pmod(
+        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(d % 3 == 0)
+        .select(
+            F.concat(F.lit("host"), (d % 23).cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
+                "dst"
+            ),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q208_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities over the q68 host link graph
+    (operators/linkgraph.hits_scores): 2 synchronous un-normalized
+    rounds in exact int64 — directories (hubs) separated from
+    destinations (authorities), the crawl-frontier signal
+    PageRank's single score conflates. Oracle: the same two rounds
+    unrolled as join+sum CTEs."""
+    from .operators.linkgraph import hits_scores
+
+    return hits_scores(_host_edges(spark, sf_dir), iters=2)
+
+
+def q209_morans_i(spark, sf_dir):
+    """Global spatial autocorrelation of the document density
+    surface (operators/autocorr.morans_i_grid): Moran's I over
+    shift-24 grid-cell counts with rook contiguity, floor-mean
+    centering, every term exact int64 — numerator, denominator,
+    n, W and the centering residual reported as the exact
+    fraction's parts. Oracle mirrors the dilated-neighbor join."""
+    from .operators.autocorr import morans_i_grid
+
+    return morans_i_grid(doc_points(spark, sf_dir), shift=24)
+
+
+def q210_linkage_scores(spark, sf_dir):
+    """Fellegi-Sunter record linkage (operators/linkage.
+    fs_linkage) over name-key-blocked even/odd place pairs: three
+    integer-weighted comparators — same shift-22 cell (+38/-7),
+    same n_chars band (+11/-13), same lang where comparable
+    (+9/-21, deterministically NULL for ~1/17 of pairs to
+    exercise the missing-comparator rule) — summed to an exact
+    score and thresholded match/possible/nonmatch."""
+    from .operators.linkage import fs_linkage
+
+    docs = load(spark, sf_dir, "documents")
+    places = docs.select(
+        F.col("doc_id").alias("place_id"),
+        F.lower(F.split(F.col("text"), " ")[0]).alias("name_key"),
+        F.expr(LAT_EXPR).cast("long").alias("lat_i"),
+        F.expr(LON_EXPR).cast("long").alias("lon_i"),
+        "lang",
+        "n_chars",
+    )
+    a = places.where(F.col("place_id") % 2 == 1)
+    b = places.where(F.col("place_id") % 2 == 0)
+    pairs = (
+        a.alias("a")
+        .join(b.alias("b"), "name_key")
+        .select(
+            F.col("a.place_id").alias("id_a"),
+            F.col("b.place_id").alias("id_b"),
+            (
+                (
+                    F.shiftright(F.col("a.lat_i"), 22)
+                    == F.shiftright(F.col("b.lat_i"), 22)
+                )
+                & (
+                    F.shiftright(F.col("a.lon_i"), 22)
+                    == F.shiftright(F.col("b.lon_i"), 22)
+                )
+            ).alias("cell_agree"),
+            (
+                F.expr("a.n_chars div 64") == F.expr("b.n_chars div 64")
+            ).alias("len_agree"),
+            F.when(
+                (F.col("a.place_id") + F.col("b.place_id")) % 17
+                == 0,
+                F.lit(None).cast("boolean"),
+            )
+            .otherwise(F.col("a.lang") == F.col("b.lang"))
+            .alias("lang_agree"),
+        )
+    )
+    return fs_linkage(
+        pairs,
+        fields=[
+            ("cell_agree", 38, -7),
+            ("len_agree", 11, -13),
+            ("lang_agree", 9, -21),
+        ],
+        match_at=40,
+        possible_at=5,
+    )
+
+
+def q211_region_lift(spark, sf_dir):
+    """Host x latitude-band affinity (operators/affinity.
+    contingency_lift): observed/expected contingency lift with
+    both sides of the comparison as exact int64 products
+    (n_obs*n_total vs n_row*n_col) plus the over-representation
+    verdict — the two-dimensional audit of where each host's
+    documents geolocate."""
+    from .operators.affinity import contingency_lift
+
+    pts = doc_points(spark, sf_dir)
+    framed = pts.select(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 23).cast("string")
+        ).alias("host"),
+        F.concat(
+            F.lit("r"),
+            F.shiftright(F.col("lat_i"), 23).cast("string"),
+        ).alias("region"),
+    )
+    return contingency_lift(framed, "host", "region")
+
+
+def q212_haar_series(spark, sf_dir):
+    """Integer Haar wavelet compaction of per-event-type daily
+    counts (operators/wavelet.haar_transform): each type's first
+    8 days (key-relative) densified and run through 3 unnormalized
+    sum/difference levels — detail bands localize change-bursts,
+    the approximation carries the total, every coefficient exact
+    int64. Oracle unrolls the three levels as groupBy CTEs."""
+    from .operators.wavelet import haar_transform
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count("*").cast("long").alias("v"))
+    w = Window.partitionBy("key")
+    series = (
+        daily.withColumn("day0", F.min("day").over(w))
+        .select(
+            "key",
+            (F.col("day") - F.col("day0")).alias("idx"),
+            "v",
+        )
+        .where(F.col("idx") < 8)
+    )
+    return haar_transform(series, 8, key="key")
+
+
+def q214_winsorized_stats(spark, sf_dir):
+    """Per-host winsorized length budget (operators/events.
+    winsorized_stats): n_chars clamped at the exact rank-10%/90%
+    values under the deterministic (value, doc_id) order, then
+    summed — the outlier-proof per-host size statistic, exact
+    int64 against a window-based SQL oracle."""
+    from .operators.events import winsorized_stats
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 23).cast("string")
+        ).alias("host"),
+        "n_chars",
+        "doc_id",
+    )
+    return winsorized_stats(
+        docs, key_col="host", v_col="n_chars", id_col="doc_id",
+        pct=10,
+    )
+
+
+def q215_contour_cases(spark, sf_dir):
+    """Marching-squares contour extraction over the shift-22
+    density raster (operators/tiles.contour_cases): cells above
+    the data-derived threshold (total div 128) classified into
+    2x2 corner cases, plateaus and empties dropped so output
+    follows the iso-line — the raster->vector step of the
+    north-star tile materializer, exact integer case indices."""
+    from .operators.tiles import contour_cases
+
+    pts = doc_points(spark, sf_dir)
+    cells = pts.groupBy(
+        F.shiftright(F.col("lat_i") + 900_000_000, 22).alias(
+            "latb"
+        ),
+        F.shiftright(F.col("lon_i") + 1_800_000_000, 22).alias(
+            "lonb"
+        ),
+    ).agg(F.count("*").cast("long").alias("n"))
+    thr = load(spark, sf_dir, "documents").count() // 128
+    return contour_cases(cells, threshold=thr)
+
+
 QUERIES = {
     "q01_bbox_filter": q01_bbox_filter,
     "q02_pip_border": q02_pip_border,
@@ -5814,6 +6019,13 @@ QUERIES = {
     "q205_trend_slopes": q205_trend_slopes,
     "q206_olap_rollup": q206_olap_rollup,
     "q207_conflate_snapshots": q207_conflate_snapshots,
+    "q208_hits_scores": q208_hits_scores,
+    "q209_morans_i": q209_morans_i,
+    "q210_linkage_scores": q210_linkage_scores,
+    "q211_region_lift": q211_region_lift,
+    "q212_haar_series": q212_haar_series,
+    "q214_winsorized_stats": q214_winsorized_stats,
+    "q215_contour_cases": q215_contour_cases,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -7772,6 +7984,236 @@ SELECT o.place_id, o.name_key, CAST(-1 AS BIGINT),
   CAST(-1 AS BIGINT), 'dead'
 FROM old o
 WHERE o.place_id NOT IN (SELECT matched_id FROM best)
+""",
+        # HITS: two un-normalized rounds unrolled — auth from the
+        # previous hub, hub from the fresh auth (Kleinberg order)
+        "q208_hits_scores": """
+WITH edges AS (
+  SELECT DISTINCT
+    'host' || CAST(doc_id % 23 AS VARCHAR) AS src,
+    'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
+      AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 3 = 0
+    AND doc_id % 23 <> ((doc_id * 2654435761) % 4294967296) % 23
+),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+a1s AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS s
+        FROM edges GROUP BY 1),
+auth1 AS (SELECT h.host, COALESCE(a1s.s, 0) AS auth
+          FROM hosts h LEFT JOIN a1s ON h.host = a1s.host),
+h1s AS (SELECT e.src AS host, CAST(SUM(a.auth) AS BIGINT) AS s
+        FROM edges e JOIN auth1 a ON e.dst = a.host GROUP BY 1),
+hub1 AS (SELECT h.host, COALESCE(h1s.s, 0) AS hub
+         FROM hosts h LEFT JOIN h1s ON h.host = h1s.host),
+a2s AS (SELECT e.dst AS host, CAST(SUM(b.hub) AS BIGINT) AS s
+        FROM edges e JOIN hub1 b ON e.src = b.host GROUP BY 1),
+auth2 AS (SELECT h.host, COALESCE(a2s.s, 0) AS auth
+          FROM hosts h LEFT JOIN a2s ON h.host = a2s.host),
+h2s AS (SELECT e.src AS host, CAST(SUM(a.auth) AS BIGINT) AS s
+        FROM edges e JOIN auth2 a ON e.dst = a.host GROUP BY 1)
+SELECT h.host, a.auth, COALESCE(h2s.s, 0) AS hub
+FROM hosts h
+JOIN auth2 a ON h.host = a.host
+LEFT JOIN h2s ON h.host = h2s.host
+""",
+        # Moran's I with floor-mean centering: dilated rook join,
+        # every part of the exact fraction as its own scalar
+        "q209_morans_i": f"""
+WITH {_PTS_CTE},
+mcells AS (
+  SELECT (lat_i + 900000000) >> 24 AS latb,
+         (lon_i + 1800000000) >> 24 AS lonb,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM pts GROUP BY 1, 2
+),
+mtot AS (SELECT SUM(x) AS s, COUNT(*) AS n FROM mcells),
+mdev AS (
+  SELECT latb, lonb, CAST(x - (t.s // t.n) AS BIGINT) AS d
+  FROM mcells, mtot t
+),
+moffs(dv, du) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+mdil AS (
+  SELECT c.latb + o.dv AS latb, c.lonb + o.du AS lonb,
+         c.d AS d_nbr
+  FROM mdev c CROSS JOIN moffs o
+),
+madj AS (
+  SELECT a.d, b.d_nbr
+  FROM mdev a JOIN mdil b
+    ON a.latb = b.latb AND a.lonb = b.lonb
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM mdev) AS n_cells,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM madj) AS w_pairs,
+  (SELECT CAST(COALESCE(SUM(d * d_nbr), 0) AS BIGINT) FROM madj)
+    AS num,
+  (SELECT CAST(SUM(d * d) AS BIGINT) FROM mdev) AS den,
+  (SELECT CAST(s // n AS BIGINT) FROM mtot) AS mean_floor,
+  (SELECT CAST(s % n AS BIGINT) FROM mtot) AS resid
+""",
+        # Fellegi-Sunter: blocked pairs, NULL-safe weight sum,
+        # thresholded tiers — all integer
+        "q210_linkage_scores": f"""
+WITH {_PTS_CTE},
+lplaces AS (
+  SELECT d.doc_id AS place_id,
+    lower(string_split(d.text, ' ')[1]) AS name_key,
+    p.lat_i, p.lon_i, d.lang, d.n_chars
+  FROM documents d JOIN pts p USING (doc_id)
+),
+lpr AS (
+  SELECT a.place_id AS id_a, b.place_id AS id_b,
+    (a.lat_i >> 22) = (b.lat_i >> 22)
+      AND (a.lon_i >> 22) = (b.lon_i >> 22) AS cell_agree,
+    (a.n_chars // 64) = (b.n_chars // 64) AS len_agree,
+    CASE WHEN (a.place_id + b.place_id) % 17 = 0 THEN NULL
+         ELSE a.lang = b.lang END AS lang_agree
+  FROM lplaces a JOIN lplaces b ON a.name_key = b.name_key
+  WHERE a.place_id % 2 = 1 AND b.place_id % 2 = 0
+),
+lsc AS (
+  SELECT *, CAST(
+    (CASE WHEN cell_agree IS NULL THEN 0
+          WHEN cell_agree THEN 38 ELSE -7 END)
+    + (CASE WHEN len_agree IS NULL THEN 0
+            WHEN len_agree THEN 11 ELSE -13 END)
+    + (CASE WHEN lang_agree IS NULL THEN 0
+            WHEN lang_agree THEN 9 ELSE -21 END) AS BIGINT)
+    AS score
+  FROM lpr
+)
+SELECT id_a, id_b, cell_agree, len_agree, lang_agree, score,
+  CASE WHEN score >= 40 THEN 'match'
+       WHEN score >= 5 THEN 'possible'
+       ELSE 'nonmatch' END AS tier
+FROM lsc
+""",
+        # contingency lift: cell counts + broadcast-style marginals,
+        # both sides of observed/expected as exact products
+        "q211_region_lift": f"""
+WITH {_PTS_CTE},
+framed AS (
+  SELECT 'host' || CAST(doc_id % 23 AS VARCHAR) AS "row",
+         'r' || CAST(lat_i >> 23 AS VARCHAR) AS "col"
+  FROM pts
+),
+fcells AS (SELECT "row", "col", CAST(COUNT(*) AS BIGINT) AS n_obs
+           FROM framed GROUP BY 1, 2),
+frows AS (SELECT "row", CAST(COUNT(*) AS BIGINT) AS n_row
+          FROM framed GROUP BY 1),
+fcols AS (SELECT "col", CAST(COUNT(*) AS BIGINT) AS n_col
+          FROM framed GROUP BY 1),
+ftot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM framed)
+SELECT c."row", c."col", c.n_obs, r.n_row, k.n_col, t.n_total,
+  CAST(c.n_obs * t.n_total AS BIGINT) AS lift_num,
+  CAST(r.n_row * k.n_col AS BIGINT) AS lift_den,
+  c.n_obs * t.n_total > r.n_row * k.n_col AS over
+FROM fcells c
+JOIN frows r USING ("row")
+JOIN fcols k USING ("col")
+CROSS JOIN ftot t
+""",
+        # Haar: three unrolled sum/difference levels over the
+        # densified first-8-day grid
+        "q212_haar_series": """
+WITH hdaily AS (
+  SELECT event_type AS key,
+    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS day,
+    CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+hrel AS (
+  SELECT key, day - MIN(day) OVER (PARTITION BY key) AS idx, v
+  FROM hdaily
+),
+hkeys AS (SELECT DISTINCT key FROM hrel),
+hgrid AS (
+  SELECT k.key, CAST(g.i AS BIGINT) AS idx
+  FROM hkeys k CROSS JOIN (SELECT unnest(range(0, 8)) AS i) g
+),
+hs0 AS (
+  SELECT g.key, g.idx, CAST(COALESCE(r.v, 0) AS BIGINT) AS v
+  FROM hgrid g LEFT JOIN (SELECT * FROM hrel WHERE idx < 8) r
+    ON r.key = g.key AND r.idx = g.idx
+),
+hl1 AS (
+  SELECT key, idx // 2 AS idx, SUM(v) AS a,
+    SUM(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS d
+  FROM hs0 GROUP BY 1, 2
+),
+hl2 AS (
+  SELECT key, idx // 2 AS idx, SUM(a) AS a,
+    SUM(CASE WHEN idx % 2 = 0 THEN a ELSE -a END) AS d
+  FROM hl1 GROUP BY 1, 2
+),
+hl3 AS (
+  SELECT key, idx // 2 AS idx, SUM(a) AS a,
+    SUM(CASE WHEN idx % 2 = 0 THEN a ELSE -a END) AS d
+  FROM hl2 GROUP BY 1, 2
+)
+SELECT key, CAST(1 AS BIGINT) AS level, idx, 'd' AS kind,
+       CAST(d AS BIGINT) AS coef FROM hl1
+UNION ALL
+SELECT key, CAST(2 AS BIGINT), idx, 'd', CAST(d AS BIGINT)
+FROM hl2
+UNION ALL
+SELECT key, CAST(3 AS BIGINT), idx, 'd', CAST(d AS BIGINT)
+FROM hl3
+UNION ALL
+SELECT key, CAST(3 AS BIGINT), idx, 'a', CAST(a AS BIGINT)
+FROM hl3
+""",
+        # winsorize: exact rank bounds via windows, clamp, sum
+        "q214_winsorized_stats": """
+WITH wbase AS (
+  SELECT 'host' || CAST(doc_id % 23 AS VARCHAR) AS host,
+         CAST(n_chars AS BIGINT) AS x, doc_id AS i
+  FROM documents
+),
+wrk AS (
+  SELECT host, x, i,
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY x, i) AS rn,
+    COUNT(*) OVER (PARTITION BY host) AS n
+  FROM wbase
+),
+wlo AS (SELECT host, x AS lo_val FROM wrk
+        WHERE rn = (n * 10) // 100 + 1),
+whi AS (SELECT host, x AS hi_val FROM wrk
+        WHERE rn = n - (n * 10) // 100)
+SELECT b.host, CAST(COUNT(*) AS BIGINT) AS n,
+  MIN(l.lo_val) AS lo_val, MIN(h.hi_val) AS hi_val,
+  CAST(SUM(GREATEST(l.lo_val, LEAST(h.hi_val, b.x)))
+       AS BIGINT) AS wsum,
+  CAST(SUM(b.x) AS BIGINT) AS rawsum
+FROM wbase b
+JOIN wlo l USING (host)
+JOIN whi h USING (host)
+GROUP BY 1
+""",
+        # marching squares: inside corners vote their bit into the
+        # <=4 blocks they touch; plateaus (15) and empties dropped
+        "q215_contour_cases": f"""
+WITH {_PTS_CTE},
+ccells AS (
+  SELECT (lat_i + 900000000) >> 22 AS latb,
+         (lon_i + 1800000000) >> 22 AS lonb, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+cthr AS (SELECT COUNT(*) // 128 AS t FROM documents),
+cinside AS (
+  SELECT latb, lonb FROM ccells, cthr WHERE n > t
+),
+cvotes(dy, dx, bit) AS (VALUES (0, 0, 1), (0, 1, 2),
+                               (1, 0, 4), (1, 1, 8)),
+ccased AS (
+  SELECT i.latb - v.dy AS latb, i.lonb - v.dx AS lonb,
+         CAST(SUM(v.bit) AS BIGINT) AS mcase
+  FROM cinside i CROSS JOIN cvotes v GROUP BY 1, 2
+)
+SELECT latb, lonb, mcase FROM ccased
+WHERE mcase > 0 AND mcase < 15
 """,
         "q206_olap_rollup": """
 WITH fact AS (

@@ -529,6 +529,28 @@ def q161_trace_dtw(spark, sf_dir):
     )
 
 
+def q213_trace_edr(spark, sf_dir):
+    """Trajectory similarity, edit-based: exact Edit Distance on
+    Real sequence between nearby synthetic traces
+    (operators/linecover.trace_edr_pairs) — diagonal moves cost 0
+    within the eps2 tolerance band and 1 outside it, gap moves
+    cost 1, over the same cell-complete candidate lattice as
+    q141/q154/q161. Completes the similarity family with the
+    noise-robust member: one GPS glitch costs DTW its full squared
+    excursion but costs EDR exactly 1. The oracle is the shared
+    all-monotone-paths recursive CTE with the identical
+    thresholded move cost — integer compares only, so values
+    hash-match exactly."""
+    from .operators.linecover import trace_edr_pairs
+
+    return trace_edr_pairs(
+        _synth_traces(_nodes(spark, sf_dir)),
+        shift=22,
+        eps2=4_000_000_000_000,
+        n_steps=5,
+    )
+
+
 def q162_convex_hull(spark, sf_dir):
     """Exact per-tile convex hull of the document points: the
     coverage footprint a tiling product draws per shift-22 cell
@@ -717,6 +739,7 @@ GRAPH_QUERIES = {
     "q157_isochrone_bands": q157_isochrone_bands,
     "q160_way_crossings": q160_way_crossings,
     "q161_trace_dtw": q161_trace_dtw,
+    "q213_trace_edr": q213_trace_edr,
     "q162_convex_hull": q162_convex_hull,
     "q183_way_centroids": q183_way_centroids,
     "q184_way_chains": q184_way_chains,
@@ -939,12 +962,17 @@ FROM iso GROUP BY 1
 """
 
 
-def _frechet_ctes(shift: int, combine: str = "GREATEST(w.f, g.d2)") -> str:
+def _frechet_ctes(
+    shift: int,
+    combine: str = "GREATEST(w.f, g.d2)",
+    seed: str = "d2",
+) -> str:
     """Shared CTE chain for the monotone-path-DP oracles
-    (q154/q156 Frechet, q161 DTW): synthetic traces ->
+    (q154/q156 Frechet, q161 DTW, q213 EDR): synthetic traces ->
     dilated-cell candidate pairs (cell side 2**shift) ->
     step-distance grid -> recursive all-monotone-paths walk with a
-    running combine (max for Frechet, sum for DTW)."""
+    running combine (max for Frechet, sum for DTW, thresholded
+    move cost for EDR) from a parametrized (0,0) seed cost."""
     pack = 1 << max(int(3_600_000_000 >> shift).bit_length(), 1)
     return f"""
 tr AS (
@@ -986,7 +1014,7 @@ m AS (
   JOIN tr b ON b.trace_id = p.trace_b
 ),
 walk AS (
-  SELECT trace_a, trace_b, ai AS i, bj AS j, d2 AS f
+  SELECT trace_a, trace_b, ai AS i, bj AS j, {seed} AS f
   FROM m WHERE ai = 0 AND bj = 0
   UNION
   SELECT g.trace_a, g.trace_b, g.ai, g.bj, {combine}
@@ -1756,6 +1784,23 @@ FROM walk
 WITH RECURSIVE {pts_cte},
 {_frechet_ctes(22, combine="w.f + g.d2")}
 SELECT trace_a, trace_b, MIN(f) AS dtw2
+FROM walk WHERE i = 4 AND j = 4 GROUP BY 1, 2
+""",
+        # EDR: the same lattice with the thresholded move cost —
+        # diagonal pays 0 inside the tolerance band, 1 outside,
+        # gaps pay 1; terminal min = edit distance
+        "q213_trace_edr": f"""
+WITH RECURSIVE {pts_cte},
+{_frechet_ctes(
+    22,
+    combine=(
+        "w.f + CASE WHEN g.ai = w.i + 1 AND g.bj = w.j + 1 THEN"
+        " CASE WHEN g.d2 <= 4000000000000 THEN 0 ELSE 1 END"
+        " ELSE 1 END"
+    ),
+    seed="CASE WHEN d2 <= 4000000000000 THEN 0 ELSE 1 END",
+)}
+SELECT trace_a, trace_b, MIN(f) AS edr
 FROM walk WHERE i = 4 AND j = 4 GROUP BY 1, 2
 """,
         "q139_bearing_octants": f"""
