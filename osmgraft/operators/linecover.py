@@ -1576,3 +1576,169 @@ def trace_edr_pairs(
         "trace_b",
         F.col("f").cast("long").alias("edr"),
     )
+
+
+def trace_markov_predictor(
+    traces: DataFrame, shift: int = 22
+) -> DataFrame:
+    """First-order Markov next-cell predictor over trajectories —
+    the mobility-prediction baseline (order-1 Markov location
+    predictors, standard in the public human-mobility literature):
+    count cell->cell transitions between consecutive trace steps,
+    then for every source cell pick the most frequent successor
+    (ties toward the SMALLEST cell id, deterministic) and report
+    its hit count against the cell's total outgoing transitions —
+    n_best/n_total is the in-sample prediction accuracy, kept as
+    the exact integer pair instead of a drifting float.
+
+    Shape: one per-trace window (lead over step order — partitions
+    by trace, state bounded by trace length), one partial-
+    aggregable (src, dst) count, and the argmax as a map-side-
+    combinable max(struct(count, -dst)) per src. No windows over
+    the transition table, no skew beyond the src groupBy (a hub
+    cell's transitions partial-aggregate before the shuffle).
+
+    NOT from the reference — extends the q125 transition-matrix
+    family with the predictor/accuracy layer."""
+    latb = F.shiftright(F.col("lat_i") + 900_000_000, shift)
+    lonb = F.shiftright(F.col("lon_i") + 1_800_000_000, shift)
+    lon_bits = max(int(3_600_000_000 >> shift).bit_length(), 1)
+    pack = 1 << lon_bits
+    w = Window.partitionBy("trace_id").orderBy("step")
+    steps = traces.select(
+        "trace_id", "step", (latb * pack + lonb).alias("cell")
+    )
+    trans = (
+        steps.withColumn("nxt", F.lead("cell").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("cell").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return trans.groupBy("src").agg(
+        F.max(
+            F.struct(
+                F.col("c").alias("c"), (-F.col("dst")).alias("nd")
+            )
+        ).alias("b"),
+        F.sum("c").cast("long").alias("n_total"),
+    ).select(
+        "src",
+        (-F.col("b.nd")).cast("long").alias("best_next"),
+        F.col("b.c").cast("long").alias("n_best"),
+        "n_total",
+    )
+
+
+def simplify_traces_dp(
+    traces: DataFrame, eps2: int, passes: int = 3
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification over trajectories,
+    exact: keep a step iff it is the max-deviation witness of some
+    split — the standard vector-tile generalization algorithm
+    (Douglas & Peucker 1973), run as `passes` synchronized split
+    rounds instead of recursion.
+
+    The perpendicular-distance test never divides: with cross =
+    (P_j - P_i) x (P_k - P_i), dist^2 > eps^2 iff
+    cross^2 > eps2 * len2(i,j) — cross^2 rides as decimal(38,0)
+    (it exceeds int64 at continental extents; the linalg.py
+    HUGEINT-mirroring discipline), every comparison integer-exact,
+    and the OUTPUT is plain (trace_id, step) kept rows, so no
+    decimal ever reaches the driver hash. Argmax ties break toward
+    the smallest step via max(struct(c2, -step)), mirrored in the
+    oracle's ORDER BY c2 DESC, step.
+
+    Shape per round: the open-segment table joins the step table
+    three times, ALL keyed on trace_id (the range predicate i<k<j
+    rides the equi-join as a filter — never a cartesian), one
+    partial-aggregable argmax per segment, and the segment table
+    at most doubles while covered spans shrink — rounds needed =
+    log2(max trace length), each a fixed number of shuffles.
+    Traces partition independently; a million traces split in
+    parallel.
+
+    NOT the reference's grade-based ring thinning (geo/rings.py
+    implements that one); this is the deviation-bounded
+    generalization a tile renderer applies to traces/ways."""
+    steps = traces.select(
+        "trace_id",
+        F.col("step").cast("long").alias("step"),
+        F.col("lon_i").cast("long").alias("x"),
+        F.col("lat_i").cast("long").alias("y"),
+    ).localCheckpoint(eager=False)
+    ends = steps.groupBy("trace_id").agg(
+        F.min("step").alias("i"), F.max("step").alias("j")
+    )
+    kept = ends.select(
+        "trace_id", F.col("i").alias("step")
+    ).unionByName(
+        ends.select("trace_id", F.col("j").alias("step"))
+    )
+    segs = ends.where(F.col("j") > F.col("i") + 1)
+
+    def anchored(s: DataFrame) -> DataFrame:
+        ai = steps.select(
+            "trace_id", F.col("step").alias("i"),
+            F.col("x").alias("xi"), F.col("y").alias("yi"),
+        )
+        aj = steps.select(
+            "trace_id", F.col("step").alias("j"),
+            F.col("x").alias("xj"), F.col("y").alias("yj"),
+        )
+        k = s.join(ai, ["trace_id", "i"]).join(
+            aj, ["trace_id", "j"]
+        ).join(steps, "trace_id").where(
+            (F.col("step") > F.col("i"))
+            & (F.col("step") < F.col("j"))
+        )
+        cross = (
+            (F.col("xj") - F.col("xi")) * (F.col("y") - F.col("yi"))
+            - (F.col("yj") - F.col("yi"))
+            * (F.col("x") - F.col("xi"))
+        ).cast("decimal(38,0)")
+        len2 = (
+            (F.col("xj") - F.col("xi")) * (F.col("xj") - F.col("xi"))
+            + (F.col("yj") - F.col("yi"))
+            * (F.col("yj") - F.col("yi"))
+        ).cast("decimal(38,0)")
+        return k.select(
+            "trace_id", "i", "j", "step",
+            (cross * cross).alias("c2"),
+            (F.lit(int(eps2)).cast("decimal(38,0)") * len2).alias(
+                "thr"
+            ),
+        )
+
+    for _ in range(int(passes)):
+        cand = anchored(segs)
+        split = (
+            cand.groupBy("trace_id", "i", "j")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c2").alias("c2"),
+                        (-F.col("step")).alias("ns"),
+                    )
+                ).alias("b"),
+                F.max("thr").alias("thr"),
+            )
+            .where(F.col("b.c2") > F.col("thr"))
+            .select(
+                "trace_id", "i", "j",
+                (-F.col("b.ns")).cast("long").alias("bk"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        kept = kept.unionByName(
+            split.select("trace_id", F.col("bk").alias("step"))
+        )
+        segs = split.select(
+            "trace_id", "i", F.col("bk").alias("j")
+        ).where(F.col("j") > F.col("i") + 1).unionByName(
+            split.select(
+                "trace_id", F.col("bk").alias("i"), "j"
+            ).where(F.col("j") > F.col("i") + 1)
+        )
+    return kept.distinct()

@@ -8,7 +8,7 @@ bit-twiddling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # ----------------------------------------------------------------
 # pure-expression operators (oracle-checkable in ANSI SQL)
@@ -984,4 +984,100 @@ def length_drift(
         (F.lit(2) * F.col("t1") * F.col("t2"))
         .cast("long")
         .alias("tvd_den"),
+    )
+
+
+def histogram_emd(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    bucket_chars: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Earth Mover's Distance between two snapshot length
+    histograms, exact: for 1-D histograms EMD collapses to the
+    sum of absolute CUMULATIVE differences (the classic closed
+    form — transport across each bucket boundary equals the
+    running imbalance), and like length_drift above the
+    normalizers are cross-multiplied away so every term is int64:
+
+        flow_b = sum_{b' <= b} (n1_b' * t2 - n2_b' * t1)
+        EMD    = bucket_chars * sum_b |flow_b| * gap_b / (t1 * t2)
+
+    where gap_b is the distance to the NEXT occupied bucket —
+    the imbalance pays for every empty bucket it is carried
+    across, which a naive sum over occupied rows would silently
+    skip (mass balance zeroes the final cumulative, so the last
+    row's open gap never matters). Output is one row per occupied
+    bucket carrying (n1, n2, flow_num, gap, emd_term =
+    |flow_num| * gap, emd_den = t1*t2); the scalar EMD is the
+    trivial downstream sum. TVD (length_drift) says
+    WHETHER mass moved; EMD says HOW FAR — a crawl that shifted
+    every doc one bucket and one that teleported 1% across the
+    range have equal TVD but very different EMD.
+
+    Shape: identical to length_drift (two map-side-combined
+    histograms, full outer join on buckets, 1-row totals) plus ONE
+    running-sum window over the BOUNDED bucket table — max doc
+    length / bucket_chars rows, never corpus-sized (the same
+    histogram-window discipline as the q105 quantile sketch).
+    """
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.expr(
+                    f"length({text_col}) div {int(bucket_chars)}"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    joined = (
+        hist(old_docs, "n1")
+        .join(hist(new_docs, "n2"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "flow_num",
+            F.sum(
+                F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1")
+            )
+            .over(w)
+            .cast("long"),
+        )
+        .withColumn(
+            "gap",
+            F.coalesce(
+                F.lead("bucket").over(Window.orderBy("bucket"))
+                - F.col("bucket"),
+                F.lit(1),
+            ).cast("long"),
+        )
+        .select(
+            "bucket",
+            "n1",
+            "n2",
+            "flow_num",
+            "gap",
+            (F.abs("flow_num") * F.col("gap"))
+            .cast("long")
+            .alias("emd_term"),
+            (F.col("t1") * F.col("t2"))
+            .cast("long")
+            .alias("emd_den"),
+        )
     )

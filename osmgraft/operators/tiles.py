@@ -567,3 +567,61 @@ def contour_cases(
     return cased.where(
         (F.col("mcase") > 0) & (F.col("mcase") < 15)
     )
+
+
+def raster_morphology(
+    cells: DataFrame, threshold: int, radius: int = 1
+) -> DataFrame:
+    """Grid morphology over the per-cell count raster: the
+    dilation and erosion of the `n > threshold` inside-set by a
+    Chebyshev-`radius` square structuring element (standard
+    mathematical morphology, Serra's public formulation) — the
+    cleanup pass a tile pipeline runs before contouring
+    (dilate+erode = closing fills pinholes; erode+dilate = opening
+    knocks out speckle).
+
+    One aggregation computes everything: each inside cell votes
+    into the (2r+1)^2 cells of its neighborhood; a target cell is
+    `dilated` iff it receives any vote, `inside` iff it receives
+    the center vote, `eroded` iff it receives ALL (2r+1)^2 votes
+    (every neighbor of it is inside). Output is one row per
+    DILATED cell (the sparse support), with n_nbrs for free — the
+    neighborhood density a blur would charge a second pass for.
+
+    Shape: filter -> explode-by-(2r+1)^2 -> one partial-aggregable
+    groupBy. No joins; the same single-shuffle stencil trick as
+    contour_cases above, and like it, output scales with the
+    inside-set's boundary-dilated support, not the grid."""
+    r = int(radius)
+    k = 2 * r + 1
+    spark = cells.sparkSession
+    offs = spark.createDataFrame(
+        [(dy, dx) for dy in range(-r, r + 1)
+         for dx in range(-r, r + 1)],
+        "dy long, dx long",
+    )
+    inside = cells.where(
+        F.col("n").cast("long") > F.lit(int(threshold))
+    ).select("latb", "lonb")
+    return (
+        inside.join(F.broadcast(offs))
+        .select(
+            (F.col("latb") + F.col("dy")).alias("latb"),
+            (F.col("lonb") + F.col("dx")).alias("lonb"),
+            ((F.col("dy") == 0) & (F.col("dx") == 0))
+            .cast("long")
+            .alias("ctr"),
+        )
+        .groupBy("latb", "lonb")
+        .agg(
+            F.count("*").cast("long").alias("n_nbrs"),
+            F.max("ctr").alias("_c"),
+        )
+        .select(
+            "latb",
+            "lonb",
+            "n_nbrs",
+            (F.col("_c") == 1).alias("inside"),
+            (F.col("n_nbrs") == k * k).alias("eroded"),
+        )
+    )

@@ -5856,6 +5856,44 @@ def q214_winsorized_stats(spark, sf_dir):
     )
 
 
+def q216_raster_morphology(spark, sf_dir):
+    """Chebyshev-1 dilation/erosion of the shift-22 density
+    raster's inside-set (operators/tiles.raster_morphology): one
+    vote-aggregation computes, per dilated cell, the neighborhood
+    count, the inside flag and the all-neighbors eroded flag —
+    the opening/closing building block a tile pipeline runs
+    before contouring (q215)."""
+    from .operators.tiles import raster_morphology
+
+    pts = doc_points(spark, sf_dir)
+    cells = pts.groupBy(
+        F.shiftright(F.col("lat_i") + 900_000_000, 22).alias(
+            "latb"
+        ),
+        F.shiftright(F.col("lon_i") + 1_800_000_000, 22).alias(
+            "lonb"
+        ),
+    ).agg(F.count("*").cast("long").alias("n"))
+    thr = load(spark, sf_dir, "documents").count() // 128
+    return raster_morphology(cells, threshold=thr, radius=1)
+
+
+def q218_histogram_emd(spark, sf_dir):
+    """Earth Mover's Distance terms between the even/odd snapshot
+    length histograms (operators/text.histogram_emd): per-bucket
+    signed cumulative flow with normalizers cross-multiplied away
+    — integer-exact transport distance, the HOW-FAR sibling of
+    q186's total-variation WHETHER."""
+    from .operators.text import histogram_emd
+
+    docs = load(spark, sf_dir, "documents")
+    return histogram_emd(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        bucket_chars=100,
+    )
+
+
 def q215_contour_cases(spark, sf_dir):
     """Marching-squares contour extraction over the shift-22
     density raster (operators/tiles.contour_cases): cells above
@@ -6026,6 +6064,8 @@ QUERIES = {
     "q212_haar_series": q212_haar_series,
     "q214_winsorized_stats": q214_winsorized_stats,
     "q215_contour_cases": q215_contour_cases,
+    "q216_raster_morphology": q216_raster_morphology,
+    "q218_histogram_emd": q218_histogram_emd,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -8214,6 +8254,67 @@ ccased AS (
 )
 SELECT latb, lonb, mcase FROM ccased
 WHERE mcase > 0 AND mcase < 15
+""",
+        # morphology: every inside corner votes its 3x3 box; the
+        # center vote marks inside, a full box marks eroded
+        "q216_raster_morphology": f"""
+WITH {_PTS_CTE},
+gcells AS (
+  SELECT (lat_i + 900000000) >> 22 AS latb,
+         (lon_i + 1800000000) >> 22 AS lonb, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+gthr AS (SELECT COUNT(*) // 128 AS t FROM documents),
+ginside AS (
+  SELECT latb, lonb FROM gcells, gthr WHERE n > t
+),
+goffs AS (
+  SELECT dy.v AS dy, dx.v AS dx
+  FROM (SELECT unnest(range(-1, 2)) AS v) dy
+  CROSS JOIN (SELECT unnest(range(-1, 2)) AS v) dx
+),
+gvotes AS (
+  SELECT i.latb + o.dy AS latb, i.lonb + o.dx AS lonb,
+    CASE WHEN o.dy = 0 AND o.dx = 0 THEN 1 ELSE 0 END AS ctr
+  FROM ginside i CROSS JOIN goffs o
+)
+SELECT latb, lonb, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+  MAX(ctr) = 1 AS inside,
+  COUNT(*) = 9 AS eroded
+FROM gvotes GROUP BY 1, 2
+""",
+        # 1-D EMD: running cumulative of the cross-multiplied
+        # histogram imbalance over the bounded bucket table
+        "q218_histogram_emd": """
+WITH eh1 AS (
+  SELECT length(text) // 100 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n1
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+eh2 AS (
+  SELECT length(text) // 100 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n2
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+ej AS (
+  SELECT COALESCE(eh1.bucket, eh2.bucket) AS bucket,
+    COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+  FROM eh1 FULL OUTER JOIN eh2 ON eh1.bucket = eh2.bucket
+),
+et AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM ej),
+ef AS (
+  SELECT bucket, n1, n2,
+    CAST(SUM(n1 * t.t2 - n2 * t.t1) OVER
+      (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+       AND CURRENT ROW) AS BIGINT) AS flow_num,
+    CAST(COALESCE(LEAD(bucket) OVER (ORDER BY bucket) - bucket,
+                  1) AS BIGINT) AS gap,
+    CAST(t.t1 * t.t2 AS BIGINT) AS emd_den
+  FROM ej, et t
+)
+SELECT bucket, n1, n2, flow_num, gap,
+  CAST(abs(flow_num) * gap AS BIGINT) AS emd_term, emd_den
+FROM ef
 """,
         "q206_olap_rollup": """
 WITH fact AS (

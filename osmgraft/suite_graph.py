@@ -551,6 +551,57 @@ def q213_trace_edr(spark, sf_dir):
     )
 
 
+def _jittered_traces(nodes):
+    """q217/q219 input: the shared synthetic traces with a
+    deterministic per-step jitter so the polylines genuinely bend
+    (the raw traces are straight lines — Douglas-Peucker would
+    keep only endpoints and a Markov predictor would see one
+    transition per cell). Mirrored literally in the oracles."""
+    t = _synth_traces(nodes)
+    sq = F.col("step") * F.col("step")
+    jlat = ((F.col("trace_id") * 31 + sq * 6007)
+            % 400001) - 200000
+    jlon = ((F.col("trace_id") * 47 + sq * 9001)
+            % 400001) - 200000
+    return t.select(
+        "trace_id",
+        "step",
+        (F.col("lat_i") + jlat).alias("lat_i"),
+        (F.col("lon_i") + jlon).alias("lon_i"),
+    )
+
+
+def q217_markov_next(spark, sf_dir):
+    """First-order Markov next-cell predictor over the jittered
+    synthetic traces (operators/linecover.trace_markov_predictor):
+    shift-22 cell transition counts, per-source argmax successor
+    (ties to the smallest cell) and the exact n_best/n_total
+    accuracy pair — the mobility-prediction baseline as a
+    three-aggregation relational plan."""
+    from .operators.linecover import trace_markov_predictor
+
+    return trace_markov_predictor(
+        _jittered_traces(_nodes(spark, sf_dir)), shift=22
+    )
+
+
+def q219_simplify_dp(spark, sf_dir):
+    """Douglas-Peucker generalization of the jittered traces
+    (operators/linecover.simplify_traces_dp): 3 synchronized split
+    rounds, cross-product deviation test against eps=1500 m-ish
+    (15000 fix7, eps2 = 2.25e8) with decimal(38,0) squares —
+    output is
+    the kept (trace_id, step) vertex set, exact against an
+    unrolled split-round oracle."""
+    from .operators.linecover import simplify_traces_dp
+
+    return simplify_traces_dp(
+        _jittered_traces(_nodes(spark, sf_dir)),
+        eps2=225_000_000,
+        passes=3,
+    )
+
+
 def q162_convex_hull(spark, sf_dir):
     """Exact per-tile convex hull of the document points: the
     coverage footprint a tiling product draws per shift-22 cell
@@ -740,6 +791,8 @@ GRAPH_QUERIES = {
     "q160_way_crossings": q160_way_crossings,
     "q161_trace_dtw": q161_trace_dtw,
     "q213_trace_edr": q213_trace_edr,
+    "q217_markov_next": q217_markov_next,
+    "q219_simplify_dp": q219_simplify_dp,
     "q162_convex_hull": q162_convex_hull,
     "q183_way_centroids": q183_way_centroids,
     "q184_way_chains": q184_way_chains,
@@ -1025,6 +1078,78 @@ walk AS (
      OR (g.ai = w.i + 1 AND g.bj = w.j + 1))
 )
 """.strip()
+
+
+_JTR_CTE = """
+tr0 AS (
+  SELECT p.doc_id AS trace_id, CAST(t.s AS BIGINT) AS step,
+    GREATEST(LEAST(p.lon_i + t.s * (((p.doc_id * 104729) % 262145)
+        - 131072), 1799000000), -1799000000) AS lon_i,
+    GREATEST(LEAST(p.lat_i + t.s * (((p.doc_id * 7919) % 262145)
+        - 131072), 899000000), -899000000) AS lat_i
+  FROM pts p CROSS JOIN LATERAL
+    (SELECT unnest(range(0, 5)) AS s) t
+  WHERE p.doc_id % 20 = 0
+),
+jtr AS (
+  SELECT trace_id, step,
+    lon_i + ((trace_id * 47 + step * step * 9001) % 400001)
+      - 200000 AS lon_i,
+    lat_i + ((trace_id * 31 + step * step * 6007) % 400001)
+      - 200000 AS lat_i
+  FROM tr0
+)
+""".strip()
+
+
+def _dp_round_ctes(n_rounds: int, eps2: int) -> str:
+    """Unrolled Douglas-Peucker split rounds over the jtr CTE —
+    the q219 oracle. Each round: candidate interior points per
+    open segment (three jtr self-joins), max-deviation witness via
+    (cross^2 DESC, step) ranking with the cross squared as HUGEINT
+    (the engine squares in decimal(38,0) — both exact), split
+    where c2 > eps2 * len2, accumulate kept, open the two child
+    segments that still have interiors."""
+    out = ["""
+dpe AS (SELECT trace_id, MIN(step) AS i0, MAX(step) AS j0
+        FROM jtr GROUP BY 1),
+kept0 AS (SELECT trace_id, i0 AS step FROM dpe
+          UNION SELECT trace_id, j0 FROM dpe),
+seg0 AS (SELECT trace_id, i0 AS i, j0 AS j FROM dpe
+         WHERE j0 > i0 + 1)""".strip()]
+    for r in range(1, n_rounds + 1):
+        out.append(f"""
+cand{r} AS (
+  SELECT s.trace_id, s.i, s.j, k.step,
+    CAST((aj.lon_i - ai.lon_i) * (k.lat_i - ai.lat_i)
+       - (aj.lat_i - ai.lat_i) * (k.lon_i - ai.lon_i)
+       AS HUGEINT) AS cr,
+    (aj.lon_i - ai.lon_i) * (aj.lon_i - ai.lon_i)
+      + (aj.lat_i - ai.lat_i) * (aj.lat_i - ai.lat_i) AS len2
+  FROM seg{r - 1} s
+  JOIN jtr k ON k.trace_id = s.trace_id
+    AND k.step > s.i AND k.step < s.j
+  JOIN jtr ai ON ai.trace_id = s.trace_id AND ai.step = s.i
+  JOIN jtr aj ON aj.trace_id = s.trace_id AND aj.step = s.j
+),
+rank{r} AS (
+  SELECT trace_id, i, j, step, cr * cr AS c2, len2,
+    ROW_NUMBER() OVER (PARTITION BY trace_id, i, j
+                       ORDER BY cr * cr DESC, step) AS rn
+  FROM cand{r}
+),
+split{r} AS (
+  SELECT trace_id, i, j, step AS bk FROM rank{r}
+  WHERE rn = 1 AND c2 > CAST({int(eps2)} AS HUGEINT) * len2
+),
+kept{r} AS (SELECT trace_id, step FROM kept{r - 1}
+            UNION SELECT trace_id, bk FROM split{r}),
+seg{r} AS (
+  SELECT trace_id, i, bk AS j FROM split{r} WHERE bk > i + 1
+  UNION ALL
+  SELECT trace_id, bk AS i, j FROM split{r} WHERE j > bk + 1
+)""".strip())
+    return ",\n".join(out)
 
 
 def graph_oracle_sqls(pts_cte: str) -> dict[str, str]:
@@ -1802,6 +1927,46 @@ WITH RECURSIVE {pts_cte},
 )}
 SELECT trace_a, trace_b, MIN(f) AS edr
 FROM walk WHERE i = 4 AND j = 4 GROUP BY 1, 2
+""",
+        # Markov next-cell: transition counts over the jittered
+        # traces, argmax successor via (c DESC, dst) ranking
+        "q217_markov_next": f"""
+WITH {pts_cte},
+{_JTR_CTE},
+mcl AS (
+  SELECT trace_id, step,
+    ((lat_i + 900000000) >> 22) * 1024
+      + ((lon_i + 1800000000) >> 22) AS cell
+  FROM jtr
+),
+mtr AS (
+  SELECT trace_id, step, cell,
+    LEAD(cell) OVER (PARTITION BY trace_id ORDER BY step) AS nxt
+  FROM mcl
+),
+mcount AS (
+  SELECT cell AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM mtr WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+mrank AS (
+  SELECT src, dst, c,
+    ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY c DESC, dst) AS rn,
+    SUM(c) OVER (PARTITION BY src) AS tot
+  FROM mcount
+)
+SELECT src, dst AS best_next, c AS n_best,
+       CAST(tot AS BIGINT) AS n_total
+FROM mrank WHERE rn = 1
+""",
+        # Douglas-Peucker: three unrolled split rounds; the
+        # deviation test squares the cross product as HUGEINT
+        # (mirrors the engine's decimal(38,0))
+        "q219_simplify_dp": f"""
+WITH {pts_cte},
+{_JTR_CTE},
+{_dp_round_ctes(3, eps2=225_000_000)}
+SELECT trace_id, step FROM kept3
 """,
         "q139_bearing_octants": f"""
 WITH {pts_cte},

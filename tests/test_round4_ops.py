@@ -414,3 +414,198 @@ def test_trace_edr_replay(spark):
     assert got[(1, 2)] == 1
     # the uniformly-offset twin is free (every step within eps)
     assert got[(1, 3)] == 0
+
+
+# ------------------------------------------------------ morphology
+
+
+def test_raster_morphology_single_and_block(spark):
+    from osmgraft.operators.tiles import raster_morphology
+
+    one = spark.createDataFrame(
+        [(0, 0, 9)], "latb long, lonb long, n long"
+    )
+    got = {
+        (r.latb, r.lonb): (r.n_nbrs, r.inside, r.eroded)
+        for r in raster_morphology(one, threshold=3).collect()
+    }
+    assert len(got) == 9  # full 3x3 dilation support
+    assert got[(0, 0)] == (1, True, False)
+    assert got[(1, 1)] == (1, False, False)
+
+    block = spark.createDataFrame(
+        [(y, x, 9) for y in range(3) for x in range(3)],
+        "latb long, lonb long, n long",
+    )
+    got = {
+        (r.latb, r.lonb): (r.n_nbrs, r.inside, r.eroded)
+        for r in raster_morphology(block, threshold=3).collect()
+    }
+    assert len(got) == 25  # 5x5 dilation of the 3x3 block
+    assert got[(1, 1)] == (9, True, True)  # center erodes
+    assert got[(0, 0)] == (4, True, False)  # corner does not
+    assert got[(-1, -1)] == (1, False, False)
+
+
+# ---------------------------------------------------- Markov cells
+
+
+def test_markov_predictor_counts_and_ties(spark):
+    from osmgraft.operators.linecover import trace_markov_predictor
+
+    # two traces through cells A(0,0) B(0,1) C(1,1) at shift 20;
+    # from A: ->B twice, ->C once => best B; tie case from B
+    side = 1 << 20
+
+    def pt(cy, cx):
+        return (cy * side + 5 - 900_000_000,
+                cx * side + 5 - 1_800_000_000)
+
+    t1 = [pt(0, 0), pt(0, 1), pt(0, 0), pt(0, 1), pt(1, 1)]
+    t2 = [pt(0, 0), pt(1, 1), pt(0, 0), pt(0, 1), pt(0, 0)]
+    rows = [
+        (tid, s, lat, lon)
+        for tid, tr in ((1, t1), (2, t2))
+        for s, (lat, lon) in enumerate(tr)
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id long, step long, lat_i long, lon_i long"
+    )
+    out = {
+        r.src: (r.best_next, r.n_best, r.n_total)
+        for r in trace_markov_predictor(df, shift=20).collect()
+    }
+    lon_bits = max(int(3_600_000_000 >> 20).bit_length(), 1)
+    pack = 1 << lon_bits
+
+    def cell(cy, cx):
+        lat, lon = pt(cy, cx)
+        return (
+            ((lat + 900_000_000) >> 20) * pack
+            + ((lon + 1_800_000_000) >> 20)
+        )
+
+    a, b, c = cell(0, 0), cell(0, 1), cell(1, 1)
+    # from A: B,B,B? t1: A->B, A->B; t2: A->C, A->?; count A->B 3
+    # enumerate: t1 transitions A->B, B->A, A->B, B->C;
+    #            t2: A->C, C->A, A->B, B->A
+    assert out[a] == (b, 3, 4)
+    # from B: ->A twice, ->C once
+    assert out[b] == (a, 2, 3)
+    # from C: ->A once
+    assert out[c] == (a, 1, 1)
+
+
+def test_markov_tiebreak_smallest_cell(spark):
+    from osmgraft.operators.linecover import trace_markov_predictor
+
+    side = 1 << 20
+
+    def pt(cy, cx):
+        return (cy * side + 5 - 900_000_000,
+                cx * side + 5 - 1_800_000_000)
+
+    # from A go once to C (higher id) then once to B (lower id)
+    rows = [
+        (1, 0, *pt(0, 0)), (1, 1, *pt(1, 1)),
+        (2, 0, *pt(0, 0)), (2, 1, *pt(0, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id long, step long, lat_i long, lon_i long"
+    )
+    out = {
+        r.src: (r.best_next, r.n_best, r.n_total)
+        for r in trace_markov_predictor(df, shift=20).collect()
+    }
+    lon_bits = max(int(3_600_000_000 >> 20).bit_length(), 1)
+    pack = 1 << lon_bits
+    a = ((pt(0, 0)[0] + 900_000_000) >> 20) * pack + (
+        (pt(0, 0)[1] + 1_800_000_000) >> 20
+    )
+    b = ((pt(0, 1)[0] + 900_000_000) >> 20) * pack + (
+        (pt(0, 1)[1] + 1_800_000_000) >> 20
+    )
+    assert out[a][0] == b  # tie broken toward the smaller cell id
+    assert out[a][1:] == (1, 2)
+
+
+# ------------------------------------------------------------- EMD
+
+
+def test_histogram_emd_shift_vs_teleport(spark):
+    from osmgraft.operators.text import histogram_emd
+
+    def corpus(lengths):
+        return spark.createDataFrame(
+            [(i, "x" * ln) for i, ln in enumerate(lengths)],
+            "doc_id long, text string",
+        )
+
+    base = [50] * 4  # all in bucket 0
+    shift = [150] * 4  # all in bucket 1
+    tele = [350] * 4  # all in bucket 3
+    # equal totals -> den = 16; shift moves mass 1 bucket,
+    # teleport moves it 3: EMD terms triple
+    def emd(a, b):
+        rows = histogram_emd(corpus(a), corpus(b)).collect()
+        assert all(r.emd_den == 16 for r in rows)
+        return sum(r.emd_term for r in rows)
+
+    assert emd(base, shift) == 16  # |4*4| at bucket 0 boundary
+    assert emd(base, tele) == 48  # three boundaries crossed
+    assert emd(base, base) == 0
+
+
+# ----------------------------------------------- Douglas-Peucker
+
+
+def _dp_replay(pts, eps2):
+    kept = {0, len(pts) - 1}
+
+    def rec(i, j):
+        if j <= i + 1:
+            return
+        xi, yi = pts[i]
+        xj, yj = pts[j]
+        best = None
+        for k in range(i + 1, j):
+            xk, yk = pts[k]
+            cr = (xj - xi) * (yk - yi) - (yj - yi) * (xk - xi)
+            c2 = cr * cr
+            if best is None or c2 > best[0]:
+                best = (c2, k)
+        len2 = (xj - xi) ** 2 + (yj - yi) ** 2
+        if best[0] > eps2 * len2:
+            kept.add(best[1])
+            rec(i, best[1])
+            rec(best[1], j)
+
+    rec(0, len(pts) - 1)
+    return kept
+
+
+def test_simplify_dp_replay(spark):
+    from osmgraft.operators.linecover import simplify_traces_dp
+
+    eps2 = 100 ** 2
+    traces = {
+        1: [(0, 0), (10, 5), (20, -5), (30, 0), (40, 0)],  # flat
+        2: [(0, 0), (10, 5000), (20, 0), (30, -4000), (40, 0)],
+        3: [(0, 0), (10, 10), (20, 2000), (30, 30), (40, 40)],
+    }
+    rows = [
+        (tid, s, y, x)
+        for tid, pts in traces.items()
+        for s, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id long, step long, lat_i long, lon_i long"
+    )
+    got = {}
+    for r in simplify_traces_dp(df, eps2=eps2, passes=3).collect():
+        got.setdefault(r.trace_id, set()).add(r.step)
+    for tid, pts in traces.items():
+        xy = [(x, y) for x, y in pts]
+        assert got[tid] == _dp_replay(xy, eps2), tid
+    assert got[1] == {0, 4}          # within tolerance: endpoints
+    assert 2 in got[3] and len(got[3]) == 3  # the spike survives

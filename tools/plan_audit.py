@@ -134,6 +134,27 @@ EXPECTED_ONEPART = {
         "inherits q158's 1-row corpus-span seed; the CUSUM windows"
         " themselves partition by event_type",
     ),
+    "q209_morans_i": (
+        6,
+        "the result IS one row: the (sum, n) centering scalar, the"
+        " 1-row adjacency cross/self aggregates and the residual"
+        " meta, cross-joined — every funnel input is the bounded"
+        " CELL table (grid cells, not points), and the point-sized"
+        " work all happens in the partial cell groupBy",
+    ),
+    "q211_region_lift": (
+        1,
+        "the 1-row corpus total broadcast onto the contingency"
+        " cells for the exact lift products (marginals themselves"
+        " stay partitioned)",
+    ),
+    "q218_histogram_emd": (
+        2,
+        "the 1-row (t1, t2) snapshot totals plus the running"
+        " cumulative over the BOUNDED length-bucket histogram"
+        " (max doc length / bucket_chars rows — the q105/q186"
+        " pattern; the corpus never enters the funnel)",
+    ),
     "q173_power_iteration": (
         7,
         "per-iteration scalar max|y| and renormalizer over the"
