@@ -971,3 +971,154 @@ def winsorized_stats(
             F.sum("x").cast("long").alias("rawsum"),
         )
     )
+
+
+def weighted_median(
+    values: DataFrame,
+    key_col: str = "key",
+    v_col: str = "v",
+    w_col: str = "wgt",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-key weighted LOWER median, exact: the smallest value
+    whose running weight doubles to at least the total weight
+    (2 * cumw >= W under the deterministic (value, id) order) —
+    the weighted generalization of robust_spikes' lower median,
+    integer end to end (no interpolation, the percentile
+    convention every engine can reproduce bit-for-bit).
+
+    Shape: one window cumsum per key over that key's own rows,
+    one 1-row-per-key extraction via row_number on the qualifying
+    prefix. Partitions by key throughout; no global funnel."""
+    from pyspark.sql import Window
+
+    base = values.select(
+        F.col(key_col).alias("k"),
+        F.col(v_col).cast("long").alias("x"),
+        F.col(w_col).cast("long").alias("g"),
+        F.col(id_col).alias("i"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("x", "i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wc = Window.partitionBy("k")
+    qual = (
+        base.withColumn("cumw", F.sum("g").over(w))
+        .withColumn("W", F.sum("g").over(wc))
+        .where(F.lit(2) * F.col("cumw") >= F.col("W"))
+    )
+    wq = Window.partitionBy("k").orderBy("x", "i")
+    return (
+        qual.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("k").alias(key_col),
+            F.col("x").alias("wmedian"),
+            F.col("W").cast("long").alias("total_w"),
+        )
+    )
+
+
+def sequence_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    key_col: str = "user_id",
+    t_col: str = "ts",
+    v_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequential pattern counts: every length-n run of
+    consecutive events per key, counted corpus-wide — the
+    frequent-subsequence miner's contiguous core (n-gram counting
+    over event streams; the standard market-basket/clickstream
+    primitive). Ties in the event order are pinned by (t, id), so
+    the gram table is deterministic.
+
+    Shape: n-1 lead columns from ONE window sort per key (state
+    bounded by that key's stream), then a partial-aggregable
+    count on the bounded gram vocabulary (|event types|^n)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(t_col, id_col)
+    # materialize every lead ONCE before filtering: a gram built
+    # from leads re-evaluated after the null filter would shift
+    # across the dropped tail rows
+    lagged = events.select(
+        F.col(v_col).alias("_e0"),
+        *[
+            F.lead(v_col, j).over(w).alias(f"_e{j}")
+            for j in range(1, int(n))
+        ],
+    )
+    parts = [F.col(f"_e{j}") for j in range(int(n))]
+    return (
+        lagged.where(parts[-1].isNotNull())
+        .select(F.concat_ws(">", *parts).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n_runs"))
+    )
+
+
+def survival_table(
+    spans: DataFrame,
+    key_col: str = "user_id",
+    first_col: str = "first_day",
+    last_col: str = "last_day",
+) -> DataFrame:
+    """Kaplan-Meier-style life table over (first_day, last_day)
+    activity spans, exact counts: for every day in the observed
+    calendar, how many subjects were AT RISK (first <= d <= last)
+    and how many DIED that day (last = d) — one row per day where
+    the curve can change (a span endpoint); between change-points
+    at_risk is constant and deaths zero, so the sparse table IS
+    the full curve. The survival product
+    itself is a falling rational — downstream report territory —
+    but at_risk/deaths are the exact sufficient statistics every
+    estimator consumes (public Kaplan-Meier 1958 formulation).
+
+    At-risk is NOT computed by exploding user x day: each span
+    contributes +1 at first and -1 at last+1 (delta encoding),
+    and one running sum over the CALENDAR-sized delta table
+    (bounded by the day span, never the subject count) rebuilds
+    the at-risk curve — the interval-stabbing trick that keeps a
+    billion users at one row per endpoint."""
+    from pyspark.sql import Window
+
+    deltas = (
+        spans.select(
+            F.col(first_col).cast("long").alias("day"),
+            F.lit(1).cast("long").alias("d"),
+        )
+        .unionByName(
+            spans.select(
+                (F.col(last_col) + 1).cast("long").alias("day"),
+                F.lit(-1).cast("long").alias("d"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    deaths = spans.groupBy(
+        F.col(last_col).cast("long").alias("day")
+    ).agg(F.count("*").cast("long").alias("deaths"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.join(deaths, "day", "full")
+        .select(
+            "day",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("deaths", F.lit(0)).cast("long").alias(
+                "deaths"
+            ),
+        )
+        .withColumn(
+            "at_risk", F.sum("d").over(w).cast("long")
+        )
+        .where(F.col("at_risk") > 0)
+        .select("day", "at_risk", "deaths")
+    )

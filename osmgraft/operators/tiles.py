@@ -625,3 +625,106 @@ def raster_morphology(
             (F.col("n_nbrs") == k * k).alias("eroded"),
         )
     )
+
+
+def flow_directions(cells: DataFrame) -> DataFrame:
+    """D8 flow routing over the density raster (the standard
+    eight-direction steepest-descent assignment of raster
+    hydrology, O'Callaghan & Mark 1984 — here descending the
+    DOCUMENT-COUNT surface, so 'flow' traces how a crowd thins
+    out of its hotspots): every occupied cell points at its
+    lowest-count occupied neighbor, provided that count is
+    strictly lower than its own (otherwise it is a PIT), with
+    ties broken row-major on (dy, dx) — fully deterministic. The
+    second output column is the inflow degree: how many neighbors
+    chose THIS cell, the 1-step accumulation a drainage or
+    desire-line renderer seeds from.
+
+    Shape: one dilated self-equi-join (explode factor 8, the
+    stencil trick again) feeding a partial-aggregable argmin per
+    cell, then one count keyed on the chosen target. No
+    windows; hotspot cells cost their 8 neighbor rows, nothing
+    quadratic anywhere."""
+    spark = cells.sparkSession
+    offs = spark.createDataFrame(
+        [
+            (dy, dx)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if not (dy == 0 and dx == 0)
+        ],
+        "dy long, dx long",
+    )
+    base = cells.select(
+        "latb", "lonb", F.col("n").cast("long").alias("n")
+    )
+    nbr = base.join(F.broadcast(offs)).select(
+        (F.col("latb") + F.col("dy")).alias("latb"),
+        (F.col("lonb") + F.col("dx")).alias("lonb"),
+        (-F.col("dy")).alias("sdy"),
+        (-F.col("dx")).alias("sdx"),
+        F.col("n").alias("n_nbr"),
+    )
+    # joined: for each occupied cell, its occupied neighbors with
+    # the offset pointing FROM the cell TO the neighbor
+    best = (
+        base.join(nbr, ["latb", "lonb"])
+        .groupBy("latb", "lonb")
+        .agg(
+            F.min("n").alias("n"),
+            F.min(
+                F.struct(
+                    F.col("n_nbr").alias("n_nbr"),
+                    F.col("sdy").alias("dy"),
+                    F.col("sdx").alias("dx"),
+                )
+            ).alias("b"),
+        )
+        .select(
+            "latb",
+            "lonb",
+            "n",
+            F.when(
+                F.col("b.n_nbr") < F.col("n"), F.col("b.dy")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dir_dy"),
+            F.when(
+                F.col("b.n_nbr") < F.col("n"), F.col("b.dx")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dir_dx"),
+        )
+    )
+    # isolated cells (no occupied neighbor at all) never meet the
+    # inner join — they are pits with dir (0,0) and must survive
+    iso = base.join(
+        best.select("latb", "lonb"), ["latb", "lonb"], "left_anti"
+    ).select(
+        "latb",
+        "lonb",
+        "n",
+        F.lit(0).cast("long").alias("dir_dy"),
+        F.lit(0).cast("long").alias("dir_dx"),
+    )
+    best = best.unionByName(iso)
+    inflow = (
+        best.where(
+            (F.col("dir_dy") != 0) | (F.col("dir_dx") != 0)
+        )
+        .groupBy(
+            (F.col("latb") + F.col("dir_dy")).alias("latb"),
+            (F.col("lonb") + F.col("dir_dx")).alias("lonb"),
+        )
+        .agg(F.count("*").cast("long").alias("inflow"))
+    )
+    return best.join(inflow, ["latb", "lonb"], "left").select(
+        "latb",
+        "lonb",
+        "n",
+        "dir_dy",
+        "dir_dx",
+        F.coalesce("inflow", F.lit(0)).cast("long").alias("inflow"),
+    )

@@ -5894,6 +5894,93 @@ def q218_histogram_emd(spark, sf_dir):
     )
 
 
+def q220_link_prediction(spark, sf_dir):
+    """Link-prediction score battery over the q68 host graph
+    (operators/linkgraph.link_prediction_scores): exact common-
+    neighbor counts via the apex wedge join plus the
+    preferential-attachment degree product, existing edges
+    flagged — the crawl-frontier 'which hosts will link next'
+    signal, all int64 (log-free by design)."""
+    from .operators.linkgraph import link_prediction_scores
+
+    return link_prediction_scores(_host_edges(spark, sf_dir))
+
+
+def q221_weighted_median(spark, sf_dir):
+    """Per-event-type weighted lower median of the event day
+    (operators/events.weighted_median): weights 1 + event_id % 7,
+    the 2*cumw >= W convention under deterministic (day,
+    event_id) order — integer-exact weighted percentile."""
+    from .operators.events import weighted_median
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("v"),
+        (F.lit(1) + F.col("event_id") % 7).cast("long").alias(
+            "wgt"
+        ),
+        F.col("event_id").alias("id"),
+    )
+    return weighted_median(ev)
+
+
+def q223_seq_patterns(spark, sf_dir):
+    """Contiguous sequential patterns: corpus-wide counts of every
+    3-run of consecutive event types per user (operators/events.
+    sequence_ngrams), order pinned by (ts, event_id) — the
+    clickstream path-mining primitive over the bounded
+    |event_types|^3 gram vocabulary."""
+    from .operators.events import sequence_ngrams
+
+    return sequence_ngrams(load(spark, sf_dir, "events"), n=3)
+
+
+def q224_survival_counts(spark, sf_dir):
+    """Kaplan-Meier life table of user activity spans
+    (operators/events.survival_table): per change-point day, the
+    exact at-risk and death counts rebuilt from +-1 span deltas by
+    one calendar-bounded running sum — no user x day explosion."""
+    from .operators.events import survival_table
+
+    day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    spans = (
+        load(spark, sf_dir, "events")
+        .select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+    return survival_table(spans)
+
+
+def q225_flow_directions(spark, sf_dir):
+    """D8 steepest-descent flow over the shift-22 density raster
+    (operators/tiles.flow_directions): every occupied cell's
+    lowest-count occupied neighbor (strictly lower, row-major tie
+    break, pits at (0,0)) plus the inflow degree — the drainage
+    skeleton of the crowd-density surface, stencil-join only."""
+    from .operators.tiles import flow_directions
+
+    pts = doc_points(spark, sf_dir)
+    cells = pts.groupBy(
+        F.shiftright(F.col("lat_i") + 900_000_000, 22).alias(
+            "latb"
+        ),
+        F.shiftright(F.col("lon_i") + 1_800_000_000, 22).alias(
+            "lonb"
+        ),
+    ).agg(F.count("*").cast("long").alias("n"))
+    return flow_directions(cells)
+
+
 def q215_contour_cases(spark, sf_dir):
     """Marching-squares contour extraction over the shift-22
     density raster (operators/tiles.contour_cases): cells above
@@ -6066,6 +6153,11 @@ QUERIES = {
     "q215_contour_cases": q215_contour_cases,
     "q216_raster_morphology": q216_raster_morphology,
     "q218_histogram_emd": q218_histogram_emd,
+    "q220_link_prediction": q220_link_prediction,
+    "q221_weighted_median": q221_weighted_median,
+    "q223_seq_patterns": q223_seq_patterns,
+    "q224_survival_counts": q224_survival_counts,
+    "q225_flow_directions": q225_flow_directions,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -8315,6 +8407,164 @@ ef AS (
 SELECT bucket, n1, n2, flow_num, gap,
   CAST(abs(flow_num) * gap AS BIGINT) AS emd_term, emd_den
 FROM ef
+""",
+        # link prediction: apex wedge join for CN, degree product
+        # for PA, edge flag via left join
+        "q220_link_prediction": """
+WITH ledges AS (
+  SELECT DISTINCT
+    'host' || CAST(doc_id % 23 AS VARCHAR) AS src,
+    'host' || CAST(((doc_id * 2654435761) % 4294967296) % 23
+      AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 3 = 0
+    AND doc_id % 23 <> ((doc_id * 2654435761) % 4294967296) % 23
+),
+lund AS (
+  SELECT src, dst FROM ledges
+  UNION
+  SELECT dst AS src, src AS dst FROM ledges
+),
+ldeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         FROM lund GROUP BY 1),
+lcn AS (
+  SELECT l.dst AS a, r.dst AS b,
+         CAST(COUNT(*) AS BIGINT) AS cn
+  FROM lund l JOIN lund r
+    ON l.src = r.src AND l.dst < r.dst
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.cn, da.deg AS deg_a, db.deg AS deg_b,
+  CAST(da.deg * db.deg AS BIGINT) AS pa,
+  EXISTS (SELECT 1 FROM lund u
+          WHERE u.src = c.a AND u.dst = c.b) AS is_edge
+FROM lcn c
+JOIN ldeg da ON da.node = c.a
+JOIN ldeg db ON db.node = c.b
+""",
+        # weighted lower median: 2*cumw >= W prefix, first row
+        "q221_weighted_median": """
+WITH wm AS (
+  SELECT event_type AS key,
+    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS BIGINT) AS x,
+    CAST(1 + event_id % 7 AS BIGINT) AS g,
+    event_id AS i
+  FROM events
+),
+wmc AS (
+  SELECT key, x, g, i,
+    SUM(g) OVER (PARTITION BY key ORDER BY x, i
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cumw,
+    SUM(g) OVER (PARTITION BY key) AS W
+  FROM wm
+),
+wmq AS (
+  SELECT key, x, W,
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY x, i) AS rn
+  FROM wmc WHERE 2 * cumw >= W
+)
+SELECT key, x AS wmedian, CAST(W AS BIGINT) AS total_w
+FROM wmq WHERE rn = 1
+""",
+        # contiguous 3-run counts, order pinned by (ts, event_id)
+        "q223_seq_patterns": """
+WITH sq AS (
+  SELECT user_id, event_type,
+    LEAD(event_type, 1) OVER w AS e2,
+    LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS gram,
+  CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM sq WHERE e3 IS NOT NULL
+GROUP BY 1
+""",
+        # survival: span-endpoint deltas, one calendar running sum
+        "q224_survival_counts": """
+WITH sspans AS (
+  SELECT user_id,
+    MIN(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        AS BIGINT)) AS f,
+    MAX(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        AS BIGINT)) AS l
+  FROM events GROUP BY 1
+),
+sdelta AS (
+  SELECT day, SUM(d) AS d FROM (
+    SELECT f AS day, 1 AS d FROM sspans
+    UNION ALL
+    SELECT l + 1 AS day, -1 AS d FROM sspans
+  ) GROUP BY 1
+),
+sdeaths AS (
+  SELECT l AS day, CAST(COUNT(*) AS BIGINT) AS deaths
+  FROM sspans GROUP BY 1
+),
+scurve AS (
+  SELECT COALESCE(sdelta.day, sdeaths.day) AS day,
+    COALESCE(sdelta.d, 0) AS d,
+    COALESCE(sdeaths.deaths, 0) AS deaths
+  FROM sdelta FULL OUTER JOIN sdeaths
+    ON sdelta.day = sdeaths.day
+)
+SELECT day,
+  CAST(SUM(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+       PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk,
+  deaths
+FROM scurve
+QUALIFY at_risk > 0
+""",
+        # D8: argmin occupied neighbor via (n, dy, dx) ranking,
+        # strictly-lower gate, pits at (0,0), inflow second pass
+        "q225_flow_directions": f"""
+WITH {_PTS_CTE},
+fcells AS (
+  SELECT (lat_i + 900000000) >> 22 AS latb,
+         (lon_i + 1800000000) >> 22 AS lonb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+foffs AS (
+  SELECT dy.v AS dy, dx.v AS dx
+  FROM (SELECT unnest(range(-1, 2)) AS v) dy
+  CROSS JOIN (SELECT unnest(range(-1, 2)) AS v) dx
+  WHERE NOT (dy.v = 0 AND dx.v = 0)
+),
+fnbr AS (
+  SELECT c.latb, c.lonb, c.n, o.dy, o.dx, t.n AS n_nbr,
+    ROW_NUMBER() OVER (PARTITION BY c.latb, c.lonb
+                       ORDER BY t.n, o.dy, o.dx) AS rn
+  FROM fcells c
+  JOIN foffs o ON TRUE
+  JOIN fcells t ON t.latb = c.latb + o.dy
+               AND t.lonb = c.lonb + o.dx
+),
+fbest AS (
+  SELECT latb, lonb, n,
+    CASE WHEN n_nbr < n THEN dy ELSE 0 END AS dir_dy,
+    CASE WHEN n_nbr < n THEN dx ELSE 0 END AS dir_dx
+  FROM fnbr WHERE rn = 1
+  UNION ALL
+  SELECT c.latb, c.lonb, c.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM fcells c
+  WHERE NOT EXISTS (SELECT 1 FROM fnbr f
+                    WHERE f.latb = c.latb AND f.lonb = c.lonb)
+),
+finflow AS (
+  SELECT latb + dir_dy AS latb, lonb + dir_dx AS lonb,
+         CAST(COUNT(*) AS BIGINT) AS inflow
+  FROM fbest WHERE dir_dy <> 0 OR dir_dx <> 0
+  GROUP BY 1, 2
+)
+SELECT b.latb, b.lonb, b.n,
+  CAST(b.dir_dy AS BIGINT) AS dir_dy,
+  CAST(b.dir_dx AS BIGINT) AS dir_dx,
+  COALESCE(i.inflow, 0) AS inflow
+FROM fbest b LEFT JOIN finflow i
+  ON i.latb = b.latb AND i.lonb = b.lonb
 """,
         "q206_olap_rollup": """
 WITH fact AS (

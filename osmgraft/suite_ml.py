@@ -848,10 +848,45 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q222_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall of the banded hyperplane
+    candidate set (q45) against the exact cosine top-3 (q31),
+    per query — n_hit of n_exact as exact integer counts. The
+    measurement harness every ANN deployment needs before turning
+    a recall knob (band_bits/n_bands, see embed_ann_banded):
+    composes the two existing operators with one pair join, and
+    the oracle composes the two existing ORACLES the same way —
+    engine and oracle each evaluate their own ANN against their
+    own exact ranking."""
+    from .suite import load
+    from .operators.dedup import embed_ann_banded, embed_knn_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = embed_knn_exact(
+        emb, F.col("vec_id") % 50 == 0, k=3
+    ).select("query_id", "neighbor_id")
+    ann = embed_ann_banded(
+        emb, band_bits=BAND_BITS, n_bands=N_ANN_BANDS, dim=DIM
+    ).select("a", "b")
+    j = exact.join(
+        ann,
+        (F.least("query_id", "neighbor_id") == F.col("a"))
+        & (F.greatest("query_id", "neighbor_id") == F.col("b")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(F.col("a").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_hit"),
+    )
+
+
 ML_QUERIES = {
     "q29_minhash_lsh": q29_minhash_lsh,
     "q30_simhash": q30_simhash,
     "q31_embed_knn": q31_embed_knn,
+    "q222_ann_recall": q222_ann_recall,
     "q120_reciprocal_nn": q120_reciprocal_nn,
     "q32_embed_ann_lsh": q32_embed_ann_lsh,
     "q44_dedup_clusters": q44_dedup_clusters,
@@ -870,6 +905,17 @@ def ml_oracle_sqls() -> dict[str, str]:
         "q29_minhash_lsh": _minhash_oracle(),
         "q30_simhash": _simhash_oracle(),
         "q31_embed_knn": _EMB_ORACLE,
+        "q222_ann_recall": f"""
+WITH ex AS ({_EMB_ORACLE}),
+ann AS ({_ann_banded_oracle()})
+SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN a.a IS NOT NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_hit
+FROM ex e LEFT JOIN ann a
+  ON a.a = LEAST(e.query_id, e.neighbor_id)
+ AND a.b = GREATEST(e.query_id, e.neighbor_id)
+GROUP BY 1
+""",
         "q120_reciprocal_nn": _RNN_ORACLE,
         "q32_embed_ann_lsh": _ann_lsh_oracle(),
         "q44_dedup_clusters": _cluster_oracle(),

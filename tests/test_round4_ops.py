@@ -609,3 +609,213 @@ def test_simplify_dp_replay(spark):
         assert got[tid] == _dp_replay(xy, eps2), tid
     assert got[1] == {0, 4}          # within tolerance: endpoints
     assert 2 in got[3] and len(got[3]) == 3  # the spike survives
+
+
+# -------------------------------------------------- link prediction
+
+
+def test_link_prediction_path_graph(spark):
+    from osmgraft.operators.linkgraph import link_prediction_scores
+
+    # path a-b-c-d: CN(a,c)=1 via b, CN(b,d)=1 via c, no others
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): (r.cn, r.deg_a, r.deg_b, r.pa, r.is_edge)
+        for r in link_prediction_scores(df).collect()
+    }
+    assert got[("a", "c")] == (1, 1, 2, 2, False)
+    assert got[("b", "d")] == (1, 2, 1, 2, False)
+    assert set(got) == {("a", "c"), ("b", "d")}
+
+    # triangle + pendant: existing edges get flagged
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.a, r.b): (r.cn, r.is_edge)
+        for r in link_prediction_scores(df).collect()
+    }
+    assert got[("a", "b")] == (1, True)  # common neighbor c
+    assert got[("a", "d")] == (1, False)
+    assert got[("b", "d")] == (1, False)
+
+
+def test_link_prediction_degree_cap(spark):
+    from osmgraft.operators.linkgraph import link_prediction_scores
+
+    # star hub h with 4 leaves: every leaf pair has CN 1 via h;
+    # capping below the hub degree removes all wedges
+    edges = [("h", f"l{i}") for i in range(4)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    full = link_prediction_scores(df).collect()
+    assert len(full) == 6  # C(4,2) leaf pairs
+    capped = link_prediction_scores(df, max_degree=3).collect()
+    assert capped == []
+
+
+# --------------------------------------------------- weighted median
+
+
+def _wmedian_replay(rows):
+    # rows: (v, w, id); lower weighted median
+    tot = sum(w for _, w, _ in rows)
+    cum = 0
+    for v, w, _ in sorted(rows, key=lambda t: (t[0], t[2])):
+        cum += w
+        if 2 * cum >= tot:
+            return v, tot
+
+
+def test_weighted_median_replay(spark):
+    from osmgraft.operators.events import weighted_median
+
+    rng = random.Random(13)
+    rows = [
+        ("k", rng.randrange(100), 1 + rng.randrange(9), i)
+        for i in range(41)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, v long, wgt long, id long"
+    )
+    r = weighted_median(df).collect()[0]
+    v, tot = _wmedian_replay([(v, w, i) for _, v, w, i in rows])
+    assert (r.wmedian, r.total_w) == (v, tot)
+    # one heavy row dominates
+    df = spark.createDataFrame(
+        [("k", 5, 1, 0), ("k", 7, 100, 1), ("k", 9, 1, 2)],
+        "key string, v long, wgt long, id long",
+    )
+    r = weighted_median(df).collect()[0]
+    assert r.wmedian == 7
+
+
+# -------------------------------------------------------- seq grams
+
+
+def test_sequence_ngrams_tail_regression(spark):
+    """Grams must come from leads materialized BEFORE the null
+    filter — a re-evaluated window would shift across the
+    dropped tail and mint short phantom grams."""
+    from osmgraft.operators.events import sequence_ngrams
+
+    rows = [
+        (1, t, 10, et, t)
+        for t, et in enumerate(["a", "b", "c", "d"])
+    ] + [(2, t, 20, et, t + 10) for t, et in enumerate(["a", "b"])]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long,"
+        " event_type string, _x long",
+    )
+    got = {
+        r.gram: r.n_runs
+        for r in sequence_ngrams(df, n=3, t_col="ts").collect()
+    }
+    assert got == {"a>b>c": 1, "b>c>d": 1}  # user 2 too short
+
+
+# --------------------------------------------------------- survival
+
+
+def test_survival_table_spans(spark):
+    from osmgraft.operators.events import survival_table
+
+    spans = [
+        (1, 0, 5), (2, 0, 3), (3, 2, 5), (4, 6, 6),
+    ]
+    df = spark.createDataFrame(
+        spans, "user_id long, first_day long, last_day long"
+    )
+    got = {
+        r.day: (r.at_risk, r.deaths)
+        for r in survival_table(df).collect()
+    }
+    # day 0: users 1,2 at risk; day 2: +user3 -> 3; day 3: user2
+    # dies (still at risk that day); day 4: 2 left; day 5: both
+    # die; day 6: user4 alone
+    assert got[0] == (2, 0)
+    assert got[2] == (3, 0)
+    assert got[3] == (3, 1)
+    assert got[4] == (2, 0)
+    assert got[5] == (2, 2)
+    assert got[6] == (1, 1)
+    assert 7 not in got  # curve closed, zero-at-risk rows dropped
+
+
+# ---------------------------------------------------- D8 directions
+
+
+def test_flow_directions_small_raster(spark):
+    from osmgraft.operators.tiles import flow_directions
+
+    cells = [
+        (0, 0, 9), (0, 1, 5), (1, 0, 5), (1, 1, 1),  # bowl to 1,1
+        (5, 5, 3),                                    # isolated pit
+        (3, 0, 4), (3, 1, 4),                         # plateau pair
+    ]
+    df = spark.createDataFrame(
+        cells, "latb long, lonb long, n long"
+    )
+    got = {
+        (r.latb, r.lonb): (r.dir_dy, r.dir_dx, r.inflow)
+        for r in flow_directions(df).collect()
+    }
+    assert got[(0, 0)] == (1, 1, 0)      # steepest descent to 1
+    assert got[(0, 1)] == (1, 0, 0)
+    assert got[(1, 0)] == (0, 1, 0)
+    assert got[(1, 1)] == (0, 0, 3)      # the sink collects 3
+    assert got[(5, 5)] == (0, 0, 0)      # isolated pit survives
+    # plateau: neighbors equal -> both are pits (strictly lower)
+    assert got[(3, 0)] == (0, 0, 0)
+    assert got[(3, 1)] == (0, 0, 0)
+
+
+def test_flow_directions_tiebreak(spark):
+    from osmgraft.operators.tiles import flow_directions
+
+    # two equally-low neighbors: row-major (dy, dx) ascending wins
+    cells = [(0, 0, 9), (-1, -1, 1), (1, 1, 1)]
+    df = spark.createDataFrame(
+        cells, "latb long, lonb long, n long"
+    )
+    got = {
+        (r.latb, r.lonb): (r.dir_dy, r.dir_dx)
+        for r in flow_directions(df).collect()
+    }
+    assert got[(0, 0)] == (-1, -1)
+
+
+# ------------------------------------------------------- ANN recall
+
+
+def test_ann_recall_identical_vectors(spark):
+    """Identical vectors share every hyperplane signature, so the
+    banded candidate set must contain every exact neighbor:
+    recall is full by construction."""
+    from osmgraft.operators.dedup import (
+        embed_ann_banded,
+        embed_knn_exact,
+    )
+
+    base = [float(j + 1) for j in range(8)]
+    rows = [(i, base) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = embed_knn_exact(
+        df, F.col("vec_id") % 2 == 0, k=3
+    ).select("query_id", "neighbor_id")
+    ann = embed_ann_banded(
+        df, band_bits=4, n_bands=2, dim=8
+    ).select("a", "b")
+    j = exact.join(
+        ann,
+        (F.least("query_id", "neighbor_id") == F.col("a"))
+        & (F.greatest("query_id", "neighbor_id") == F.col("b")),
+        "left",
+    )
+    out = j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.col("a").isNotNull().cast("long")).alias("n_hit"),
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.n_exact == 3 and r.n_hit == 3

@@ -148,6 +148,13 @@ EXPECTED_ONEPART = {
         " cells for the exact lift products (marginals themselves"
         " stay partitioned)",
     ),
+    "q224_survival_counts": (
+        1,
+        "the running at-risk sum over the CHANGE-POINT table"
+        " (<= 2 distinct days per observed span endpoint, bounded"
+        " by the calendar, never the subject count — the delta-"
+        "encoding keeps a billion users at one row per endpoint)",
+    ),
     "q218_histogram_emd": (
         2,
         "the 1-row (t1, t2) snapshot totals plus the running"
