@@ -208,3 +208,36 @@ def asof_join(
         *[F.col(f"_row.{c}").alias(c) for c in lcols],
         *[F.col(f"_pp.{c}").alias(c) for c in payload_cols],
     )
+
+
+def snapshot_read(
+    changelog: DataFrame,
+    as_of: int,
+    id_col: str = "doc_id",
+    ver_col: str = "ver",
+    del_col: str = "deleted",
+) -> DataFrame:
+    """MVCC time-travel read: reconstruct the table state AS OF a
+    version number from an append-only changelog of upserts and
+    tombstones — the snapshot-isolation read every versioned table
+    format exposes (Iceberg/Delta snapshot reads; public MVCC
+    semantics). Each id's visible row is its LAST change with
+    ver <= as_of (ties broken by the highest ver, deterministic);
+    an id whose last visible change is a tombstone is absent.
+
+    Complements change_apply/diff above: those move between two
+    adjacent snapshots; this jumps to ANY recorded version in one
+    pass. With the changelog partition-pruned on ver (the layout
+    manifest.py's commit log already produces), the scan touches
+    only files with min(ver) <= as_of.
+
+    Shape: one filter (pushed to the scan), one per-id window
+    row_number over that id's own history (state bounded by
+    versions-per-id), one tombstone filter. No joins."""
+    w = Window.partitionBy(id_col).orderBy(F.col(ver_col).desc())
+    return (
+        changelog.where(F.col(ver_col) <= F.lit(int(as_of)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (~F.col(del_col)))
+        .drop("_rn", del_col)
+    )

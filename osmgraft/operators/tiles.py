@@ -728,3 +728,57 @@ def flow_directions(cells: DataFrame) -> DataFrame:
         "dir_dx",
         F.coalesce("inflow", F.lit(0)).cast("long").alias("inflow"),
     )
+
+
+def k_anonymous_cells(
+    cells: DataFrame, k: int, levels: int = 2, step: int = 2
+) -> DataFrame:
+    """Privacy-bounded publication of the density raster:
+    hierarchical spatial generalization until every published
+    group holds >= k subjects (k-anonymity via generalization,
+    Sweeney 2002 — the public formulation; the geo flavor is the
+    quadtree coarsening every location-data release uses).
+
+    Level 0 publishes cells already meeting k; the rest roll up
+    `step` bits (a step x step cell merge) and publish at level 1
+    where the MERGED count meets k; after `levels` rollups the
+    residue is emitted with suppressed=true (still identifiable —
+    the caller drops or reports it, but the operator never
+    silently hides mass: sum(n_pub) over the output equals the
+    input total, the no-silent-caps rule).
+
+    Shape: one partial-aggregable groupBy per level over a table
+    that only SHRINKS (survivors leave the pipeline at each
+    level); `levels` is log-bounded by the grid depth. Output
+    (latb, lonb, level, n_pub, suppressed) where latb/lonb are in
+    the LEVEL's own grid units."""
+    out = None
+    cur = cells.select(
+        "latb", "lonb", F.col("n").cast("long").alias("n")
+    )
+    for lvl in range(int(levels) + 1):
+        pub = cur.where(F.col("n") >= int(k)).select(
+            "latb",
+            "lonb",
+            F.lit(lvl).cast("long").alias("level"),
+            F.col("n").alias("n_pub"),
+            F.lit(False).alias("suppressed"),
+        )
+        rest = cur.where(F.col("n") < int(k))
+        if lvl == int(levels):
+            pub = pub.unionByName(
+                rest.select(
+                    "latb",
+                    "lonb",
+                    F.lit(lvl).cast("long").alias("level"),
+                    F.col("n").alias("n_pub"),
+                    F.lit(True).alias("suppressed"),
+                )
+            )
+        out = pub if out is None else out.unionByName(pub)
+        if lvl < int(levels):
+            cur = rest.groupBy(
+                F.shiftright("latb", int(step)).alias("latb"),
+                F.shiftright("lonb", int(step)).alias("lonb"),
+            ).agg(F.sum("n").cast("long").alias("n"))
+    return out

@@ -5981,6 +5981,106 @@ def q225_flow_directions(spark, sf_dir):
     return flow_directions(cells)
 
 
+def _doc_changelog(spark, sf_dir):
+    """q226 input: an append-only MVCC changelog synthesized from
+    documents — every doc inserted at ver 0, mod-7 docs upserted
+    at ver 1+doc_id%3, mod-13 docs tombstoned at ver 4. Mirrored
+    literally in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("ver"),
+        "text",
+        F.lit(False).alias("deleted"),
+    )
+    upd = docs.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 3).cast("long").alias("ver"),
+        F.concat(F.lit("u "), F.col("text")).alias("text"),
+        F.lit(False).alias("deleted"),
+    )
+    dels = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.lit(4).cast("long").alias("ver"),
+        F.lit("").alias("text"),
+        F.lit(True).alias("deleted"),
+    )
+    return base.unionByName(upd).unionByName(dels)
+
+
+def q226_snapshot_read(spark, sf_dir):
+    """MVCC time-travel read (operators/merge.snapshot_read):
+    reconstruct the documents table AS OF version 2 from the
+    synthesized changelog — per-id latest visible change, ver-4
+    tombstones and ver-3 upserts invisible. The Iceberg-style
+    snapshot-isolation read over manifest.py's commit-log
+    layout."""
+    from .operators.merge import snapshot_read
+
+    return snapshot_read(_doc_changelog(spark, sf_dir), as_of=2)
+
+
+def q227_bitmap_cells(spark, sf_dir):
+    """Per-cell host bitmap index (operators/bitmapix.
+    category_bitmaps): which of the 23 hosts appear in each
+    shift-22 cell, packed into ONE int64 word by bit_or with its
+    popcount — per-group state independent of row count, the OLAP
+    bitmap-index build."""
+    from .operators.bitmapix import category_bitmaps
+
+    pts = doc_points(spark, sf_dir).select(
+        (
+            F.shiftright(F.col("lat_i") + 900_000_000, 22) * 1024
+            + F.shiftright(F.col("lon_i") + 1_800_000_000, 22)
+        ).alias("cell"),
+        (F.col("doc_id") % 23).alias("host_idx"),
+    )
+    return category_bitmaps(pts, "cell", "host_idx", n_cats=23)
+
+
+def q228_bitmap_overlap(spark, sf_dir):
+    """Bitmap set algebra between east-neighbor cells
+    (operators/bitmapix.bitmap_overlap): shared / either-side /
+    exclusive host popcounts via single-word bit ops — 'how many
+    hosts do adjacent tiles share' without any row-level join."""
+    from .operators.bitmapix import bitmap_overlap, category_bitmaps
+
+    pts = doc_points(spark, sf_dir).select(
+        (
+            F.shiftright(F.col("lat_i") + 900_000_000, 22) * 1024
+            + F.shiftright(F.col("lon_i") + 1_800_000_000, 22)
+        ).alias("cell"),
+        (F.col("doc_id") % 23).alias("host_idx"),
+    )
+    bms = category_bitmaps(pts, "cell", "host_idx", n_cats=23)
+    pairs = bms.select(
+        F.col("grp").alias("grp_a"),
+        (F.col("grp") + 1).alias("grp_b"),
+    )
+    return bitmap_overlap(bms, pairs)
+
+
+def q229_k_anonymity(spark, sf_dir):
+    """k-anonymous publication of the density raster
+    (operators/tiles.k_anonymous_cells): shift-18 cells publish
+    where n >= 10, the rest generalize 2 bits per level for 2
+    levels, the residue ships flagged suppressed — mass-conserving
+    (sum of n_pub equals the corpus), every group either meets k
+    or is explicitly marked."""
+    from .operators.tiles import k_anonymous_cells
+
+    pts = doc_points(spark, sf_dir)
+    cells = pts.groupBy(
+        F.shiftright(F.col("lat_i") + 900_000_000, 18).alias(
+            "latb"
+        ),
+        F.shiftright(F.col("lon_i") + 1_800_000_000, 18).alias(
+            "lonb"
+        ),
+    ).agg(F.count("*").cast("long").alias("n"))
+    return k_anonymous_cells(cells, k=10, levels=2, step=2)
+
+
 def q215_contour_cases(spark, sf_dir):
     """Marching-squares contour extraction over the shift-22
     density raster (operators/tiles.contour_cases): cells above
@@ -6158,6 +6258,10 @@ QUERIES = {
     "q223_seq_patterns": q223_seq_patterns,
     "q224_survival_counts": q224_survival_counts,
     "q225_flow_directions": q225_flow_directions,
+    "q226_snapshot_read": q226_snapshot_read,
+    "q227_bitmap_cells": q227_bitmap_cells,
+    "q228_bitmap_overlap": q228_bitmap_overlap,
+    "q229_k_anonymity": q229_k_anonymity,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -8516,6 +8620,88 @@ SELECT day,
   deaths
 FROM scurve
 QUALIFY at_risk > 0
+""",
+        # MVCC: latest visible change per id at ver <= 2,
+        # tombstones absent
+        "q226_snapshot_read": """
+WITH clog AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS ver, text,
+         FALSE AS deleted
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT),
+         'u ' || text, FALSE
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, CAST(4 AS BIGINT), '', TRUE
+  FROM documents WHERE doc_id % 13 = 0
+),
+vis AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY ver DESC) AS rn
+  FROM clog WHERE ver <= 2
+)
+SELECT doc_id, ver, text FROM vis WHERE rn = 1 AND NOT deleted
+""",
+        # bitmap index: bit_or of host one-hots per cell
+        "q227_bitmap_cells": f"""
+WITH {_PTS_CTE},
+bsrc AS (
+  SELECT ((lat_i + 900000000) >> 22) * 1024
+         + ((lon_i + 1800000000) >> 22) AS grp,
+    CAST(1 AS BIGINT) << CAST(doc_id % 23 AS INTEGER) AS w
+  FROM pts
+),
+bbm AS (SELECT grp, bit_or(w) AS bm FROM bsrc GROUP BY 1)
+SELECT grp, CAST(bm AS BIGINT) AS bm,
+  CAST(bit_count(bm) AS BIGINT) AS n_cats_set
+FROM bbm
+""",
+        # bitmap algebra: word ops between east-neighbor cells
+        "q228_bitmap_overlap": f"""
+WITH {_PTS_CTE},
+bsrc AS (
+  SELECT ((lat_i + 900000000) >> 22) * 1024
+         + ((lon_i + 1800000000) >> 22) AS grp,
+    CAST(1 AS BIGINT) << CAST(doc_id % 23 AS INTEGER) AS w
+  FROM pts
+),
+bbm AS (SELECT grp, bit_or(w) AS bm FROM bsrc GROUP BY 1)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+  CAST(bit_count(a.bm & b.bm) AS BIGINT) AS n_both,
+  CAST(bit_count(a.bm | b.bm) AS BIGINT) AS n_either,
+  CAST(bit_count(a.bm & ~b.bm) AS BIGINT) AS n_only_a
+FROM bbm a JOIN bbm b ON b.grp = a.grp + 1
+""",
+        # k-anonymity: publish-or-generalize, residue flagged
+        "q229_k_anonymity": f"""
+WITH {_PTS_CTE},
+kc0 AS (
+  SELECT (lat_i + 900000000) >> 18 AS latb,
+         (lon_i + 1800000000) >> 18 AS lonb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+kr0 AS (SELECT * FROM kc0 WHERE n < 10),
+kc1 AS (
+  SELECT latb >> 2 AS latb, lonb >> 2 AS lonb,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM kr0 GROUP BY 1, 2
+),
+kr1 AS (SELECT * FROM kc1 WHERE n < 10),
+kc2 AS (
+  SELECT latb >> 2 AS latb, lonb >> 2 AS lonb,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM kr1 GROUP BY 1, 2
+)
+SELECT latb, lonb, CAST(0 AS BIGINT) AS level, n AS n_pub,
+       FALSE AS suppressed
+FROM kc0 WHERE n >= 10
+UNION ALL
+SELECT latb, lonb, CAST(1 AS BIGINT), n, FALSE
+FROM kc1 WHERE n >= 10
+UNION ALL
+SELECT latb, lonb, CAST(2 AS BIGINT), n, n < 10 FROM kc2
 """,
         # D8: argmin occupied neighbor via (n, dy, dx) ranking,
         # strictly-lower gate, pits at (0,0), inflow second pass

@@ -819,3 +819,104 @@ def test_ann_recall_identical_vectors(spark):
     assert len(out) == 3
     for r in out:
         assert r.n_exact == 3 and r.n_hit == 3
+
+
+# ---------------------------------------------------- MVCC snapshot
+
+
+def test_snapshot_read_time_travel(spark):
+    from osmgraft.operators.merge import snapshot_read
+
+    log = [
+        # (id, ver, text, deleted)
+        (1, 0, "a0", False), (1, 2, "a2", False),
+        (2, 0, "b0", False), (2, 1, "", True),   # dead at 1
+        (3, 0, "c0", False), (3, 1, "", True), (3, 3, "c3", False),
+        (4, 5, "d5", False),                      # born late
+    ]
+    df = spark.createDataFrame(
+        log, "doc_id long, ver long, text string, deleted boolean"
+    )
+
+    def state(t):
+        return {
+            r.doc_id: r.text
+            for r in snapshot_read(df, as_of=t).collect()
+        }
+
+    assert state(0) == {1: "a0", 2: "b0", 3: "c0"}
+    assert state(1) == {1: "a0"}            # 2 and 3 tombstoned
+    assert state(2) == {1: "a2"}
+    assert state(3) == {1: "a2", 3: "c3"}   # 3 resurrected
+    assert state(5) == {1: "a2", 3: "c3", 4: "d5"}
+
+
+# ----------------------------------------------------- bitmap index
+
+
+def test_category_bitmaps_and_overlap(spark):
+    from osmgraft.operators.bitmapix import (
+        bitmap_overlap,
+        category_bitmaps,
+    )
+
+    rows = [
+        ("t1", 0), ("t1", 0), ("t1", 3),
+        ("t2", 3), ("t2", 5),
+        ("t3", 62),
+    ]
+    df = spark.createDataFrame(rows, "tile string, host long")
+    bms = category_bitmaps(df, "tile", "host", n_cats=63)
+    got = {r.grp: (r.bm, r.n_cats_set) for r in bms.collect()}
+    assert got["t1"] == ((1 << 0) | (1 << 3), 2)
+    assert got["t2"] == ((1 << 3) | (1 << 5), 2)
+    assert got["t3"] == (1 << 62, 1)
+
+    pairs = spark.createDataFrame(
+        [("t1", "t2"), ("t1", "t3")],
+        "grp_a string, grp_b string",
+    )
+    ov = {
+        (r.grp_a, r.grp_b): (r.n_both, r.n_either, r.n_only_a)
+        for r in bitmap_overlap(bms, pairs).collect()
+    }
+    assert ov[("t1", "t2")] == (1, 3, 1)  # share host 3
+    assert ov[("t1", "t3")] == (0, 3, 2)
+
+
+def test_category_bitmaps_rejects_wide_domain(spark):
+    import pytest
+
+    from osmgraft.operators.bitmapix import category_bitmaps
+
+    df = spark.createDataFrame([("t", 0)], "tile string, host long")
+    with pytest.raises(ValueError):
+        category_bitmaps(df, "tile", "host", n_cats=64)
+
+
+# ------------------------------------------------------ k-anonymity
+
+
+def test_k_anonymous_cells_levels_and_mass(spark):
+    from osmgraft.operators.tiles import k_anonymous_cells
+
+    cells = (
+        [(0, 0, 50)]                      # publishes at level 0
+        + [(0, 1, 3), (1, 0, 4), (1, 1, 5)]  # merge -> 12 at lvl 1
+        + [(64, 64, 1)]                   # stays lonely -> lvl 2
+    )
+    df = spark.createDataFrame(
+        cells, "latb long, lonb long, n long"
+    )
+    out = k_anonymous_cells(df, k=10, levels=2, step=2).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    assert [(r.latb, r.lonb, r.n_pub, r.suppressed)
+            for r in by_level[0]] == [(0, 0, 50, False)]
+    assert [(r.latb, r.lonb, r.n_pub, r.suppressed)
+            for r in by_level[1]] == [(0, 0, 12, False)]
+    assert [(r.latb, r.lonb, r.n_pub, r.suppressed)
+            for r in by_level[2]] == [(4, 4, 1, True)]
+    # mass conservation: nothing silently dropped
+    assert sum(r.n_pub for r in out) == sum(n for _, _, n in cells)
