@@ -402,3 +402,83 @@ def test_interval_join_is_keyed_never_cartesian(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_stencil_operators_single_aggregation(spark):
+    """q215/q216 guard: the contour/morphology stencils are the
+    explode-vote trick — ONE hash-partitioned aggregation
+    exchange, no sort-merge join, no cartesian (the offsets table
+    rides as a broadcast of literal rows)."""
+    from osmgraft.operators.tiles import (
+        contour_cases,
+        raster_morphology,
+    )
+
+    cells = spark.createDataFrame(
+        [(y, x, 10) for y in range(4) for x in range(4)],
+        "latb long, lonb long, n long",
+    )
+    for df in (
+        contour_cases(cells, threshold=3),
+        raster_morphology(cells, threshold=3),
+    ):
+        plan = _plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_bitmap_index_single_shuffle(spark):
+    """q227 guard: the bitmap build is one map-side-combined
+    bit_or groupBy — per-group state one long, one exchange."""
+    from osmgraft.operators.bitmapix import category_bitmaps
+
+    df = spark.createDataFrame(
+        [("t", i % 7) for i in range(100)],
+        "tile string, host long",
+    )
+    plan = _plan(category_bitmaps(df, "tile", "host", 23))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_sequence_ngrams_no_join(spark):
+    """q223 guard: grams come from leads in ONE per-key window —
+    no self-join of the event stream."""
+    from osmgraft.operators.events import sequence_ngrams
+
+    df = spark.createDataFrame(
+        [(i, i, i % 5, f"e{i % 3}") for i in range(50)],
+        "event_id long, ts long, user_id long, event_type string",
+    )
+    plan = _plan(sequence_ngrams(df, n=3, t_col="ts"))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_read_no_join(spark):
+    """q226 guard: the MVCC read is filter + one per-id window —
+    no join against anything."""
+    from osmgraft.operators.merge import snapshot_read
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", False), (1, 1, "b", False)],
+        "doc_id long, ver long, text string, deleted boolean",
+    )
+    plan = _plan(snapshot_read(df, as_of=1))
+    assert "Join" not in plan
+
+
+def test_survival_no_subject_explosion(spark):
+    """q224 guard: at-risk comes from the delta trick — the plan
+    never joins subjects against a calendar (no range join, no
+    explode of user x day)."""
+    from osmgraft.operators.events import survival_table
+
+    df = spark.createDataFrame(
+        [(i, 0, 5) for i in range(50)],
+        "user_id long, first_day long, last_day long",
+    )
+    plan = _plan(survival_table(df))
+    assert "Generate explode" not in plan
+    assert "CartesianProduct" not in plan
