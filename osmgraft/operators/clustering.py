@@ -184,3 +184,50 @@ def kmeans_summary(
         F.min("dist2").cast("long").alias("min_d2"),
         F.max("dist2").cast("long").alias("max_d2"),
     )
+
+
+def cluster_purity(
+    assign: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """Clustering quality against ground-truth labels: per
+    cluster, the majority label (ties toward the SMALLEST label,
+    deterministic), its support and the cluster size — purity's
+    exact integer sufficient statistics (n_major/n_total summed
+    over clusters IS the standard purity score; the division is
+    report-layer territory). The evaluation harness for the
+    k-means/IVF trainers above, the same measure-your-own-index
+    pattern as the ANN recall evaluation (q222).
+
+    Shape: one id equi-join against the label table, one
+    partial-aggregable (cluster, label) count, one argmax-by-
+    struct per cluster. No windows, no driver state."""
+    j = assign.select(id_col, cluster_col).join(
+        labels.select(id_col, label_col), id_col
+    )
+    counts = j.groupBy(cluster_col, label_col).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        counts.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c").alias("c"),
+                    (-F.col(label_col).cast("long")).alias("nl"),
+                )
+            ).alias("b"),
+            F.sum("c").cast("long").alias("n_total"),
+            F.count("*").cast("long").alias("n_labels"),
+        )
+        .select(
+            cluster_col,
+            (-F.col("b.nl")).cast("long").alias("major_label"),
+            F.col("b.c").cast("long").alias("n_major"),
+            "n_total",
+            "n_labels",
+        )
+    )

@@ -236,3 +236,61 @@ def rendezvous_shards(
     ).withColumn(
         "moved", F.col("shard") != F.col("shard_after")
     )
+
+
+def apportion_budget(
+    strata: DataFrame,
+    budget: int,
+    key_col: str = "stratum",
+    n_col: str = "n",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer
+    budget across strata proportional to their sizes — the exact
+    quota planner behind stratified sampling and shard sizing
+    (public apportionment method; the one that never strands more
+    than one unit per stratum and sums EXACTLY to the budget,
+    unlike independent rounding). Ties in the remainder rank break
+    toward the smaller stratum key, deterministic.
+
+        base_s = B * n_s div N;  leftover = B - sum(base)
+        top-`leftover` strata by (remainder DESC, key ASC) get +1
+
+    Shape: one 1-row total broadcast back onto the STRATA table
+    (bounded — strata are groups, not rows), one rank window over
+    that same bounded table. Output (stratum, n, quota) with
+    sum(quota) == budget by construction."""
+    from pyspark.sql import Window
+
+    b = int(budget)
+    base = strata.select(
+        F.col(key_col).alias("stratum"),
+        F.col(n_col).cast("long").alias("n"),
+    )
+    tot = base.agg(F.sum("n").cast("long").alias("ntot"))
+    quotas = base.join(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        F.expr(f"({b} * n) div ntot").cast("long").alias("q0"),
+        F.expr(f"({b} * n) % ntot").cast("long").alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("stratum"))
+    leftover = quotas.join(
+        F.broadcast(
+            quotas.agg(
+                (F.lit(b) - F.sum("q0")).cast("long").alias("L")
+            )
+        )
+    )
+    return (
+        leftover.withColumn("_rk", F.row_number().over(w))
+        .select(
+            "stratum",
+            "n",
+            (
+                F.col("q0")
+                + (F.col("_rk") <= F.col("L")).cast("long")
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

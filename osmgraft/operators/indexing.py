@@ -233,3 +233,44 @@ def key_skew_report(
             ),
         )
     )
+
+
+def gini_parts(
+    values: DataFrame, v_col: str = "v", id_col: str = "id"
+) -> DataFrame:
+    """Gini coefficient of a non-negative value distribution as
+    its exact integer parts (the standard sorted-rank closed
+    form, public):
+
+        G = (2 * sum_i i * x_(i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with x_(i) the i-th smallest value under the deterministic
+    (value, id) order. Output one row (n, total, gini_num,
+    gini_den); the dimensionless coefficient is the caller's
+    division. Companion diagnostic to the log2 key-skew spectrum
+    (q203): skew says WHERE the mass piles up, Gini scores HOW
+    unequal the whole layout is — the single number a partitioning
+    reviewer tracks across snapshots.
+
+    Shape: one rank window over the INPUT table — meant for
+    bounded group/cell rollups (the q232 use feeds grid cells),
+    where the funnel is histogram-sized, never corpus-sized —
+    then a 1-row final aggregate."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(v_col, id_col)
+    ranked = values.select(
+        F.col(v_col).cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+        (
+            F.lit(2) * F.sum(F.col("i") * F.col("x"))
+            - (F.count("*") + 1) * F.sum("x")
+        )
+        .cast("long")
+        .alias("gini_num"),
+        (F.count("*") * F.sum("x")).cast("long").alias("gini_den"),
+    )

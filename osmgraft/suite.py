@@ -6081,6 +6081,57 @@ def q229_k_anonymity(spark, sf_dir):
     return k_anonymous_cells(cells, k=10, levels=2, step=2)
 
 
+def q230_apportion_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a 1000-unit sampling
+    budget across the 23 host strata (operators/export.
+    apportion_budget): exact Hamilton quotas that sum to the
+    budget by construction, remainder ties toward the smaller
+    stratum key."""
+    from .operators.export import apportion_budget
+
+    strata = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            F.concat(
+                F.lit("host"), (F.col("doc_id") % 23).cast("string")
+            ).alias("stratum")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return apportion_budget(strata, budget=1000)
+
+
+def q231_cluster_purity(spark, sf_dir):
+    """Clustering evaluation against the planted embedding labels
+    (operators/clustering.cluster_purity): the q82 k-means
+    assignment joined to ground truth — per cluster the majority
+    label, its support, the size and the distinct-label count,
+    purity's exact sufficient statistics. Oracle composes the
+    unrolled k-means oracle with the same argmax."""
+    from .operators.clustering import cluster_purity, kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    asg = kmeans_assign(emb, k=8, n_iter=2)
+    return cluster_purity(asg, emb.select("vec_id", "label"))
+
+
+def q232_cell_gini(spark, sf_dir):
+    """Spatial concentration in one number (operators/indexing.
+    gini_parts): the exact integer Gini coefficient parts of the
+    shift-22 per-cell document counts — the inequality score of
+    the tile layout, companion to the q203 key-skew spectrum."""
+    from .operators.indexing import gini_parts
+
+    pts = doc_points(spark, sf_dir)
+    cells = pts.groupBy(
+        (
+            F.shiftright(F.col("lat_i") + 900_000_000, 22) * 1024
+            + F.shiftright(F.col("lon_i") + 1_800_000_000, 22)
+        ).alias("id")
+    ).agg(F.count("*").cast("long").alias("v"))
+    return gini_parts(cells)
+
+
 def q215_contour_cases(spark, sf_dir):
     """Marching-squares contour extraction over the shift-22
     density raster (operators/tiles.contour_cases): cells above
@@ -6262,6 +6313,9 @@ QUERIES = {
     "q227_bitmap_cells": q227_bitmap_cells,
     "q228_bitmap_overlap": q228_bitmap_overlap,
     "q229_k_anonymity": q229_k_anonymity,
+    "q230_apportion_budget": q230_apportion_budget,
+    "q231_cluster_purity": q231_cluster_purity,
+    "q232_cell_gini": q232_cell_gini,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -8620,6 +8674,76 @@ SELECT day,
   deaths
 FROM scurve
 QUALIFY at_risk > 0
+""",
+        # Hamilton apportionment: floor quotas + largest remainders
+        "q230_apportion_budget": """
+WITH astr AS (
+  SELECT 'host' || CAST(doc_id % 23 AS VARCHAR) AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+atot AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM astr),
+aq AS (
+  SELECT a.stratum, a.n,
+    CAST((1000 * a.n) // t.ntot AS BIGINT) AS q0,
+    CAST((1000 * a.n) % t.ntot AS BIGINT) AS rem
+  FROM astr a, atot t
+),
+al AS (SELECT CAST(1000 - SUM(q0) AS BIGINT) AS L FROM aq),
+ar AS (
+  SELECT stratum, n, q0, rem,
+    ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk
+  FROM aq
+)
+SELECT stratum, n,
+  CAST(q0 + CASE WHEN rk <= l.L THEN 1 ELSE 0 END AS BIGINT)
+    AS quota
+FROM ar, al l
+""",
+        # purity: the unrolled k-means oracle joined to labels,
+        # per-cluster argmax by (count DESC, label ASC)
+        "q231_cluster_purity": f"""
+WITH asg AS ({_kmeans_oracle()}),
+pj AS (
+  SELECT a.cluster, CAST(e.label AS BIGINT) AS label
+  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+pc AS (
+  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pj GROUP BY 1, 2
+),
+pr AS (
+  SELECT cluster, label, c,
+    ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY c DESC, label) AS rn,
+    SUM(c) OVER (PARTITION BY cluster) AS tot,
+    COUNT(*) OVER (PARTITION BY cluster) AS nl
+  FROM pc
+)
+SELECT cluster, label AS major_label, c AS n_major,
+  CAST(tot AS BIGINT) AS n_total, CAST(nl AS BIGINT) AS n_labels
+FROM pr WHERE rn = 1
+""",
+        # Gini: sorted-rank closed form over the cell rollup
+        "q232_cell_gini": f"""
+WITH {_PTS_CTE},
+gci AS (
+  SELECT ((lat_i + 900000000) >> 22) * 1024
+         + ((lon_i + 1800000000) >> 22) AS id,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM pts GROUP BY 1
+),
+gcr AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, id) AS BIGINT)
+         AS i
+  FROM gci
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(x) AS BIGINT) AS total,
+  CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT)
+    AS gini_num,
+  CAST(COUNT(*) * SUM(x) AS BIGINT) AS gini_den
+FROM gcr
 """,
         # MVCC: latest visible change per id at ver <= 2,
         # tombstones absent

@@ -920,3 +920,92 @@ def test_k_anonymous_cells_levels_and_mass(spark):
             for r in by_level[2]] == [(4, 4, 1, True)]
     # mass conservation: nothing silently dropped
     assert sum(r.n_pub for r in out) == sum(n for _, _, n in cells)
+
+
+# ---------------------------------------------------- apportionment
+
+
+def test_apportion_budget_exact_sum_and_ties(spark):
+    from osmgraft.operators.export import apportion_budget
+
+    strata = [("a", 1), ("b", 1), ("c", 1)]
+    df = spark.createDataFrame(strata, "stratum string, n long")
+    got = {
+        r.stratum: r.quota
+        for r in apportion_budget(df, budget=10).collect()
+    }
+    # 10/3: floors 3,3,3; one leftover unit -> smallest key
+    assert got == {"a": 4, "b": 3, "c": 3}
+
+    rng = random.Random(31)
+    strata = [(f"s{i}", 1 + rng.randrange(100)) for i in range(17)]
+    df = spark.createDataFrame(strata, "stratum string, n long")
+    for b in (0, 1, 500, 12345):
+        rows = apportion_budget(df, budget=b).collect()
+        assert sum(r.quota for r in rows) == b
+        total = sum(n for _, n in strata)
+        for r in rows:
+            n = dict(strata)[r.stratum]
+            assert b * n // total <= r.quota <= b * n // total + 1
+
+
+# --------------------------------------------------- cluster purity
+
+
+def test_cluster_purity_majorities(spark):
+    from osmgraft.operators.clustering import cluster_purity
+
+    asg = spark.createDataFrame(
+        [(i, i % 2, 0) for i in range(10)],
+        "vec_id long, cluster long, dist2 long",
+    )
+    # cluster 0 = even ids: labels 7,7,7,2,2 -> major 7
+    # cluster 1 = odd ids: labels 5,5,9,9,1 -> tie 5/9 -> 5
+    labels = [
+        (0, 7), (2, 7), (4, 7), (6, 2), (8, 2),
+        (1, 5), (3, 5), (5, 9), (7, 9), (9, 1),
+    ]
+    lab = spark.createDataFrame(labels, "vec_id long, label long")
+    got = {
+        r.cluster: (r.major_label, r.n_major, r.n_total, r.n_labels)
+        for r in cluster_purity(asg, lab).collect()
+    }
+    assert got[0] == (7, 3, 5, 2)
+    assert got[1] == (5, 2, 5, 3)
+
+
+# ------------------------------------------------------------- Gini
+
+
+def _gini_replay(vals):
+    sv = sorted(vals)
+    n = len(sv)
+    tot = sum(sv)
+    num = 2 * sum((i + 1) * x for i, x in enumerate(sv)) \
+        - (n + 1) * tot
+    return n, tot, num, n * tot
+
+
+def test_gini_parts_replay_and_extremes(spark):
+    from osmgraft.operators.indexing import gini_parts
+
+    rng = random.Random(17)
+    vals = [rng.randrange(1000) for _ in range(101)]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    r = gini_parts(df).collect()[0]
+    assert (r.n, r.total, r.gini_num, r.gini_den) == _gini_replay(
+        vals
+    )
+    # perfectly equal -> num 0; single hoarder -> num/den -> 1-1/n
+    eq = spark.createDataFrame(
+        [(5, i) for i in range(10)], "v long, id long"
+    )
+    r = gini_parts(eq).collect()[0]
+    assert r.gini_num == 0
+    hoard = spark.createDataFrame(
+        [(0, i) for i in range(9)] + [(90, 9)], "v long, id long"
+    )
+    r = gini_parts(hoard).collect()[0]
+    assert r.gini_num * 10 == r.gini_den * 9  # G = 0.9 exactly

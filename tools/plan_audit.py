@@ -148,6 +148,19 @@ EXPECTED_ONEPART = {
         " cells for the exact lift products (marginals themselves"
         " stay partitioned)",
     ),
+    "q230_apportion_budget": (
+        4,
+        "everything after the host groupBy operates on the"
+        " 23-ROW strata table: the 1-row total, the 1-row"
+        " leftover, and the remainder-rank window over the"
+        " bounded strata — groups, never rows",
+    ),
+    "q232_cell_gini": (
+        1,
+        "the sorted-rank window runs over the CELL rollup"
+        " (grid cells, bounded) and the result is one row —"
+        " the q105 histogram-funnel pattern",
+    ),
     "q224_survival_counts": (
         1,
         "the running at-risk sum over the CHANGE-POINT table"
