@@ -1742,3 +1742,59 @@ def simplify_traces_dp(
             ).where(F.col("j") > F.col("i") + 1)
         )
     return kept.distinct()
+
+
+def trace_surprisal(
+    traces: DataFrame, shift: int = 22
+) -> DataFrame:
+    """Route predictability scoring: each trace's total transition
+    surprisal under the corpus's own first-order cell Markov model
+    — per step, the integer code length floor_log2(total_from_src)
+    - floor_log2(count_src_to_dst) (the lm.py floor-log2
+    discipline: an exact-integer stand-in for -log2 P that every
+    engine reproduces bit-for-bit). A commuter on the crowd's
+    rails scores near 0; a trace cutting against every observed
+    flow scores high — the trajectory-anomaly ranking that
+    complements gps_jumps' physics checks with BEHAVIORAL
+    surprise.
+
+    Shape: the q217 transition build (one per-trace window, one
+    (src, dst) partial-aggregable count), a src-total rollup, two
+    equi-joins back onto the per-step transitions, one per-trace
+    sum. Model tables are cell-pair sized — broadcast-friendly
+    against billions of steps."""
+    latb = F.shiftright(F.col("lat_i") + 900_000_000, shift)
+    lonb = F.shiftright(F.col("lon_i") + 1_800_000_000, shift)
+    lon_bits = max(int(3_600_000_000 >> shift).bit_length(), 1)
+    pack = 1 << lon_bits
+    w = Window.partitionBy("trace_id").orderBy("step")
+    steps = traces.select(
+        "trace_id", "step", (latb * pack + lonb).alias("cell")
+    )
+    trans = (
+        steps.withColumn("nxt", F.lead("cell").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "trace_id",
+            F.col("cell").alias("src"),
+            F.col("nxt").alias("dst"),
+        )
+    )
+    counts = trans.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    totals = counts.groupBy("src").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    bits = F.length(F.bin(F.col("t"))) - F.length(
+        F.bin(F.col("c"))
+    )
+    return (
+        trans.join(counts, ["src", "dst"])
+        .join(totals, "src")
+        .groupBy("trace_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trans"),
+            F.sum(bits).cast("long").alias("cost_total"),
+        )
+    )

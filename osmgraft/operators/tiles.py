@@ -782,3 +782,56 @@ def k_anonymous_cells(
                 F.shiftright("lonb", int(step)).alias("lonb"),
             ).agg(F.sum("n").cast("long").alias("n"))
     return out
+
+
+def cover_compaction(
+    cells: DataFrame, levels: int = 2
+) -> DataFrame:
+    """Minimal-cover normalization of a cell set: wherever all 4
+    children of a parent cell are covered, replace them by the
+    parent, repeatedly for `levels` levels — the S2/quadkey
+    cell-union normalization every spatial index applies before
+    storing a covering (public cell-hierarchy practice). Output is
+    the compacted cover as (level, latb, lonb) rows in each
+    level's own grid units; it covers exactly the input set, with
+    sum(4^level) conserved (no silent area change).
+
+    Shape: one partial-aggregable parent groupBy plus one
+    broadcast-friendly anti-join per level, over a table that only
+    SHRINKS (complete families leave as one parent; incomplete
+    cells exit to the output). `levels` is log-bounded by grid
+    depth; dense continents collapse bottom-up while sparse
+    coastlines exit early."""
+    out = None
+    cur = cells.select("latb", "lonb").distinct()
+    for lvl in range(1, int(levels) + 1):
+        par = cur.groupBy(
+            F.shiftright("latb", 1).alias("platb"),
+            F.shiftright("lonb", 1).alias("plonb"),
+        ).agg(F.count("*").alias("_nc"))
+        complete = par.where(F.col("_nc") == 4).select(
+            "platb", "plonb"
+        )
+        kept = (
+            cur.withColumn(
+                "platb", F.shiftright("latb", 1)
+            )
+            .withColumn("plonb", F.shiftright("lonb", 1))
+            .join(complete, ["platb", "plonb"], "left_anti")
+            .select(
+                F.lit(lvl - 1).cast("long").alias("level"),
+                "latb",
+                "lonb",
+            )
+        )
+        out = kept if out is None else out.unionByName(kept)
+        cur = complete.select(
+            F.col("platb").alias("latb"),
+            F.col("plonb").alias("lonb"),
+        )
+    top = cur.select(
+        F.lit(int(levels)).cast("long").alias("level"),
+        "latb",
+        "lonb",
+    )
+    return out.unionByName(top)

@@ -6132,6 +6132,26 @@ def q232_cell_gini(spark, sf_dir):
     return gini_parts(cells)
 
 
+def q233_cover_compaction(spark, sf_dir):
+    """Minimal-cover normalization of the occupied shift-22 cell
+    set (operators/tiles.cover_compaction): complete 4-child
+    families collapse to their parent for 2 levels, the
+    S2/quadkey cell-union normalization — output covers exactly
+    the input cells, area conserved."""
+    from .operators.tiles import cover_compaction
+
+    pts = doc_points(spark, sf_dir)
+    cells = pts.select(
+        F.shiftright(F.col("lat_i") + 900_000_000, 22).alias(
+            "latb"
+        ),
+        F.shiftright(F.col("lon_i") + 1_800_000_000, 22).alias(
+            "lonb"
+        ),
+    )
+    return cover_compaction(cells, levels=2)
+
+
 def q215_contour_cases(spark, sf_dir):
     """Marching-squares contour extraction over the shift-22
     density raster (operators/tiles.contour_cases): cells above
@@ -6316,6 +6336,7 @@ QUERIES = {
     "q230_apportion_budget": q230_apportion_budget,
     "q231_cluster_purity": q231_cluster_purity,
     "q232_cell_gini": q232_cell_gini,
+    "q233_cover_compaction": q233_cover_compaction,
     "q36_geobase_build": q36_geobase_build,
     "q37_geocode_text": q37_geocode_text,
     "q40_tile_doc_lists": q40_tile_doc_lists,
@@ -8744,6 +8765,40 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
     AS gini_num,
   CAST(COUNT(*) * SUM(x) AS BIGINT) AS gini_den
 FROM gcr
+""",
+        # cover compaction: complete 4-child families collapse,
+        # two unrolled levels
+        "q233_cover_compaction": f"""
+WITH {_PTS_CTE},
+cc0 AS (
+  SELECT DISTINCT (lat_i + 900000000) >> 22 AS latb,
+                  (lon_i + 1800000000) >> 22 AS lonb
+  FROM pts
+),
+cp1 AS (
+  SELECT latb >> 1 AS platb, lonb >> 1 AS plonb, COUNT(*) AS nc
+  FROM cc0 GROUP BY 1, 2
+),
+cm1 AS (SELECT platb, plonb FROM cp1 WHERE nc = 4),
+ck0 AS (
+  SELECT CAST(0 AS BIGINT) AS level, latb, lonb FROM cc0 c
+  WHERE NOT EXISTS (SELECT 1 FROM cm1 m
+    WHERE m.platb = c.latb >> 1 AND m.plonb = c.lonb >> 1)
+),
+cc1 AS (SELECT platb AS latb, plonb AS lonb FROM cm1),
+cp2 AS (
+  SELECT latb >> 1 AS platb, lonb >> 1 AS plonb, COUNT(*) AS nc
+  FROM cc1 GROUP BY 1, 2
+),
+cm2 AS (SELECT platb, plonb FROM cp2 WHERE nc = 4),
+ck1 AS (
+  SELECT CAST(1 AS BIGINT) AS level, latb, lonb FROM cc1 c
+  WHERE NOT EXISTS (SELECT 1 FROM cm2 m
+    WHERE m.platb = c.latb >> 1 AND m.plonb = c.lonb >> 1)
+)
+SELECT * FROM ck0
+UNION ALL SELECT * FROM ck1
+UNION ALL SELECT CAST(2 AS BIGINT), platb, plonb FROM cm2
 """,
         # MVCC: latest visible change per id at ver <= 2,
         # tombstones absent

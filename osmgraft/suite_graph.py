@@ -602,6 +602,20 @@ def q219_simplify_dp(spark, sf_dir):
     )
 
 
+def q234_trace_surprisal(spark, sf_dir):
+    """Behavioral trajectory anomaly: per-trace total transition
+    surprisal under the corpus's own cell Markov model
+    (operators/linecover.trace_surprisal) — integer floor-log2
+    code lengths (the lm.py discipline), so a trace riding the
+    crowd's flows scores near zero and one cutting against them
+    ranks to the top, bit-exact vs the SQL twin."""
+    from .operators.linecover import trace_surprisal
+
+    return trace_surprisal(
+        _jittered_traces(_nodes(spark, sf_dir)), shift=22
+    )
+
+
 def q162_convex_hull(spark, sf_dir):
     """Exact per-tile convex hull of the document points: the
     coverage footprint a tiling product draws per shift-22 cell
@@ -793,6 +807,7 @@ GRAPH_QUERIES = {
     "q213_trace_edr": q213_trace_edr,
     "q217_markov_next": q217_markov_next,
     "q219_simplify_dp": q219_simplify_dp,
+    "q234_trace_surprisal": q234_trace_surprisal,
     "q162_convex_hull": q162_convex_hull,
     "q183_way_centroids": q183_way_centroids,
     "q184_way_chains": q184_way_chains,
@@ -1958,6 +1973,36 @@ mrank AS (
 SELECT src, dst AS best_next, c AS n_best,
        CAST(tot AS BIGINT) AS n_total
 FROM mrank WHERE rn = 1
+""",
+        # surprisal: floor-log2 code lengths from the same
+        # transition model, summed per trace
+        "q234_trace_surprisal": f"""
+WITH {pts_cte},
+{_JTR_CTE},
+scl AS (
+  SELECT trace_id, step,
+    ((lat_i + 900000000) >> 22) * 1024
+      + ((lon_i + 1800000000) >> 22) AS cell
+  FROM jtr
+),
+str_ AS (
+  SELECT trace_id, cell AS src,
+    LEAD(cell) OVER (PARTITION BY trace_id ORDER BY step) AS dst
+  FROM scl
+),
+stp AS (SELECT trace_id, src, dst FROM str_
+        WHERE dst IS NOT NULL),
+scn AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+        FROM stp GROUP BY 1, 2),
+stt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS t
+        FROM scn GROUP BY 1)
+SELECT p.trace_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+  CAST(SUM(length(printf('%b', tt.t))
+           - length(printf('%b', cn.c))) AS BIGINT) AS cost_total
+FROM stp p
+JOIN scn cn ON cn.src = p.src AND cn.dst = p.dst
+JOIN stt tt ON tt.src = p.src
+GROUP BY 1
 """,
         # Douglas-Peucker: three unrolled split rounds; the
         # deviation test squares the cross product as HUGEINT

@@ -1009,3 +1009,72 @@ def test_gini_parts_replay_and_extremes(spark):
     )
     r = gini_parts(hoard).collect()[0]
     assert r.gini_num * 10 == r.gini_den * 9  # G = 0.9 exactly
+
+
+# ------------------------------------------------- cover compaction
+
+
+def test_cover_compaction_collapse_and_conserve(spark):
+    from osmgraft.operators.tiles import cover_compaction
+
+    # one complete 4x4 block (collapses two levels) + a lone cell
+    cells = [(y, x) for y in range(4) for x in range(4)] + [(9, 9)]
+    df = spark.createDataFrame(cells, "latb long, lonb long")
+    got = {
+        (r.level, r.latb, r.lonb)
+        for r in cover_compaction(df, levels=2).collect()
+    }
+    assert got == {(2, 0, 0), (0, 9, 9)}
+
+    # a 2x2 family plus one extra child of another parent:
+    # family collapses to level 1, the orphan stays at level 0
+    cells = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2)]
+    df = spark.createDataFrame(cells, "latb long, lonb long")
+    got = {
+        (r.level, r.latb, r.lonb)
+        for r in cover_compaction(df, levels=2).collect()
+    }
+    assert got == {(1, 0, 0), (0, 0, 2)}
+    # covered area conserved: sum of 4^level cell equivalents
+    area = sum(4 ** lvl for lvl, _, _ in got)
+    assert area == 5
+
+
+# -------------------------------------------------- trace surprisal
+
+
+def test_trace_surprisal_rails_vs_maverick(spark):
+    from osmgraft.operators.linecover import trace_surprisal
+
+    side = 1 << 20
+
+    def pt(cy, cx):
+        return (cy * side + 5 - 900_000_000,
+                cx * side + 5 - 1_800_000_000)
+
+    # 9 commuters ride A->B->C; 1 maverick goes A->D->C
+    rows = []
+    for tid in range(9):
+        path = [pt(0, 0), pt(0, 1), pt(0, 2)]
+        rows += [
+            (tid, s, lat, lon)
+            for s, (lat, lon) in enumerate(path)
+        ]
+    rows += [
+        (99, s, lat, lon)
+        for s, (lat, lon) in enumerate(
+            [pt(0, 0), pt(1, 1), pt(0, 2)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id long, step long, lat_i long, lon_i long"
+    )
+    got = {
+        r.trace_id: (r.n_trans, r.cost_total)
+        for r in trace_surprisal(df, shift=20).collect()
+    }
+    # commuter: step1 cost bits(10)-bits(9), step2 bits(9)-bits(9)
+    assert got[0] == (2, (10).bit_length() - (9).bit_length())
+    # maverick: bits(10)-bits(1) + bits(1)-bits(1)
+    assert got[99] == (2, (10).bit_length() - 1)
+    assert got[99][1] > got[0][1]
