@@ -28,9 +28,14 @@ def category_bitmaps(
 ) -> DataFrame:
     """df -> one row per group with the packed membership bitmap:
     bit c set iff some row of the group has category c (categories
-    must be 0 <= c < n_cats <= 63). Output (group, bm, n_cats_set)
-    — bm is bit_or(1 << c), n_cats_set its popcount, both exact
-    int64 and engine-portable."""
+    must be 0 <= c < n_cats <= 63). Rows whose category falls
+    outside that range contribute NOTHING (NULL to the bit_or) —
+    Spark's shiftleft masks the shift count to 6 bits, so an
+    unguarded out-of-range value would silently alias onto a low
+    bit; exclusion is the detectable contract, and the caller
+    pre-validates if absence must be an error. Output (group, bm,
+    n_cats_set) — bm is bit_or(1 << c), n_cats_set its popcount,
+    both exact int64 and engine-portable."""
     if not 0 < int(n_cats) <= 63:
         raise ValueError("n_cats must be in 1..63")
     return (
@@ -39,12 +44,17 @@ def category_bitmaps(
             # F.shiftleft takes a literal bit count; a per-row
             # shift must go through the SQL function
             F.expr(
-                f"shiftleft(CAST(1 AS BIGINT),"
-                f" CAST({cat_col} AS INT))"
+                f"CASE WHEN {cat_col} BETWEEN 0 AND {int(n_cats) - 1}"
+                f" THEN shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({cat_col} AS INT)) END"
             ).alias("w"),
         )
         .groupBy("grp")
-        .agg(F.bit_or("w").cast("long").alias("bm"))
+        .agg(
+            F.coalesce(F.bit_or("w"), F.lit(0))
+            .cast("long")
+            .alias("bm")
+        )
         .select(
             "grp",
             "bm",

@@ -926,7 +926,9 @@ def winsorized_stats(
     (1-based under the deterministic (value, id) order); the
     clamp bounds are the VALUES at those ranks — deterministic
     regardless of tie order — so the winsorized sum is exact
-    int64 and oracle-checkable.
+    int64 and oracle-checkable. pct must lie in [0, 50): at 50
+    the bounds cross, and at 100 the lo-bound row vanishes —
+    both rejected loudly instead of clamping nonsense.
 
     Shape: one window sort per key for ranks, two 1-row-per-key
     bound extractions equi-joined back, one partial-aggregable
@@ -935,6 +937,8 @@ def winsorized_stats(
     above."""
     from pyspark.sql import Window
 
+    if not 0 <= int(pct) < 50:
+        raise ValueError("pct must be in [0, 50)")
     base = values.select(
         F.col(key_col).alias("k"),
         F.col(v_col).cast("long").alias("x"),
@@ -1053,8 +1057,13 @@ def sequence_ngrams(
         ],
     )
     parts = [F.col(f"_e{j}") for j in range(int(n))]
+    # every part must be non-null: concat_ws silently SKIPS
+    # interior NULLs, which would mint malformed short grams
+    nn = parts[0].isNotNull()
+    for p in parts[1:]:
+        nn = nn & p.isNotNull()
     return (
-        lagged.where(parts[-1].isNotNull())
+        lagged.where(nn)
         .select(F.concat_ws(">", *parts).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").cast("long").alias("n_runs"))

@@ -1600,13 +1600,11 @@ def trace_markov_predictor(
 
     NOT from the reference — extends the q125 transition-matrix
     family with the predictor/accuracy layer."""
-    latb = F.shiftright(F.col("lat_i") + 900_000_000, shift)
-    lonb = F.shiftright(F.col("lon_i") + 1_800_000_000, shift)
-    lon_bits = max(int(3_600_000_000 >> shift).bit_length(), 1)
-    pack = 1 << lon_bits
     w = Window.partitionBy("trace_id").orderBy("step")
     steps = traces.select(
-        "trace_id", "step", (latb * pack + lonb).alias("cell")
+        "trace_id",
+        "step",
+        point_cell_col("lat_i", "lon_i", shift).alias("cell"),
     )
     trans = (
         steps.withColumn("nxt", F.lead("cell").over(w))
@@ -1693,16 +1691,16 @@ def simplify_traces_dp(
             (F.col("step") > F.col("i"))
             & (F.col("step") < F.col("j"))
         )
-        cross = (
-            (F.col("xj") - F.col("xi")) * (F.col("y") - F.col("yi"))
-            - (F.col("yj") - F.col("yi"))
-            * (F.col("x") - F.col("xi"))
-        ).cast("decimal(38,0)")
-        len2 = (
-            (F.col("xj") - F.col("xi")) * (F.col("xj") - F.col("xi"))
-            + (F.col("yj") - F.col("yi"))
-            * (F.col("yj") - F.col("yi"))
-        ).cast("decimal(38,0)")
+        # deltas cast BEFORE multiplying: at full-extent spans the
+        # products overflow int64 (len2 up to ~1.2e19), and Spark
+        # would wrap silently where DuckDB's BIGINT raises — the
+        # decimal discipline must start at the first multiply
+        dx = (F.col("xj") - F.col("xi")).cast("decimal(38,0)")
+        dy = (F.col("yj") - F.col("yi")).cast("decimal(38,0)")
+        px = (F.col("x") - F.col("xi")).cast("decimal(38,0)")
+        py = (F.col("y") - F.col("yi")).cast("decimal(38,0)")
+        cross = dx * py - dy * px
+        len2 = dx * dx + dy * dy
         return k.select(
             "trace_id", "i", "j", "step",
             (cross * cross).alias("c2"),
@@ -1763,13 +1761,11 @@ def trace_surprisal(
     equi-joins back onto the per-step transitions, one per-trace
     sum. Model tables are cell-pair sized — broadcast-friendly
     against billions of steps."""
-    latb = F.shiftright(F.col("lat_i") + 900_000_000, shift)
-    lonb = F.shiftright(F.col("lon_i") + 1_800_000_000, shift)
-    lon_bits = max(int(3_600_000_000 >> shift).bit_length(), 1)
-    pack = 1 << lon_bits
     w = Window.partitionBy("trace_id").orderBy("step")
     steps = traces.select(
-        "trace_id", "step", (latb * pack + lonb).alias("cell")
+        "trace_id",
+        "step",
+        point_cell_col("lat_i", "lon_i", shift).alias("cell"),
     )
     trans = (
         steps.withColumn("nxt", F.lead("cell").over(w))

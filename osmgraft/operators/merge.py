@@ -224,6 +224,11 @@ def snapshot_read(
     semantics). Each id's visible row is its LAST change with
     ver <= as_of (ties broken by the highest ver, deterministic);
     an id whose last visible change is a tombstone is absent.
+    Ties WITHIN a version (one commit touching an id twice) break
+    deterministically with the tombstone winning — (ver, deleted)
+    DESC — so reruns and repartitionings agree; changelogs with
+    two same-version upserts carrying different payloads are
+    outside the contract (add a sequence column upstream).
 
     Complements change_apply/diff above: those move between two
     adjacent snapshots; this jumps to ANY recorded version in one
@@ -234,7 +239,9 @@ def snapshot_read(
     Shape: one filter (pushed to the scan), one per-id window
     row_number over that id's own history (state bounded by
     versions-per-id), one tombstone filter. No joins."""
-    w = Window.partitionBy(id_col).orderBy(F.col(ver_col).desc())
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(ver_col).desc(), F.col(del_col).desc()
+    )
     return (
         changelog.where(F.col(ver_col) <= F.lit(int(as_of)))
         .withColumn("_rn", F.row_number().over(w))

@@ -5371,25 +5371,7 @@ def q68_host_pagerank(spark, sf_dir):
     unrolled SQL oracle — no float aggregation-order drift."""
     from .operators.linkgraph import host_pagerank
 
-    d = F.col("doc_id")
-    dst_idx = F.pmod(
-        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
-    )
-    edges = (
-        load(spark, sf_dir, "documents")
-        .filter(d % 3 == 0)
-        .select(
-            F.concat(F.lit("host"), (d % 23).cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
-                "dst"
-            ),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    return host_pagerank(edges, iters=3)
+    return host_pagerank(_host_edges(spark, sf_dir), iters=3)
 
 
 def q192_seed_pagerank(spark, sf_dir):
@@ -5401,24 +5383,7 @@ def q192_seed_pagerank(spark, sf_dir):
     bit-exact unrolled-SQL parity as q68."""
     from .operators.linkgraph import personalized_pagerank
 
-    d = F.col("doc_id")
-    dst_idx = F.pmod(
-        F.pmod(d * F.lit(2654435761), F.lit(4294967296)), F.lit(23)
-    )
-    edges = (
-        load(spark, sf_dir, "documents")
-        .filter(d % 3 == 0)
-        .select(
-            F.concat(F.lit("host"), (d % 23).cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("host"), dst_idx.cast("string")).alias(
-                "dst"
-            ),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    edges = _host_edges(spark, sf_dir)
     seeds = spark.createDataFrame(
         [("host0",), ("host1",), ("host2",)], "host string"
     )
@@ -8658,7 +8623,8 @@ WITH sq AS (
 )
 SELECT event_type || '>' || e2 || '>' || e3 AS gram,
   CAST(COUNT(*) AS BIGINT) AS n_runs
-FROM sq WHERE e3 IS NOT NULL
+FROM sq WHERE event_type IS NOT NULL AND e2 IS NOT NULL
+  AND e3 IS NOT NULL
 GROUP BY 1
 """,
         # survival: span-endpoint deltas, one calendar running sum
@@ -8817,7 +8783,8 @@ WITH clog AS (
 ),
 vis AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                               ORDER BY ver DESC) AS rn
+                               ORDER BY ver DESC, deleted DESC)
+    AS rn
   FROM clog WHERE ver <= 2
 )
 SELECT doc_id, ver, text FROM vis WHERE rn = 1 AND NOT deleted
