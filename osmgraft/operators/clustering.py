@@ -204,7 +204,12 @@ def cluster_purity(
 
     Shape: one id equi-join against the label table, one
     partial-aggregable (cluster, label) count, one argmax-by-
-    struct per cluster. No windows, no driver state."""
+    struct per cluster. No windows, no driver state.
+
+    The tie-break is a MIN over struct((-count), label), so it
+    works for ANY orderable label type (strings, dates, ints) —
+    major_label keeps the label column's own type instead of
+    silently NULLing non-numeric labels through a long cast."""
     j = assign.select(id_col, cluster_col).join(
         labels.select(id_col, label_col), id_col
     )
@@ -214,10 +219,10 @@ def cluster_purity(
     return (
         counts.groupBy(cluster_col)
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col("c").alias("c"),
-                    (-F.col(label_col).cast("long")).alias("nl"),
+                    (-F.col("c")).alias("nc"),
+                    F.col(label_col).alias("lab"),
                 )
             ).alias("b"),
             F.sum("c").cast("long").alias("n_total"),
@@ -225,8 +230,8 @@ def cluster_purity(
         )
         .select(
             cluster_col,
-            (-F.col("b.nl")).cast("long").alias("major_label"),
-            F.col("b.c").cast("long").alias("n_major"),
+            F.col("b.lab").alias("major_label"),
+            (-F.col("b.nc")).cast("long").alias("n_major"),
             "n_total",
             "n_labels",
         )

@@ -267,11 +267,30 @@ def apportion_budget(
         F.col(n_col).cast("long").alias("n"),
     )
     tot = base.agg(F.sum("n").cast("long").alias("ntot"))
-    quotas = base.join(F.broadcast(tot)).select(
-        "stratum",
-        "n",
-        F.expr(f"({b} * n) div ntot").cast("long").alias("q0"),
-        F.expr(f"({b} * n) % ntot").cast("long").alias("rem"),
+    # loud failure on ntot == 0 (all-zero strata): Spark's
+    # non-ANSI div would otherwise yield NULL quotas SILENTLY
+    # where DuckDB raises — same convention as winsorized_stats /
+    # category_bitmaps. An empty strata table stays empty-in/
+    # empty-out (the join produces no rows to divide).
+    guarded = F.when(
+        F.col("ntot") > 0, F.col("ntot")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "apportion_budget: total stratum size is 0 "
+                "(all strata have n = 0) — quotas undefined"
+            )
+        )
+    )
+    quotas = (
+        base.join(F.broadcast(tot))
+        .withColumn("ntot", guarded)
+        .select(
+            "stratum",
+            "n",
+            F.expr(f"({b} * n) div ntot").cast("long").alias("q0"),
+            F.expr(f"({b} * n) % ntot").cast("long").alias("rem"),
+        )
     )
     w = Window.orderBy(F.col("rem").desc(), F.col("stratum"))
     leftover = quotas.join(

@@ -411,6 +411,17 @@ def hits_scores(
     analysis; this extends the crawl-frontier family (q68/q192)
     the way osmposition extends geocoding.
     """
+    if iters > 2 and shift == 0:
+        # the documented precondition, enforced loudly: unshifted
+        # scores grow by up to max_in_deg * max_out_deg per round
+        # and Spark's non-ANSI sum would wrap SILENTLY past round
+        # 2 on hub-heavy graphs (degree products >= 2^31)
+        raise ValueError(
+            "hits_scores: iters > 2 with shift == 0 risks silent "
+            "int64 wrap (scores multiply by up to max_in_deg * "
+            "max_out_deg per round); pass shift >= 1 to rescale "
+            "each round"
+        )
     hosts = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))

@@ -998,7 +998,16 @@ def histogram_emd(
     sum of absolute CUMULATIVE differences (the classic closed
     form — transport across each bucket boundary equals the
     running imbalance), and like length_drift above the
-    normalizers are cross-multiplied away so every term is int64:
+    normalizers are cross-multiplied away so every term stays in
+    int64 — with the same corpus-size bound as affinity.py's
+    contingency_lift: the cumulative flow sums up to N_buckets
+    cross-products n*t each bounded by N^2, so values are
+    int64-safe through N ~ 3 * 10^9 rows per compared snapshot
+    pair; at the full 10^12-doc table run the drift check per
+    partition-pruned slice (per crawl snapshot), which is the
+    operating mode anyway. Beyond that bound Spark's non-ANSI sum
+    would wrap silently where DuckDB raises — recompute flow_num
+    in decimal(38,0) if a single slice ever exceeds it:
 
         flow_b = sum_{b' <= b} (n1_b' * t2 - n2_b' * t1)
         EMD    = bucket_chars * sum_b |flow_b| * gap_b / (t1 * t2)

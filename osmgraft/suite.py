@@ -6018,10 +6018,16 @@ def q228_bitmap_overlap(spark, sf_dir):
         (F.col("doc_id") % 23).alias("host_idx"),
     )
     bms = category_bitmaps(pts, "cell", "host_idx", n_cats=23)
+    # true east neighbor: pair on (latb, lonb + 1), i.e. grp + 1
+    # ONLY while lonb stays inside the row — at the lonb = 1023
+    # seam grp + 1 would wrap to the next row's lonb = 0 cell, so
+    # seam cells pair with nothing eastward (real lons top out at
+    # lonb = 858 at shift 22, but the guard keeps the semantics
+    # honest for any packing)
     pairs = bms.select(
         F.col("grp").alias("grp_a"),
         (F.col("grp") + 1).alias("grp_b"),
-    )
+    ).where(F.col("grp_a") % 1024 != 1023)
     return bitmap_overlap(bms, pairs)
 
 
@@ -6077,7 +6083,13 @@ def q231_cluster_purity(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     asg = kmeans_assign(emb, k=8, n_iter=2)
-    return cluster_purity(asg, emb.select("vec_id", "label"))
+    # cast once here: major_label now keeps the label column's own
+    # type (the operator no longer forces a numeric cast), and the
+    # oracle compares it as BIGINT
+    return cluster_purity(
+        asg,
+        emb.select("vec_id", F.col("label").cast("long").alias("label")),
+    )
 
 
 def q232_cell_gini(spark, sf_dir):
@@ -8818,6 +8830,7 @@ SELECT a.grp AS grp_a, b.grp AS grp_b,
   CAST(bit_count(a.bm | b.bm) AS BIGINT) AS n_either,
   CAST(bit_count(a.bm & ~b.bm) AS BIGINT) AS n_only_a
 FROM bbm a JOIN bbm b ON b.grp = a.grp + 1
+WHERE a.grp % 1024 <> 1023
 """,
         # k-anonymity: publish-or-generalize, residue flagged
         "q229_k_anonymity": f"""
