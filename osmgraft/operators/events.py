@@ -331,9 +331,50 @@ def stay_points(
     )
 
 
+def _colocation_presence(
+    located: DataFrame, bucket_s: int
+) -> DataFrame:
+    """Deduped (user_id, cell, bucket) presence table shared by
+    colocation_pairs and colocation_overflow, so the guard and
+    its report bucket time identically."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket_us = int(bucket_s) * 1_000_000
+    return (
+        located.select("user_id", "cell", us.alias("tus"))
+        .select(
+            "user_id",
+            "cell",
+            # integer division: exact on both engines (epoch micros
+            # are non-negative, so div == floor-div)
+            F.expr(f"tus div {bucket_us}").cast("long").alias("bucket"),
+        )
+        .distinct()
+    )
+
+
+def colocation_overflow(
+    located: DataFrame,
+    bucket_s: int = 3600,
+    max_group_users: int = 64,
+) -> DataFrame:
+    """Explicit overflow report for colocation_pairs' density
+    guard: the (cell, bucket) groups whose user count exceeds
+    `max_group_users` — exactly the groups the guarded join drops
+    — as (cell, bucket, n_users). One row per hot group, never
+    per pair, so the report stays bounded even when the hotspot
+    itself would not."""
+    pres = _colocation_presence(located, bucket_s)
+    return (
+        pres.groupBy("cell", "bucket")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .where(F.col("n_users") > int(max_group_users))
+    )
+
+
 def colocation_pairs(
     located: DataFrame,
     bucket_s: int = 3600,
+    max_group_users: int | None = None,
 ) -> DataFrame:
     """Spatio-temporal co-location join (the contact-graph
     primitive): every unordered pair of DISTINCT users observed in
@@ -349,21 +390,30 @@ def colocation_pairs(
     (cell, bucket) groups are the operator's inherent output (k
     users -> k(k-1)/2 pairs); AQE skew-join splits the megacity
     hotspot groups, and a coarser bucket_s / finer cell shift are
-    the two knobs that cap group size at planet scale.
-    """
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    bucket_us = int(bucket_s) * 1_000_000
-    pres = (
-        located.select("user_id", "cell", us.alias("tus"))
-        .select(
-            "user_id",
-            "cell",
-            # integer division: exact on both engines (epoch micros
-            # are non-negative, so div == floor-div)
-            F.expr(f"tus div {bucket_us}").cast("long").alias("bucket"),
+    the two knobs that shrink group size at planet scale.
+
+    Density guard (`max_group_users`): those knobs shrink typical
+    groups but cannot BOUND the worst one — a stadium cell at
+    kickoff yields k(k-1)/2 pairs for any fixed geometry. With
+    the guard set, (cell, bucket) groups holding more than
+    `max_group_users` users contribute no pairs, capping work at
+    (#groups) * cap² — linear in occupied space-time, not
+    quadratic in hotspot density. The trade is explicit:
+    colocation_overflow(located, bucket_s, cap) names the dropped
+    groups and their sizes. Guard OFF (None) keeps the exact
+    all-pairs-within-group semantics for oracle twins."""
+    pres = _colocation_presence(located, bucket_s)
+    if max_group_users is not None:
+        hot = (
+            pres.groupBy("cell", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > int(max_group_users))
+            .select("cell", "bucket")
         )
-        .distinct()
-    )
+        # hot groups are by definition few -> broadcast anti-join
+        pres = pres.join(
+            F.broadcast(hot), ["cell", "bucket"], "left_anti"
+        )
     a = pres.select(
         F.col("user_id").alias("user_a"), "cell", "bucket"
     )

@@ -1014,32 +1014,21 @@ def bearing_octants(traces: DataFrame) -> DataFrame:
     )
 
 
-def _trace_pair_matrix(
-    traces: DataFrame, shift: int = 22
-) -> DataFrame:
-    """Shared candidate-pair step-distance matrix for the trace
-    similarity operators: traces sharing a radius-1 dilated grid
-    cell of side S = 2**shift become candidate pairs; output is
-    one row per (trace_a, trace_b, ai, bj) with exact int64
-    squared distance d2 between step ai of A and step bj of B.
-
-    Candidate completeness: if Hausdorff(A,B) <= S then every
-    point of A lies within S of B, so the pair shares a dilated
-    cell. Frechet >= Hausdorff, so the same candidate set is also
-    complete for Frechet <= S.
-
-    Scale: the self-join is cell-keyed (never all-pairs); the
-    d2 matrix is bounded by (#steps)^2 rows per candidate pair;
-    deltas within a candidate pair are bounded by ~3 cells + two
-    trace extents, so squares stay far inside int64. The matrix is
-    pinned with a lazy localCheckpoint because multiple aggregates
-    consume it."""
+def _trace_cell_members(
+    traces: DataFrame, shift: int
+) -> tuple[DataFrame, DataFrame]:
+    """(own, dil) cell-membership tables behind the trace
+    candidate join: `own` is one row per (trace_id, occupied
+    cell); `dil` is one row per (trace_b, cell of the radius-1
+    dilated footprint). Shared by _trace_pair_matrix and
+    trace_pair_overflow so the guard and its report see the
+    identical cell geometry."""
     lon_bits = max(int((3_600_000_000 >> shift)).bit_length(), 1)
     pack = 1 << lon_bits
     latb = F.shiftright(F.col("lat_i") + 900000000, shift)
     lonb = F.shiftright(F.col("lon_i") + 1800000000, shift)
 
-    tp = traces.select("trace_id", "step", "lat_i", "lon_i")
+    tp = traces.select("trace_id", "lat_i", "lon_i")
     own = tp.select(
         "trace_id", (latb * pack + lonb).alias("cell")
     ).distinct()
@@ -1055,6 +1044,79 @@ def _trace_pair_matrix(
         .distinct()
         .withColumnRenamed("trace_id", "trace_b")
     )
+    return own, dil
+
+
+def trace_pair_overflow(
+    traces: DataFrame, shift: int = 22, max_cell_traces: int = 64
+) -> DataFrame:
+    """Explicit overflow report for the density guard of
+    _trace_pair_matrix: the dilated grid cells whose trace count
+    exceeds `max_cell_traces` — exactly the cells the guarded
+    operators drop candidate pairs from — as (cell, n_traces).
+    Run alongside any guarded trace-similarity query to know
+    WHERE recall was traded for boundedness (megacity hotspots),
+    instead of the loss being silent. Bounded output: one row per
+    hot cell, never per pair."""
+    _own, dil = _trace_cell_members(traces, shift)
+    return (
+        dil.groupBy("cell")
+        .agg(F.countDistinct("trace_b").cast("long").alias("n_traces"))
+        .where(F.col("n_traces") > int(max_cell_traces))
+    )
+
+
+def _trace_pair_matrix(
+    traces: DataFrame,
+    shift: int = 22,
+    max_cell_traces: int | None = None,
+) -> DataFrame:
+    """Shared candidate-pair step-distance matrix for the trace
+    similarity operators: traces sharing a radius-1 dilated grid
+    cell of side S = 2**shift become candidate pairs; output is
+    one row per (trace_a, trace_b, ai, bj) with exact int64
+    squared distance d2 between step ai of A and step bj of B.
+
+    Candidate completeness: if Hausdorff(A,B) <= S then every
+    point of A lies within S of B, so the pair shares a dilated
+    cell. Frechet >= Hausdorff, so the same candidate set is also
+    complete for Frechet <= S.
+
+    Density guard (`max_cell_traces`): a fixed-radius similarity
+    join is inherently density²-in-the-hotspot — one Tokyo-dense
+    cell with k traces emits k(k-1)/2 candidate pairs no matter
+    how the rest of the planet looks. With the guard set, cells
+    whose DILATED footprint holds more than `max_cell_traces`
+    traces contribute no candidates, which caps per-cell join
+    output at max_cell_traces² and total work at
+    (#cells) * cap² — linear in occupied area, not quadratic in
+    hotspot density. The trade is explicit, not silent: a pair is
+    lost ONLY if every cell it shares is hot, and
+    trace_pair_overflow(traces, shift, cap) names exactly those
+    cells with their counts. Guard OFF (None) preserves the exact
+    candidate-complete semantics for oracle twins and small data.
+
+    Scale: the self-join is cell-keyed (never all-pairs); the
+    d2 matrix is bounded by (#steps)^2 rows per candidate pair;
+    deltas within a candidate pair are bounded by ~3 cells + two
+    trace extents, so squares stay far inside int64. The matrix is
+    pinned with a lazy localCheckpoint because multiple aggregates
+    consume it."""
+    own, dil = _trace_cell_members(traces, shift)
+    if max_cell_traces is not None:
+        # hot-cell exclusion on the DILATED counts: own-cell
+        # membership implies dilated membership, so capping dil
+        # bounds both join sides; the anti-joins broadcast (hot
+        # cells are by definition few)
+        hot = (
+            dil.groupBy("cell")
+            .agg(F.countDistinct("trace_b").alias("_n"))
+            .where(F.col("_n") > int(max_cell_traces))
+            .select("cell")
+        )
+        own = own.join(F.broadcast(hot), "cell", "left_anti")
+        dil = dil.join(F.broadcast(hot), "cell", "left_anti")
+    tp = traces.select("trace_id", "step", "lat_i", "lon_i")
     pairs = (
         own.join(dil, "cell")
         .where(F.col("trace_id") < F.col("trace_b"))
@@ -1095,15 +1157,19 @@ def _trace_pair_matrix(
 
 
 def trace_hausdorff_pairs(
-    traces: DataFrame, shift: int = 22
+    traces: DataFrame,
+    shift: int = 22,
+    max_cell_traces: int | None = None,
 ) -> DataFrame:
     """Discrete Hausdorff distance between nearby trace pairs,
     exact int64: candidate pairs from _trace_pair_matrix, then
     H2 = max(max_i min_j d2, max_j min_i d2) over the step-point
     matrix. `within` (H2 <= S^2) is EXACTLY the set of all pairs
     at Hausdorff distance <= S (see _trace_pair_matrix), while
-    farther candidate pairs still report their true H2."""
-    m = _trace_pair_matrix(traces, shift)
+    farther candidate pairs still report their true H2.  `max_cell_traces` passes through to the
+    density guard (see _trace_pair_matrix;
+    trace_pair_overflow reports the excluded hot cells)."""
+    m = _trace_pair_matrix(traces, shift, max_cell_traces)
     h_ab = (
         m.groupBy("trace_a", "trace_b", "ai")
         .agg(F.min("d2").alias("md"))
@@ -1129,7 +1195,10 @@ def trace_hausdorff_pairs(
 
 
 def trace_frechet_pairs(
-    traces: DataFrame, shift: int = 22, n_steps: int | None = None
+    traces: DataFrame,
+    shift: int = 22,
+    n_steps: int | None = None,
+    max_cell_traces: int | None = None,
 ) -> DataFrame:
     """Discrete Frechet distance (coupling distance, Eiter &
     Mannila 1994) between nearby trace pairs, exact int64: the
@@ -1167,8 +1236,10 @@ def trace_frechet_pairs(
     its true coupling distance instead of silently vanishing.
     Pass n_steps only to pin the pass count without the scalar
     job (all traces must then have <= n_steps steps). Contract:
-    `step` is 0-based and contiguous within each trace."""
-    m = _trace_pair_matrix(traces, shift)
+    `step` is 0-based and contiguous within each trace.  `max_cell_traces` passes through to the
+    density guard (see _trace_pair_matrix;
+    trace_pair_overflow reports the excluded hot cells)."""
+    m = _trace_pair_matrix(traces, shift, max_cell_traces)
 
     spark = m.sparkSession
     moves = spark.createDataFrame(
@@ -1259,7 +1330,10 @@ def trace_frechet_pairs(
 
 
 def trace_dtw_pairs(
-    traces: DataFrame, shift: int = 22, n_steps: int | None = None
+    traces: DataFrame,
+    shift: int = 22,
+    n_steps: int | None = None,
+    max_cell_traces: int | None = None,
 ) -> DataFrame:
     """Dynamic-time-warping distance between nearby trace pairs,
     exact int64: dtw(i,j) = d2(i,j) + min(dtw(i-1,j), dtw(i,j-1),
@@ -1284,7 +1358,7 @@ def trace_dtw_pairs(
     (ramunasd/osmctools) has no trajectory similarity at all; this
     extends its geodata model the way its osmposition extends
     geocoding."""
-    m = _trace_pair_matrix(traces, shift)
+    m = _trace_pair_matrix(traces, shift, max_cell_traces)
 
     spark = m.sparkSession
     moves = spark.createDataFrame(
@@ -1464,6 +1538,7 @@ def trace_edr_pairs(
     shift: int = 22,
     eps2: int = 4_000_000_000_000,
     n_steps: int | None = None,
+    max_cell_traces: int | None = None,
 ) -> DataFrame:
     """Edit Distance on Real sequence (EDR, Chen-Ozsu-Oria
     SIGMOD'05, the noise-robust member of the trajectory-
@@ -1490,7 +1565,7 @@ def trace_edr_pairs(
 
     NOT a translation of reference code — ramunasd/osmctools has
     no trajectory similarity; see trace_dtw_pairs."""
-    m = _trace_pair_matrix(traces, shift)
+    m = _trace_pair_matrix(traces, shift, max_cell_traces)
 
     spark = m.sparkSession
     moves = spark.createDataFrame(

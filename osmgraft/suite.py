@@ -1383,7 +1383,10 @@ def q153_colocation(spark, sf_dir):
     """Spatio-temporal co-location join (events.colocation_pairs):
     unordered pairs of distinct users sharing a shift-24 tile in
     the same hour bucket — presence deduped to (user, cell,
-    bucket), then one self-equi-join on the composite key."""
+    bucket), then one self-equi-join on the composite key.
+    Density-guarded (max_group_users=64; inert below the sf0.1
+    group max of 32, bites at the 10x input's 315 —
+    colocation_overflow reports dropped groups)."""
     from .operators.events import colocation_pairs
     from .operators.spatial import with_cell
 
@@ -1398,7 +1401,9 @@ def q153_colocation(spark, sf_dir):
         .alias("lon_i"),
     )
     ev = with_cell(ev, shift=_STAY_SHIFT)
-    return colocation_pairs(ev, bucket_s=3600)
+    return colocation_pairs(
+        ev, bucket_s=3600, max_group_users=64
+    )
 
 
 def _colocation_oracle_sql() -> str:

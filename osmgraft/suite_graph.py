@@ -487,11 +487,21 @@ def q141_trace_hausdorff(spark, sf_dir):
     from a radius-1 dilated cell self-join (side 2^22), never
     all-pairs; `within` is provably the complete set of pairs at
     H <= 2^22 — the same cell-geometry completeness argument as
-    the snap operators."""
+    the snap operators.
+    Density-guarded (max_cell_traces=64): hotspot cells past
+    the cap contribute no candidate pairs, bounding worst-case
+    work at cap^2 per cell; 64 is inert at every oracle SF
+    (max observed dilated-cell occupancy is 29 at sf0.1), so
+    the unguarded oracle SQL is an exact twin here while the
+    guard bites only at hotspot densities (261+ traces/cell on
+    the 10x bench input). trace_pair_overflow reports the
+    dropped cells."""
     from .operators.linecover import trace_hausdorff_pairs
 
     return trace_hausdorff_pairs(
-        _synth_traces(_nodes(spark, sf_dir)), shift=22
+        _synth_traces(_nodes(spark, sf_dir)),
+        shift=22,
+        max_cell_traces=64,
     )
 
 
@@ -503,11 +513,22 @@ def q154_trace_frechet(spark, sf_dir):
     as q141, unrolled into 8 relational relaxation passes. The
     oracle enumerates every monotone grid path with a recursive
     CTE and takes the min of the path maxima — a genuinely
-    different evaluation strategy agreeing hash-exactly."""
+    different evaluation strategy agreeing hash-exactly.
+    Density-guarded (max_cell_traces=64): hotspot cells past
+    the cap contribute no candidate pairs, bounding worst-case
+    work at cap^2 per cell; 64 is inert at every oracle SF
+    (max observed dilated-cell occupancy is 29 at sf0.1), so
+    the unguarded oracle SQL is an exact twin here while the
+    guard bites only at hotspot densities (261+ traces/cell on
+    the 10x bench input). trace_pair_overflow reports the
+    dropped cells."""
     from .operators.linecover import trace_frechet_pairs
 
     return trace_frechet_pairs(
-        _synth_traces(_nodes(spark, sf_dir)), shift=22, n_steps=5
+        _synth_traces(_nodes(spark, sf_dir)),
+        shift=22,
+        n_steps=5,
+        max_cell_traces=64,
     )
 
 
@@ -521,11 +542,22 @@ def q161_trace_dtw(spark, sf_dir):
     matched cost). The oracle enumerates every monotone grid path
     with a recursive CTE carrying a running SUM and takes the
     terminal min — a genuinely different evaluation strategy
-    agreeing hash-exactly on int64 values."""
+    agreeing hash-exactly on int64 values.
+    Density-guarded (max_cell_traces=64): hotspot cells past
+    the cap contribute no candidate pairs, bounding worst-case
+    work at cap^2 per cell; 64 is inert at every oracle SF
+    (max observed dilated-cell occupancy is 29 at sf0.1), so
+    the unguarded oracle SQL is an exact twin here while the
+    guard bites only at hotspot densities (261+ traces/cell on
+    the 10x bench input). trace_pair_overflow reports the
+    dropped cells."""
     from .operators.linecover import trace_dtw_pairs
 
     return trace_dtw_pairs(
-        _synth_traces(_nodes(spark, sf_dir)), shift=22, n_steps=5
+        _synth_traces(_nodes(spark, sf_dir)),
+        shift=22,
+        n_steps=5,
+        max_cell_traces=64,
     )
 
 
@@ -540,7 +572,15 @@ def q213_trace_edr(spark, sf_dir):
     excursion but costs EDR exactly 1. The oracle is the shared
     all-monotone-paths recursive CTE with the identical
     thresholded move cost — integer compares only, so values
-    hash-match exactly."""
+    hash-match exactly.
+    Density-guarded (max_cell_traces=64): hotspot cells past
+    the cap contribute no candidate pairs, bounding worst-case
+    work at cap^2 per cell; 64 is inert at every oracle SF
+    (max observed dilated-cell occupancy is 29 at sf0.1), so
+    the unguarded oracle SQL is an exact twin here while the
+    guard bites only at hotspot densities (261+ traces/cell on
+    the 10x bench input). trace_pair_overflow reports the
+    dropped cells."""
     from .operators.linecover import trace_edr_pairs
 
     return trace_edr_pairs(
@@ -548,6 +588,7 @@ def q213_trace_edr(spark, sf_dir):
         shift=22,
         eps2=4_000_000_000_000,
         n_steps=5,
+        max_cell_traces=64,
     )
 
 
@@ -682,12 +723,18 @@ def q156_trace_clusters(spark, sf_dir):
     uses, composed over a geospatial pair generator). Output
     (trace_id, cluster) with cluster = min trace id. shift=24
     (vs q154's 22) so the within threshold admits real multi-
-    member clusters on the synthetic spread."""
+    member clusters on the synthetic spread.
+    Density-guarded (max_cell_traces=512; inert below the
+    sf0.1 shift-24 occupancy of 246, bites at the 10x input's
+    2461)."""
     from .operators.dedup import dedup_clusters
     from .operators.linecover import trace_frechet_pairs
 
     pairs = trace_frechet_pairs(
-        _synth_traces(_nodes(spark, sf_dir)), shift=24, n_steps=5
+        _synth_traces(_nodes(spark, sf_dir)),
+        shift=24,
+        n_steps=5,
+        max_cell_traces=512,
     ).where(F.col("within"))
     return dedup_clusters(
         pairs, a_col="trace_a", b_col="trace_b"
