@@ -167,6 +167,7 @@ def main() -> None:
         "q55_dedup_keep_list",
         "q101_heavy_hitters",
         "q45_embed_ann_banded",
+        "q202_embed_ann_multiprobe",
         "q128_snap_to_ways",
     ]
     if (

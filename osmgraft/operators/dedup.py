@@ -791,13 +791,42 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return out
 
 
+MAX_BAND_BITS = 24
+
+
+def derive_band_bits(
+    n_rows: int,
+    target_bucket: int = 32,
+    max_bits: int = MAX_BAND_BITS,
+) -> int:
+    """Auto-size the LSH bucket knob from corpus size: the
+    smallest b in [1, max_bits] with 2^b buckets * target_bucket
+    >= n_rows, i.e. ceil(log2(N / target_bucket)) computed in
+    exact integers (no float log that could round differently
+    between engines). Fixed bits make bucket population grow
+    linearly in N and candidate pairs quadratically; deriving b
+    from N pins the EXPECTED bucket population at target_bucket
+    regardless of corpus scale — the round-4 bits=9-at-10x
+    experiment (per-row ratio 0.39 vs 2.25 at fixed 6), made
+    automatic. Mirrored verbatim in the DuckDB oracles via a
+    1..max_bits lookup joined on the same inequality."""
+    m = (
+        max(int(n_rows), 1) + int(target_bucket) - 1
+    ) // int(target_bucket)
+    for b in range(1, max_bits + 1):
+        if (1 << b) >= m:
+            return b
+    return max_bits
+
+
 def embed_ann_banded(
     emb: DataFrame,
-    band_bits: int = 6,
+    band_bits: int | None = 6,
     n_bands: int = 3,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Banded hyperplane ANN (round-2, mirrors the MinHash banding):
     n_bands INDEPENDENT band_bits-plane signatures; a pair is a
@@ -814,13 +843,22 @@ def embed_ann_banded(
     agreement p). The single fixed-2^8-bucket signature this
     replaces had no such knob (round-1 VERDICT "What's wrong" #3).
 
+    Auto-sizing (band_bits=None): bits are derived at plan time as
+    derive_band_bits(count, target_bucket) — ONE cheap count job
+    (parquet metadata at rest), then the plan is built exactly as
+    in pinned mode but sliced from a fixed MAX_BAND_BITS-stride
+    plane pool so the plane behind (band, j) never depends on the
+    derived value. Pass an explicit band_bits to pin (oracle-twin
+    parity / reproducing a run).
+
     Shuffle profile: one shuffle of (band, bucket, id, vec) —
     the self-join key is (band, bucket), never the corpus cross
     product; duplicate-band collisions recompute the (cheap) dot
     product and collapse in the final groupBy.
     """
     pairs = _banded_pairs(
-        emb, band_bits, n_bands, dim, id_col, vec_col
+        emb, band_bits, n_bands, dim, id_col, vec_col,
+        target_bucket=target_bucket,
     )
     return pairs.groupBy("a", "b").agg(
         F.count("*").cast("long").alias("shared_bands"),
@@ -828,20 +866,60 @@ def embed_ann_banded(
     )
 
 
+def _band_plane_slices(
+    band_bits: int, n_bands: int, dim: int, pool_bits: int | None
+) -> list[list[list[int]]]:
+    """Per-band hyperplane slices. Pinned mode (pool_bits None):
+    the legacy contiguous layout hyperplanes(n_bands*band_bits).
+    Auto mode: a fixed pool of hyperplanes(n_bands*pool_bits)
+    strided by pool_bits, so bucket bit (band, j) maps to the SAME
+    plane whatever band_bits was derived — the invariant the
+    dynamic-bits oracles rely on."""
+    if pool_bits is None:
+        planes = hyperplanes(n_bands * band_bits, dim)
+        return [
+            planes[band * band_bits : (band + 1) * band_bits]
+            for band in range(n_bands)
+        ]
+    pool = hyperplanes(n_bands * pool_bits, dim)
+    return [
+        pool[band * pool_bits : band * pool_bits + band_bits]
+        for band in range(n_bands)
+    ]
+
+
+def _resolve_band_bits(
+    emb: DataFrame, band_bits: int | None, target_bucket: int
+) -> tuple[int, int | None]:
+    """(bits, pool_bits): pinned pass-through, or auto-derived
+    from one count job with the fixed-pool layout."""
+    if band_bits is not None:
+        return int(band_bits), None
+    return (
+        derive_band_bits(emb.count(), target_bucket),
+        MAX_BAND_BITS,
+    )
+
+
 def _banded_pairs(
     emb: DataFrame,
-    band_bits: int,
+    band_bits: int | None,
     n_bands: int,
     dim: int,
     id_col: str,
     vec_col: str,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Shared candidate generator for the hyperplane-bucket family:
     (band, bucket, a, b, _cos) pairs from n_bands independent
     band_bits-plane signatures. The self-join key is (band,
     bucket); expected bucket population N / 2^band_bits bounds the
-    per-bucket quadratic term."""
-    planes = hyperplanes(n_bands * band_bits, dim)
+    per-bucket quadratic term. band_bits=None auto-sizes (see
+    derive_band_bits)."""
+    band_bits, pool_bits = _resolve_band_bits(
+        emb, band_bits, target_bucket
+    )
+    slices = _band_plane_slices(band_bits, n_bands, dim, pool_bits)
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -849,12 +927,7 @@ def _banded_pairs(
         F.posexplode(
             F.array(
                 *[
-                    lsh_bucket(
-                        F.col(vec_col),
-                        planes[
-                            band * band_bits : (band + 1) * band_bits
-                        ],
-                    )
+                    lsh_bucket(F.col(vec_col), slices[band])
                     for band in range(n_bands)
                 ]
             )
@@ -1255,11 +1328,12 @@ def jaccard_prefix_join(
 
 def embed_ann_multiprobe(
     emb: DataFrame,
-    band_bits: int = 6,
+    band_bits: int | None = 6,
     n_bands: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Multi-probe hyperplane ANN (Lv et al., VLDB 2007): each
     vector probes its own bucket AND every bucket at Hamming
@@ -1281,9 +1355,19 @@ def embed_ann_multiprobe(
     bands. Exact cosine on candidates, as everywhere in the
     family.
 
+    Auto-sizing (band_bits=None): derived at plan time from one
+    cheap count as derive_band_bits(N, target_bucket), planes
+    sliced from the fixed MAX_BAND_BITS-stride pool (see
+    _band_plane_slices) — the manual bits=9-at-10x retuning made
+    automatic, with the probe fan-out (band_bits + 1 per band)
+    scaling with the derived value.
+
     Output: (a, b, shared_probes, min_hamming, cos_r).
     """
-    planes = hyperplanes(n_bands * band_bits, dim)
+    band_bits, pool_bits = _resolve_band_bits(
+        emb, band_bits, target_bucket
+    )
+    slices = _band_plane_slices(band_bits, n_bands, dim, pool_bits)
     base = with_norm2(emb, vec_col).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -1291,12 +1375,7 @@ def embed_ann_multiprobe(
         F.posexplode(
             F.array(
                 *[
-                    lsh_bucket(
-                        F.col(vec_col),
-                        planes[
-                            band * band_bits : (band + 1) * band_bits
-                        ],
-                    )
+                    lsh_bucket(F.col(vec_col), slices[band])
                     for band in range(n_bands)
                 ]
             )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    MAX_BAND_BITS,
     embed_ann_lsh,
     embed_knn_exact,
     hyperplanes,
@@ -394,8 +395,8 @@ FROM rk WHERE rank <= 3
 """
 
 
-BAND_BITS = 6
 N_ANN_BANDS = 3
+ANN_TARGET_BUCKET = 32
 
 
 def q45_embed_ann_banded(spark, sf_dir):
@@ -405,7 +406,11 @@ def q45_embed_ann_banded(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return embed_ann_banded(
-        emb, band_bits=BAND_BITS, n_bands=N_ANN_BANDS, dim=DIM
+        emb,
+        band_bits=None,
+        n_bands=N_ANN_BANDS,
+        dim=DIM,
+        target_bucket=ANN_TARGET_BUCKET,
     )
 
 
@@ -414,22 +419,49 @@ def q202_embed_ann_multiprobe(spark, sf_dir):
     embed_ann_multiprobe): each vector also probes the band_bits
     buckets one hyperplane-flip away — ~band_bits extra tables of
     recall from the signatures already built (Lv et al. 2007).
-    2 bands of 6 bits, probe fan-out 7/band; exact cosine verify;
-    candidate set provably superset of the same-band exact-bucket
-    join."""
+    2 bands of AUTO-derived bits (derive_band_bits: smallest b
+    with 2^b * 32 >= N, from one cheap count — no manual retuning
+    as the corpus grows), probe fan-out bits+1 per band; exact
+    cosine verify; candidate set provably superset of the
+    same-band exact-bucket join. The oracle derives bits from
+    COUNT(*) with the identical integer rule."""
     from .suite import load
 
     from .operators.dedup import embed_ann_multiprobe
 
     emb = load(spark, sf_dir, "embeddings")
     return embed_ann_multiprobe(
-        emb, band_bits=BAND_BITS, n_bands=2, dim=DIM
+        emb,
+        band_bits=None,
+        n_bands=2,
+        dim=DIM,
+        target_bucket=ANN_TARGET_BUCKET,
     )
 
 
-def _ann_multiprobe_oracle() -> str:
-    n_bands = 2
-    planes = hyperplanes(n_bands * BAND_BITS, DIM)
+def _ann_bits_ctes(
+    source: str, target: int = ANN_TARGET_BUCKET
+) -> str:
+    """Shared dynamic-bits CTE pair: `bvals` enumerates candidate
+    bit counts 1..MAX_BAND_BITS, `abits` picks the smallest b with
+    2^b buckets * target >= COUNT(source) — integer-exact, the
+    verbatim mirror of operators/dedup.derive_band_bits, so both
+    engines derive the SAME bits from the SAME data at ANY SF."""
+    vals = ",".join(f"({b})" for b in range(1, MAX_BAND_BITS + 1))
+    return f"""bvals(b) AS (VALUES {vals}),
+abits AS (
+  SELECT COALESCE(MIN(b), {MAX_BAND_BITS}) AS bits FROM bvals
+  WHERE (CAST(1 AS BIGINT) << b) * {target}
+        >= (SELECT COUNT(*) FROM {source})
+)"""
+
+
+def _ann_proj_sql(n_bands: int) -> tuple[str, str]:
+    """(planes VALUES rows, projection select list) for the fixed
+    MAX_BAND_BITS-stride plane pool — plane p = band*MAX + j is
+    the same plane whatever bits get derived (the layout invariant
+    of dedup._band_plane_slices in auto mode)."""
+    planes = hyperplanes(n_bands * MAX_BAND_BITS, DIM)
     vals = ",".join(
         f"({p},{d + 1},{c})"
         for p, row in enumerate(planes)
@@ -438,26 +470,40 @@ def _ann_multiprobe_oracle() -> str:
     projs = ",\n    ".join(
         f"SUM(CASE WHEN pl.p = {p} THEN el.val * pl.coef ELSE 0 END)"
         f" AS s{p}"
-        for p in range(n_bands * BAND_BITS)
+        for p in range(n_bands * MAX_BAND_BITS)
     )
-    band_selects = []
+    return vals, projs
+
+
+def _ann_bucket_selects(n_bands: int) -> str:
+    """Per-band dynamic bucket assembly: bit j participates only
+    while j < the derived bits."""
+    outs = []
     for band in range(n_bands):
         assemble = " + ".join(
-            f"CASE WHEN s{band * BAND_BITS + j} > 0 "
-            f"THEN {1 << j} ELSE 0 END"
-            for j in range(BAND_BITS)
+            f"CASE WHEN {j} < ab.bits AND"
+            f" s{band * MAX_BAND_BITS + j} > 0"
+            f" THEN {1 << j} ELSE 0 END"
+            for j in range(MAX_BAND_BITS)
         )
-        band_selects.append(
+        outs.append(
             f"  SELECT vec_id, {band} AS band, "
-            f"CAST({assemble} AS BIGINT) AS bucket FROM proj"
+            f"CAST({assemble} AS BIGINT) AS bucket"
+            f" FROM proj, abits ab"
         )
-    bands_sql = "\n  UNION ALL\n".join(band_selects)
-    flip_rows = ",".join(f"(0),({1 << j})" if j == 0 else f"({1 << j})" for j in range(BAND_BITS))
+    return "\n  UNION ALL\n".join(outs)
+
+
+def _ann_multiprobe_oracle() -> str:
+    n_bands = 2
+    vals, projs = _ann_proj_sql(n_bands)
+    bands_sql = _ann_bucket_selects(n_bands)
     return f"""
 WITH planes(p, d, coef) AS (VALUES {vals}),
 e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+{_ann_bits_ctes("e")},
 el AS (
   SELECT vec_id, unnest(v) AS val,
          generate_subscripts(v, 1) AS d
@@ -472,7 +518,12 @@ proj AS (
 buckets AS (
 {bands_sql}
 ),
-flips(f) AS (VALUES {flip_rows}),
+flips AS (
+  SELECT CAST(0 AS BIGINT) AS f
+  UNION ALL
+  SELECT CAST(1 AS BIGINT) << (b - 1)
+  FROM bvals, abits WHERE b <= bits
+),
 probes AS (
   SELECT vec_id, band, bucket AS obucket,
          xor(bucket, f) AS pbucket
@@ -501,34 +552,14 @@ JOIN n nb ON nb.vec_id = c.b
 
 
 def _ann_banded_oracle(source: str = "embeddings") -> str:
-    planes = hyperplanes(N_ANN_BANDS * BAND_BITS, DIM)
-    vals = ",".join(
-        f"({p},{d + 1},{c})"
-        for p, row in enumerate(planes)
-        for d, c in enumerate(row)
-    )
-    projs = ",\n    ".join(
-        f"SUM(CASE WHEN pl.p = {p} THEN el.val * pl.coef ELSE 0 END)"
-        f" AS s{p}"
-        for p in range(N_ANN_BANDS * BAND_BITS)
-    )
-    band_selects = []
-    for band in range(N_ANN_BANDS):
-        assemble = " + ".join(
-            f"CASE WHEN s{band * BAND_BITS + j} > 0 "
-            f"THEN {1 << j} ELSE 0 END"
-            for j in range(BAND_BITS)
-        )
-        band_selects.append(
-            f"  SELECT vec_id, {band} AS band, "
-            f"CAST({assemble} AS BIGINT) AS bucket FROM proj"
-        )
-    bands_sql = "\n  UNION ALL\n".join(band_selects)
+    vals, projs = _ann_proj_sql(N_ANN_BANDS)
+    bands_sql = _ann_bucket_selects(N_ANN_BANDS)
     return f"""
 WITH planes(p, d, coef) AS (VALUES {vals}),
 e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}
 ),
+{_ann_bits_ctes("e")},
 el AS (
   SELECT vec_id, unnest(v) AS val,
          generate_subscripts(v, 1) AS d
@@ -653,7 +684,11 @@ def q57_semantic_dedup(spark, sf_dir):
         _scaled(18, 200000, 3)
     )
     pairs = embed_ann_banded(
-        corpus, band_bits=BAND_BITS, n_bands=N_ANN_BANDS, dim=DIM
+        corpus,
+        band_bits=None,
+        n_bands=N_ANN_BANDS,
+        dim=DIM,
+        target_bucket=ANN_TARGET_BUCKET,
     ).filter(F.col("cos_r") >= 0.95)
     clusters = dedup_clusters(pairs, a_col="a", b_col="b")
     return (
@@ -866,7 +901,11 @@ def q222_ann_recall(spark, sf_dir):
         emb, F.col("vec_id") % 50 == 0, k=3
     ).select("query_id", "neighbor_id")
     ann = embed_ann_banded(
-        emb, band_bits=BAND_BITS, n_bands=N_ANN_BANDS, dim=DIM
+        emb,
+        band_bits=None,
+        n_bands=N_ANN_BANDS,
+        dim=DIM,
+        target_bucket=ANN_TARGET_BUCKET,
     ).select("a", "b")
     j = exact.join(
         ann,
