@@ -321,6 +321,7 @@ def cell_corridor_join(
     points: DataFrame,
     shift: int = 24,
     radius: int = 1,
+    index_join: str = "broadcast",
 ) -> DataFrame:
     """Corridor search: points within `radius` cells of a covered
     polyline — (way_id, cell) cover x (doc_id, lat_i, lon_i) ->
@@ -334,15 +335,32 @@ def cell_corridor_join(
     corpus scan stays pruned to (doc_id, lat_i, lon_i).  Cell ids
     use the geo/cells.py packing; no antimeridian wrap (the
     reference's -b borders do not wrap either, osmconvert.c bbox
-    module)."""
+    module).
+
+    index_join picks the physical strategy for the cell equi-join
+    — identical results either way (tests/test_smj_fallback.py
+    hash-proves it):
+      "broadcast" (default): pin the hint — right when the way
+        index is contractually small (the production contract).
+      "shuffle": sort-merge/shuffled-hash — right when the index
+        side outgrows the broadcast threshold; also removes the
+        driver-side broadcast build, the family's measured serial
+        fraction (Amdahl f ~ 0.13).
+      "auto": no hint, let Catalyst/AQE decide from size stats."""
     dil = dilate_cover(cover, shift, radius)
     pts = points.select(
         "doc_id",
         point_cell_col("lat_i", "lon_i", shift).alias("cell"),
     )
-    return pts.join(F.broadcast(dil), "cell").select(
-        "way_id", "doc_id"
-    )
+    if index_join == "broadcast":
+        dil = F.broadcast(dil)
+    elif index_join == "shuffle":
+        dil = dil.hint("shuffle_merge")
+    elif index_join != "auto":
+        raise ValueError(
+            "index_join must be broadcast | shuffle | auto"
+        )
+    return pts.join(dil, "cell").select("way_id", "doc_id")
 
 
 def point_cell_col(lat_col: str, lon_col: str, shift: int) -> F.Column:
@@ -411,6 +429,7 @@ def segment_candidates(
     shift: int = 20,
     cosr: bool = False,
     radius: int = 1,
+    index_join: str = "broadcast",
 ) -> DataFrame:
     """All (doc_id, way_id, seg_idx, dist2) candidate pairs with
     dist2 <= S*S (S = 2**shift) — the shared candidate stage of
@@ -435,7 +454,8 @@ def segment_candidates(
 
     cover = way_cell_cover(ways, nodes, shift=shift)
     cand = cell_corridor_join(
-        cover, points, shift=shift, radius=radius
+        cover, points, shift=shift, radius=radius,
+        index_join=index_join,
     )
 
     pos = ways.select(
@@ -521,6 +541,7 @@ def snap_to_ways(
     ways: DataFrame,
     nodes: DataFrame,
     shift: int = 20,
+    index_join: str = "broadcast",
 ) -> DataFrame:
     """Map matching: snap each point to the nearest WAY SEGMENT
     within one grid cell side S = 2**shift — (doc_id, way_id,
@@ -560,7 +581,9 @@ def snap_to_ways(
     identically in every IEEE engine), divisions happen in the
     same order as the DuckDB oracle, so dist2 hash-matches
     bit-for-bit."""
-    scored = segment_candidates(points, ways, nodes, shift=shift)
+    scored = segment_candidates(
+        points, ways, nodes, shift=shift, index_join=index_join
+    )
     wd = Window.partitionBy("doc_id").orderBy(
         F.asc("dist2"), F.asc("way_id"), F.asc("seg_idx")
     )
@@ -744,6 +767,12 @@ def snap_cell_index(
     )
 
 
+# zero-pad widths for the Viterbi fusion-safe tie-break key:
+# int64 way ids need <= 19 digits, seg indices <= 9 here
+VIT_PAD_WAY = 19
+VIT_PAD_SEG = 9
+
+
 def viterbi_map_match(
     trace_pts: DataFrame,
     ways: DataFrame,
@@ -752,6 +781,7 @@ def viterbi_map_match(
     k: int = 3,
     shift: int = 20,
     switch_penalty: float = float(1 << 38),
+    index_join: str = "broadcast",
 ) -> DataFrame:
     """HMM (Viterbi) map matching of point SEQUENCES — the standard
     GPS-trace workload: per trace, the minimum-cost assignment of
@@ -765,19 +795,36 @@ def viterbi_map_match(
 
     The DP is UNROLLED RELATIONALLY: candidates per (trace, step)
     come from segment_candidates (exact within S = 2**shift)
-    ranked to the top-k by (dist2, way_id, seg_idx); each DP step
-    is one equi-join on trace_id + one groupBy-min over
-    (cost, path) structs — k^2 rows per trace per step, n_steps-1
-    shuffles total, every comparison a total order so the argmin
-    is engine-exact.  Costs accumulate left-to-right
-    ((cost + trans) + dist2), so the doubles replay bit-for-bit in
-    the DuckDB oracle.  Bounded n_steps is the distributed-fleet
-    shape (traces shard freely; state fan-out is k per trace);
-    for very long traces the alternative is one applyInPandas DP
-    per trace keyed by trace_id.
+    ranked to the top-k by (dist2, way_id, seg_idx); TWO DP steps
+    are FUSED per shuffle round (the frechet/hop-distance fusion
+    applied to Viterbi): both equi-joins on trace_id ride the
+    un-deduplicated k^3-rows-per-trace intermediate, then ONE
+    groupBy-min collapses the round — halving both the
+    shuffle-agg count and the driver job count vs one-step
+    rounds (4-step fusion was measured SLOWER at 10x: the k^5
+    un-deduplicated intermediate costs more than the two saved
+    driver jobs).  Costs accumulate left-to-right ((cost + trans) +
+    dist2) through the identical expression chain either way, so
+    the doubles replay bit-for-bit in the (still one-step-staged)
+    DuckDB oracle.
 
-    trace_id must be non-negative; steps must fit the packing
-    (step < 2**12)."""
+    Fusion-safe tie-break: the argmin key is (cost, ppath) where
+    ppath is the path with every label zero-padded to fixed width
+    — fixed-width labels mean no key is a strict prefix of
+    another, so appending a common suffix never reorders keys and
+    the min becomes ASSOCIATIVE across fused steps (raw "1-2" <
+    "1-23" would flip after appending ">x"; padded keys cannot).
+    The staged oracle uses the same (cost, ppath) key, so staged
+    and fused provably select the same argmin rows. Output paths
+    stay in the raw human format.
+
+    Bounded n_steps is the distributed-fleet shape (traces shard
+    freely; state fan-out is k per trace); for very long traces
+    the alternative is one applyInPandas DP per trace keyed by
+    trace_id.
+
+    trace_id, way_id and seg_idx must be non-negative (zero-pad
+    tie-break); steps must fit the packing (step < 2**12)."""
     packed = trace_pts.select(
         (F.col("trace_id") * F.lit(4096) + F.col("step")).alias(
             "doc_id"
@@ -785,7 +832,9 @@ def viterbi_map_match(
         "lat_i",
         "lon_i",
     )
-    cand = segment_candidates(packed, ways, nodes, shift=shift)
+    cand = segment_candidates(
+        packed, ways, nodes, shift=shift, index_join=index_join
+    )
     cand = cand.select(
         F.expr("doc_id div 4096").alias("trace_id"),
         (F.col("doc_id") % 4096).alias("step"),
@@ -800,6 +849,10 @@ def viterbi_map_match(
         cand.withColumn("_rn", F.row_number().over(wk))
         .where(F.col("_rn") <= k)
         .drop("_rn")
+        # pinned: five per-step filters consume this — without the
+        # checkpoint each one re-expands the whole candidate
+        # pipeline (segment join + window rank) into the plan
+        .localCheckpoint(eager=False)
     )
 
     lbl = F.concat(
@@ -807,14 +860,23 @@ def viterbi_map_match(
         F.lit("-"),
         F.col("seg_idx").cast("string"),
     )
+    plbl = F.concat(
+        F.lpad(F.col("way_id").cast("string"), VIT_PAD_WAY, "0"),
+        F.lit("-"),
+        F.lpad(F.col("seg_idx").cast("string"), VIT_PAD_SEG, "0"),
+    )
     states = cand.where(F.col("step") == 0).select(
         "trace_id",
         "way_id",
         "seg_idx",
         F.col("dist2").alias("cost"),
         lbl.alias("path"),
+        plbl.alias("ppath"),
     )
-    for t in range(1, n_steps):
+
+    def extend(state: DataFrame, t: int) -> DataFrame:
+        """One un-deduplicated DP extension through step t (no
+        aggregate — rows stay k x current per trace)."""
         ct = cand.where(F.col("step") == t).select(
             "trace_id",
             F.col("way_id").alias("way2"),
@@ -824,36 +886,53 @@ def viterbi_map_match(
         trans = F.when(
             F.col("way2") == F.col("way_id"), F.lit(0.0)
         ).otherwise(F.lit(float(switch_penalty)))
-        ncost = (F.col("cost") + trans) + F.col("d2")
-        npath = F.concat(
-            F.col("path"),
-            F.lit(">"),
-            F.col("way2").cast("string"),
-            F.lit("-"),
-            F.col("seg2").cast("string"),
+        return state.join(ct, "trace_id").select(
+            "trace_id",
+            F.col("way2").alias("way_id"),
+            F.col("seg2").alias("seg_idx"),
+            ((F.col("cost") + trans) + F.col("d2")).alias("cost"),
+            F.concat(
+                F.col("path"),
+                F.lit(">"),
+                F.col("way2").cast("string"),
+                F.lit("-"),
+                F.col("seg2").cast("string"),
+            ).alias("path"),
+            F.concat(
+                F.col("ppath"),
+                F.lit(">"),
+                F.lpad(
+                    F.col("way2").cast("string"), VIT_PAD_WAY, "0"
+                ),
+                F.lit("-"),
+                F.lpad(
+                    F.col("seg2").cast("string"), VIT_PAD_SEG, "0"
+                ),
+            ).alias("ppath"),
         )
+
+    t = 1
+    while t < n_steps:
+        fuse = min(2, n_steps - t)
+        cur = states
+        for u in range(t, t + fuse):
+            cur = extend(cur, u)
         states = (
-            states.join(ct, "trace_id")
-            .select(
-                "trace_id",
-                F.col("way2").alias("way_id"),
-                F.col("seg2").alias("seg_idx"),
-                ncost.alias("cost"),
-                npath.alias("path"),
-            )
-            .groupBy("trace_id", "way_id", "seg_idx")
-            .agg(F.min(F.struct("cost", "path")).alias("_m"))
+            cur.groupBy("trace_id", "way_id", "seg_idx")
+            .agg(F.min(F.struct("cost", "ppath", "path")).alias("_m"))
             .select(
                 "trace_id",
                 "way_id",
                 "seg_idx",
                 F.col("_m.cost").alias("cost"),
                 F.col("_m.path").alias("path"),
+                F.col("_m.ppath").alias("ppath"),
             )
         )
+        t += fuse
     return (
         states.groupBy("trace_id")
-        .agg(F.min(F.struct("cost", "path")).alias("_m"))
+        .agg(F.min(F.struct("cost", "ppath", "path")).alias("_m"))
         .select(
             "trace_id",
             F.col("_m.cost").alias("total_cost"),
@@ -952,6 +1031,7 @@ def snap_to_ways_geodesic(
     nodes: DataFrame,
     shift: int = 20,
     radius: int = 2,
+    index_join: str = "broadcast",
 ) -> DataFrame:
     """snap_to_ways under the reference's geodesic metric
     (segment_candidates cosr=True): east-west deltas scaled by the
@@ -959,7 +1039,8 @@ def snap_to_ways_geodesic(
     osmconvert's length/width scaling.  radius must satisfy the
     cosr completeness rule (2 covers |lat| <= 60 degrees)."""
     scored = segment_candidates(
-        points, ways, nodes, shift=shift, cosr=True, radius=radius
+        points, ways, nodes, shift=shift, cosr=True, radius=radius,
+        index_join=index_join,
     )
     wd = Window.partitionBy("doc_id").orderBy(
         F.asc("dist2"), F.asc("way_id"), F.asc("seg_idx")

@@ -418,8 +418,19 @@ def q131_viterbi_match(spark, sf_dir):
     docs, n = _docs_and_n(spark, sf_dir)
     ways = synth_ways(docs, n)
     nodes = _nodes(spark, sf_dir)
+    # index_join="auto": the suite input scales the WAYS side with
+    # the corpus, so the broadcast-or-shuffle choice is left to
+    # Catalyst/AQE size stats (measured 2v8-at-10x efficiency 0.67
+    # vs 0.48 with the pinned broadcast hint); results are
+    # strategy-invariant (tests/test_smj_fallback.py)
     return viterbi_map_match(
-        _synth_traces(nodes), ways, nodes, n_steps=5, k=3, shift=20
+        _synth_traces(nodes),
+        ways,
+        nodes,
+        n_steps=5,
+        k=3,
+        shift=20,
+        index_join="auto",
     )
 
 
@@ -928,9 +939,24 @@ _D2_CASE = """CASE WHEN apx*abx + apy*aby <= 0
 
 def _viterbi_oracle_sql(g: str, n_steps: int = 5, k: int = 3) -> str:
     """Chained-CTE Viterbi mirror of linecover.viterbi_map_match:
-    same candidate ranking, same (cost, path) struct argmin, same
-    left-to-right double accumulation and switch penalty 2^38."""
+    same candidate ranking, same (cost, ppath) struct argmin (the
+    zero-padded fixed-width tie-break key that makes the engine's
+    2-step fusion associative — this oracle stays ONE-step-staged,
+    the genuinely different evaluation order the key provably
+    reconciles), same left-to-right double accumulation and switch
+    penalty 2^38."""
+    from .operators.linecover import VIT_PAD_SEG, VIT_PAD_WAY
+
     pen = float(1 << 38)
+    pl = (
+        f"lpad(CAST(way_id AS VARCHAR), {VIT_PAD_WAY}, '0') || '-'"
+        f" || lpad(CAST(seg_idx AS VARCHAR), {VIT_PAD_SEG}, '0')"
+    )
+    plc = (
+        f"lpad(CAST(c.way_id AS VARCHAR), {VIT_PAD_WAY}, '0')"
+        f" || '-' ||"
+        f" lpad(CAST(c.seg_idx AS VARCHAR), {VIT_PAD_SEG}, '0')"
+    )
     head = f"""
 {g},
 vpts AS (
@@ -977,7 +1003,8 @@ vk AS (
 v0 AS (
   SELECT trace_id, way_id, seg_idx, d2 AS cost,
          CAST(way_id AS VARCHAR) || '-' || CAST(seg_idx AS VARCHAR)
-           AS path
+           AS path,
+         {pl} AS ppath
   FROM vk WHERE step = 0
 )"""
     steps = []
@@ -985,25 +1012,27 @@ v0 AS (
         steps.append(f""",
 v{t}m AS (
   SELECT trace_id, way_id, seg_idx,
-         MIN({{'cost': c2, 'path': p2}}) AS m
+         MIN({{'cost': c2, 'ppath': pp2, 'path': p2}}) AS m
   FROM (
     SELECT s.trace_id, c.way_id, c.seg_idx,
       (s.cost + CASE WHEN c.way_id = s.way_id THEN 0.0
                      ELSE {pen!r} END) + c.d2 AS c2,
       s.path || '>' || CAST(c.way_id AS VARCHAR) || '-'
-             || CAST(c.seg_idx AS VARCHAR) AS p2
+             || CAST(c.seg_idx AS VARCHAR) AS p2,
+      s.ppath || '>' || {plc} AS pp2
     FROM v{t - 1} s JOIN vk c
       ON c.trace_id = s.trace_id AND c.step = {t}
   ) GROUP BY 1, 2, 3
 ),
 v{t} AS (
   SELECT trace_id, way_id, seg_idx,
-         m.cost AS cost, m.path AS path
+         m.cost AS cost, m.ppath AS ppath, m.path AS path
   FROM v{t}m
 )""")
     tail = f"""
 SELECT trace_id, m.cost AS total_cost, m.path AS path FROM (
-  SELECT trace_id, MIN({{'cost': cost, 'path': path}}) AS m
+  SELECT trace_id, MIN({{'cost': cost, 'ppath': ppath,
+                         'path': path}}) AS m
   FROM v{n_steps - 1} GROUP BY 1
 )"""
     return head + "".join(steps) + tail
