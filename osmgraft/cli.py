@@ -110,6 +110,17 @@ def _parse_args(argv: list[str]) -> dict:
         "keep_tags_t": {"node": None, "way": None, "relation": None},
         "drop_tags_t": {"node": None, "way": None, "relation": None},
         "modify_tags": None,
+        # per-type tag modification lists (osmconvert.c:206-208);
+        # the generic --modify-tags feeds all three
+        "modify_tags_t": {"node": None, "way": None, "relation": None},
+        # --add-bbox*-tags selection, canonical emit order
+        # (osmconvert.c:35-39, 9003-9061)
+        "add_bbox": [],
+        # --timestamp= file timestamp, unix seconds
+        # (osmconvert.c:12888-12891)
+        "timestamp": None,
+        # --pbf-granularity= input override (osmconvert.c:579-582)
+        "pbf_granularity": None,
         "out_timestamp": False,
         "csv_headline": False,
         "drop_broken_refs": False,
@@ -191,6 +202,24 @@ def _parse_args(argv: list[str]) -> dict:
             return True
         return False
 
+    # --parameter-file pre-expansion (osmconvert.c:12644-12698):
+    # the file's parameters are processed in place of the flag
+    expanded: list[str] = []
+    for a in argv:
+        if a.startswith("--parameter-file=") and a[17:]:
+            expanded.extend(_read_parameter_file(a[17:]))
+        else:
+            expanded.append(a)
+    argv = expanded
+
+    _BBOX_FLAG = {
+        "--add-bbox-tags": "bBox",
+        "--add-bboxarea-tags": "bBoxArea",
+        "--add-bboxweight-tags": "bBoxWeight",
+        "--add-bboxwidth-tags": "bBoxWidth",
+        "--add-bboxwidthweight-tags": "bBoxWidthWeight",
+    }
+
     for a in argv:
         if a.startswith("-b="):
             opts["bbox"] = [float(v) for v in a[3:].split(",")]
@@ -214,6 +243,32 @@ def _parse_args(argv: list[str]) -> dict:
             pass
         elif a.startswith("--modify-tags="):
             opts["modify_tags"] = a[14:]
+        elif a.startswith(
+            ("--modify-node-tags=", "--modify-way-tags=",
+             "--modify-relation-tags=")
+        ):
+            kind = a[len("--modify-"):a.index("-tags=")]
+            expr = a.partition("=")[2]
+            slot = opts["modify_tags_t"]
+            # rules are space-separated (modi_parse); repeating
+            # the flag appends to the type's rule list
+            slot[kind] = (
+                expr if slot[kind] is None
+                else f"{slot[kind]} {expr}"
+            )
+        elif a in _BBOX_FLAG:
+            if _BBOX_FLAG[a] not in opts["add_bbox"]:
+                opts["add_bbox"].append(_BBOX_FLAG[a])
+        elif a == "--all-to-nodes-bbox":
+            # deprecated alias: --all-to-nodes + --add-bbox-tags
+            # (osmconvert.c:12934-12944)
+            opts["all_to_nodes"] = True
+            if "bBox" not in opts["add_bbox"]:
+                opts["add_bbox"].append("bBox")
+        elif a.startswith("--timestamp=") and a[12:]:
+            opts["timestamp"] = parse_osm_timestamp(a[12:])
+        elif a.startswith("--pbf-granularity=") and a[18:]:
+            opts["pbf_granularity"] = int(a[18:])
         elif a == "--subtract":
             opts["subtract"] = True
         elif a in ("--diff", "--diff-contents"):
@@ -819,6 +874,426 @@ def _rel_centers(
     ).select("id", "lat_i", "lon_i", *extra)
 
 
+def _read_parameter_file(path: str) -> list[str]:
+    """--parameter-file reader (osmconvert.c:12644-12698):
+    parameters separated by empty lines; line feeds inside one
+    parameter become single spaces; lines starting with '// ' are
+    comments; whitespace-only parameters are skipped."""
+    params: list[str] = []
+    cur: list[str] = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("// "):
+                continue
+            body = line.rstrip("\r\n")
+            if body == "":
+                if cur:
+                    params.append(" ".join(cur))
+                    cur = []
+                continue
+            cur.append(body)
+    if cur:
+        params.append(" ".join(cur))
+    return [p for p in (q.strip() for q in params) if p]
+
+
+def parse_osm_timestamp(s: str) -> int:
+    """oo__strtimetosint64 (osmconvert.c:9296-9346): strict
+    'YYYY-MM-DDThh:mm:ssZ' via timegm, or NOW±seconds relative to
+    the wall clock; 0 on syntax error (the reference's 'unset')."""
+    import calendar
+    import re as _re
+    import time as _time
+
+    if s.startswith("NOW"):
+        m = _re.fullmatch(r"NOW([+-])(\d+)", s)
+        if not m:
+            return 0
+        off = int(m.group(2))
+        return int(_time.time()) + (off if m.group(1) == "+" else -off)
+    m = _re.fullmatch(
+        r"([12]\d{3})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})Z", s
+    )
+    if not m:
+        return 0
+    y, mo, d, h, mi, sec = (int(g) for g in m.groups())
+    return int(calendar.timegm((y, mo, d, h, mi, sec, 0, 0, 0)))
+
+
+def format_osm_timestamp(ts: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(
+        ts, _dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+# canonical emit order of the bbox tag family (the reference adds
+# them in this fixed order regardless of flag order)
+_BBOX_ORDER = (
+    "bBox", "bBoxArea", "bBoxWeight", "bBoxWidth", "bBoxWidthWeight"
+)
+
+
+def _way_boxes(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(id, x_min, y_min, x_max, y_max) per way over its
+    RESOLVABLE refs; ways with zero resolvable refs vanish and
+    get no bbox tag. DOCUMENTED DIVERGENCE: the reference leaks
+    its RUNNING bbox accumulator into such ways — a way whose refs
+    all fail to resolve is tagged with the bbox of whatever valid
+    way happened to precede it in the stream ((0,0,0,0) when
+    first) — order-dependent carry-over state a distributed engine
+    deliberately does not reproduce, same policy as the ring-
+    assembly state leak and the 9e8 antimeridian guard."""
+    pos = ways.select("id", F.explode("refs").alias("ref")).join(
+        nodes.select(
+            F.col("id").alias("ref"),
+            F.col("lon_i").alias("x"),
+            F.col("lat_i").alias("y"),
+        ),
+        "ref",
+    )
+    return pos.groupBy("id").agg(
+        F.min("x").alias("x_min"),
+        F.min("y").alias("y_min"),
+        F.max("x").alias("x_max"),
+        F.max("y").alias("y_max"),
+    )
+
+
+def _bbox_tags_map(which: list[str]) -> F.Column:
+    """Selected bbox tags (canonical order) as a map column from
+    x_min/y_min/x_max/y_max fixed-point columns — the q28-tested
+    bit-exact kernels (geo/bboxtags.bbox_tag_columns)."""
+    from .geo.bboxtags import bbox_tag_columns
+
+    cols = bbox_tag_columns(
+        F.col("x_min"), F.col("y_min"),
+        F.col("x_max"), F.col("y_max"),
+    )
+    sel = [k for k in _BBOX_ORDER if k in which]
+    return F.map_from_entries(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("key"),
+                    cols[k].cast("string").alias("value"),
+                )
+                for k in sel
+            ]
+        )
+    )
+
+
+def _prepend_bbox_tags(df: DataFrame, which: list[str]) -> DataFrame:
+    """Prepend the selected bbox tags to `tags` where the box
+    columns resolved (the reference writes computed tags first,
+    then the object's own); rows without a box keep their tags.
+    Existing tags under the same keys are dropped first (a map
+    cannot carry the reference's duplicate-key output)."""
+    sel = [k for k in _BBOX_ORDER if k in which]
+    keyarr = F.array(*[F.lit(k) for k in sel])
+    cleaned = F.map_filter(
+        F.col("tags"), lambda k, _v: ~F.array_contains(keyarr, k)
+    )
+    tagged = F.map_concat(_bbox_tags_map(which), cleaned)
+    return df.withColumn(
+        "tags",
+        F.when(F.col("x_min").isNotNull(), tagged).otherwise(
+            F.col("tags")
+        ),
+    ).drop("x_min", "y_min", "x_max", "y_max")
+
+
+def _rel_boxes_centers(
+    rels: DataFrame,
+    node_pos: DataFrame,
+    way_pos: DataFrame,
+    way_boxes: DataFrame,
+) -> DataFrame:
+    """Relation bbox + bbox-mode center by iterative member
+    resolution — the global_calccoords=-1 variant of _rel_centers
+    (posr x_min/x_max tracking, osmconvert.c:6917-7070 with
+    --add-bbox* active):
+
+    - every member carries a POSITION (node coord / way center /
+      child rel center) and a BOX (node point / way bbox / child
+      rel union box);
+    - the relation's box is the UNION of member boxes;
+    - its center is the trunc-division middle of that UNION box
+      for area relations — NOT the middle of member positions,
+      which is what plain --all-to-nodes uses (verified against
+      the binary: rel of way(20..21,10..11)+node(22,12) centers
+      at (21,11) with bbox tags on, (21.3,11.25) without) — and
+      the LAST valid member's position for non-area relations
+      (same as plain mode);
+    - resolution rule unchanged: all relation-type members must
+      resolve, >= 1 valid member, bounded passes.
+
+    Output: (id [rel_id + OFF20], lon_i, lat_i, x_min, y_min,
+    x_max, y_max)."""
+    has_hw = F.arrays_overlap(
+        F.map_keys("tags"),
+        F.array(*[F.lit(k) for k in _AREA_KEYS]),
+    )
+    has_area = F.coalesce(
+        F.try_element_at("tags", F.lit("area")) == F.lit("yes"),
+        F.lit(False),
+    )
+    is_area = (~has_hw) | has_area
+    mem = rels.select(
+        "id",
+        is_area.alias("is_area"),
+        F.posexplode("members").alias("j", "m"),
+    ).select(
+        "id",
+        "is_area",
+        "j",
+        F.when(F.col("m.mtype") == "way", F.col("m.ref") + OFF10)
+        .when(F.col("m.mtype") == "relation", F.col("m.ref") + OFF20)
+        .otherwise(F.col("m.ref"))
+        .alias("pos_id"),
+    )
+    off15 = OFF10 + OFF10 // 2
+
+    # static member values: position + box per node/way member
+    nvals = node_pos.select(
+        F.col("id").alias("pos_id"),
+        "lon_i",
+        "lat_i",
+        F.col("lon_i").alias("x_min"),
+        F.col("lat_i").alias("y_min"),
+        F.col("lon_i").alias("x_max"),
+        F.col("lat_i").alias("y_max"),
+    )
+    wvals = way_pos.join(
+        way_boxes.select(
+            (F.col("id") + OFF10).alias("id"),
+            "x_min", "y_min", "x_max", "y_max",
+        ),
+        "id",
+    ).select(
+        F.col("id").alias("pos_id"),
+        "lon_i", "lat_i", "x_min", "y_min", "x_max", "y_max",
+    )
+    vals = nvals.unionByName(wvals)
+    stat = (
+        mem.filter(F.col("pos_id") < off15)
+        .join(vals, "pos_id")
+        .groupBy("id")
+        .agg(
+            F.min("x_min").alias("sx_min"),
+            F.max("x_max").alias("sx_max"),
+            F.min("y_min").alias("sy_min"),
+            F.max("y_max").alias("sy_max"),
+            F.max_by(
+                F.struct("j", "lon_i", "lat_i"), F.col("j")
+            ).alias("slast"),
+            F.count("*").cast("long").alias("s_n"),
+        )
+    )
+    mem_rel = mem.filter(F.col("pos_id") >= off15).select(
+        "id", "j", (F.col("pos_id") - OFF20).alias("child")
+    )
+    spine = (
+        mem.groupBy("id")
+        .agg(F.first("is_area").alias("is_area"))
+        .join(
+            mem_rel.groupBy("id").agg(
+                F.count("*").cast("long").alias("n_rel")
+            ),
+            "id",
+            "left",
+        )
+        .join(stat, "id", "left")
+        .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
+        .localCheckpoint(eager=True)
+    )
+    mem_rel = mem_rel.localCheckpoint(eager=True)
+
+    done = None
+    for _ in range(_MAX_REL_PASSES):
+        if done is None:
+            probe = mem_rel.limit(0).select(
+                "id",
+                "j",
+                *[
+                    F.lit(0).cast("long").alias(c)
+                    for c in (
+                        "lon_i", "lat_i",
+                        "x_min", "y_min", "x_max", "y_max",
+                    )
+                ],
+            )
+        else:
+            probe = mem_rel.join(
+                done.select(
+                    (F.col("id") - OFF20).alias("child"),
+                    "lon_i", "lat_i",
+                    "x_min", "y_min", "x_max", "y_max",
+                ),
+                "child",
+            ).select(
+                "id", "j", "lon_i", "lat_i",
+                "x_min", "y_min", "x_max", "y_max",
+            )
+        ragg = probe.groupBy("id").agg(
+            F.min("x_min").alias("rx_min"),
+            F.max("x_max").alias("rx_max"),
+            F.min("y_min").alias("ry_min"),
+            F.max("y_max").alias("ry_max"),
+            F.max_by(
+                F.struct("j", "lon_i", "lat_i"), F.col("j")
+            ).alias("rlast"),
+            F.count("*").cast("long").alias("n_matched"),
+        )
+        cand = spine.join(ragg, "id", "left").filter(
+            (F.coalesce("n_matched", F.lit(0)) == F.col("n_rel"))
+            & (
+                F.coalesce("s_n", F.lit(0))
+                + F.coalesce("n_matched", F.lit(0))
+                > 0
+            )
+        )
+        if done is not None:
+            cand = cand.join(
+                done.select((F.col("id") - OFF20).alias("id")),
+                "id",
+                "left_anti",
+            )
+        last = F.when(
+            F.col("rlast").isNull()
+            | (
+                F.col("slast").isNotNull()
+                & (F.col("slast.j") > F.col("rlast.j"))
+            ),
+            F.col("slast"),
+        ).otherwise(F.col("rlast"))
+        x_min = F.least(
+            F.coalesce("sx_min", F.col("rx_min")),
+            F.coalesce("rx_min", F.col("sx_min")),
+        )
+        x_max = F.greatest(
+            F.coalesce("sx_max", F.col("rx_max")),
+            F.coalesce("rx_max", F.col("sx_max")),
+        )
+        y_min = F.least(
+            F.coalesce("sy_min", F.col("ry_min")),
+            F.coalesce("ry_min", F.col("sy_min")),
+        )
+        y_max = F.greatest(
+            F.coalesce("sy_max", F.col("ry_max")),
+            F.coalesce("ry_max", F.col("sy_max")),
+        )
+        batch = cand.select(
+            (F.col("id") + OFF20).alias("id"),
+            F.col("is_area"),
+            x_min.alias("x_min"),
+            x_max.alias("x_max"),
+            y_min.alias("y_min"),
+            y_max.alias("y_max"),
+            last.alias("last"),
+        ).select(
+            "id",
+            F.when(
+                F.col("is_area"),
+                F.expr("x_max div 2 + x_min div 2"),
+            )
+            .otherwise(F.col("last.lon_i"))
+            .alias("lon_i"),
+            F.when(
+                F.col("is_area"),
+                F.expr("(y_max + y_min) div 2"),
+            )
+            .otherwise(F.col("last.lat_i"))
+            .alias("lat_i"),
+            "x_min", "y_min", "x_max", "y_max",
+        ).localCheckpoint(eager=True)
+        if batch.count() == 0:
+            break
+        done = (
+            batch if done is None else done.unionByName(batch)
+        )
+    if done is None:
+        return rels.select(
+            "id",
+            *[
+                F.lit(0).cast("long").alias(c)
+                for c in (
+                    "lon_i", "lat_i",
+                    "x_min", "y_min", "x_max", "y_max",
+                )
+            ],
+        ).limit(0)
+    return done
+
+
+def _apply_bbox_tags(nodes, ways, rels, which):
+    """Plain --add-bbox* mode: ways and relations get the selected
+    tags prepended in place; nodes untouched (verified against the
+    binary)."""
+    wb = _way_boxes(ways, nodes)
+    ways = _prepend_bbox_tags(
+        ways.join(wb, "id", "left"), which
+    )
+    rb = _rel_boxes_centers(
+        rels,
+        nodes.select("id", "lon_i", "lat_i"),
+        _way_centers(
+            ways.select("id", "refs"), nodes
+        ).select("id", "lon_i", "lat_i"),
+        wb,
+    )
+    rels = _prepend_bbox_tags(
+        rels.join(
+            rb.select(
+                (F.col("id") - OFF20).alias("id"),
+                "x_min", "y_min", "x_max", "y_max",
+            ),
+            "id",
+            "left",
+        ),
+        which,
+    )
+    return nodes, ways, rels
+
+
+def _all_to_nodes_bbox(nodes, ways, rels, which):
+    """--all-to-nodes combined with --add-bbox*: replacement
+    nodes carry the bbox tags; relation centers switch to the
+    bbox-union middle (see _rel_boxes_centers); original nodes
+    stay untagged."""
+    way_nodes = _way_centers(ways, nodes)
+    wb = _way_boxes(ways, nodes)
+    way_nodes = _prepend_bbox_tags(
+        way_nodes.join(
+            wb.select(
+                (F.col("id") + OFF10).alias("id"),
+                "x_min", "y_min", "x_max", "y_max",
+            ),
+            "id",
+            "left",
+        ),
+        which,
+    )
+    rb = _rel_boxes_centers(
+        rels,
+        nodes.select("id", "lon_i", "lat_i"),
+        way_nodes.select("id", "lon_i", "lat_i"),
+        wb,
+    )
+    extra = [c for c in rels.columns if c not in ("id", "members")]
+    rel_nodes = _prepend_bbox_tags(
+        rb.join(
+            rels.select((F.col("id") + OFF20).alias("id"), *extra),
+            "id",
+        ),
+        which,
+    ).select("id", "lat_i", "lon_i", *extra)
+    all_nodes = nodes.unionByName(way_nodes).unionByName(rel_nodes)
+    return all_nodes, None, None
+
+
 def _all_to_nodes(nodes, ways, rels):
     way_nodes = _way_centers(ways, nodes)
     rel_nodes = _rel_centers(
@@ -1134,7 +1609,10 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         return None
 
     parts = [
-        read_osm_auto(spark, p, with_meta=True)
+        read_osm_auto(
+            spark, p, with_meta=True,
+            pbf_granularity=opts["pbf_granularity"],
+        )
         for p in opts["inputs"]
     ]
 
@@ -1314,12 +1792,27 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
             kinds["node"], kinds["way"], kinds["relation"]
         )
 
-    if opts["modify_tags"] is not None:
+    if opts["modify_tags"] is not None or any(
+        opts["modify_tags_t"].values()
+    ):
         from .filterlang.modify import modify_entries, parse_modify
 
-        rules = parse_modify(opts["modify_tags"])
+        # the generic list feeds every type; per-type lists append
+        # (each type owns one rule array in the reference)
+        per_type = {}
+        for kind in ("node", "way", "relation"):
+            src = [
+                s
+                for s in (
+                    opts["modify_tags"], opts["modify_tags_t"][kind]
+                )
+                if s is not None
+            ]
+            per_type[kind] = (
+                parse_modify(" ".join(src)) if src else None
+            )
 
-        def remap(df):
+        def remap(df, rules):
             ents = modify_entries(F.col("tags"), rules)
             # first occurrence wins on rename collisions (the map
             # type cannot carry the reference's duplicate tags)
@@ -1344,7 +1837,12 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
                 ),
             )
 
-        nodes, ways, rels = remap(nodes), remap(ways), remap(rels)
+        if per_type["node"]:
+            nodes = remap(nodes, per_type["node"])
+        if per_type["way"]:
+            ways = remap(ways, per_type["way"])
+        if per_type["relation"]:
+            rels = remap(rels, per_type["relation"])
 
     if opts["out_statistics"]:
         # pre-border stream, like the reference's statistics block
@@ -1360,7 +1858,16 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
     nodes, ways, rels = _apply_spatial(nodes, ways, rels, opts)
 
     if opts["all_to_nodes"]:
-        nodes, ways, rels = _all_to_nodes(nodes, ways, rels)
+        if opts["add_bbox"]:
+            nodes, ways, rels = _all_to_nodes_bbox(
+                nodes, ways, rels, opts["add_bbox"]
+            )
+        else:
+            nodes, ways, rels = _all_to_nodes(nodes, ways, rels)
+    elif opts["add_bbox"]:
+        nodes, ways, rels = _apply_bbox_tags(
+            nodes, ways, rels, opts["add_bbox"]
+        )
 
     if opts["out_key"] is not None:
         frames = [nodes]
@@ -1413,13 +1920,24 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
             _iter_rows(rels) if rels is not None else [],
         )
         fmt = opts["out_fmt"]
+        ts = opts["timestamp"]
         if fmt == "osm":
             sys.stdout.write(
-                encode_osm_xml(*rows, dialect=opts["emulate"])
+                encode_osm_xml(
+                    *rows,
+                    dialect=opts["emulate"],
+                    header_timestamp=(
+                        format_osm_timestamp(ts) if ts else None
+                    ),
+                )
             )
         elif fmt in ("o5m", "o5c"):
             sys.stdout.buffer.write(
-                encode_o5m(*rows, change=(fmt == "o5c"))
+                encode_o5m(
+                    *rows,
+                    change=(fmt == "o5c"),
+                    file_timestamp=ts,
+                )
             )
         else:  # pbf
             sys.stdout.buffer.write(encode_pbf(*rows))
@@ -1437,13 +1955,17 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
 
     ext = out.rsplit(".", 1)[-1]
     if ext == "o5m":
-        write_wire_single(nodes, ways, rels, out, fmt="o5m")
+        write_wire_single(
+            nodes, ways, rels, out, fmt="o5m",
+            file_timestamp=opts["timestamp"],
+        )
     elif ext == "o5c":
         data = encode_o5m(
             _iter_rows(nodes),
             _iter_rows(ways) if ways is not None else [],
             _iter_rows(rels) if rels is not None else [],
             change=True,
+            file_timestamp=opts["timestamp"],
         )
         with open(out, "wb") as f:
             f.write(data)
@@ -1454,6 +1976,7 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         write_wire_single(
             nodes, ways, rels, out, fmt=fmt,
             dialect=opts["emulate"],
+            file_timestamp=opts["timestamp"],
         )
     elif ext == "osc":
         with open(out, "w") as f:

@@ -57,7 +57,10 @@ def sniff_format(path: str) -> str:
 
 
 def read_osm_auto(
-    spark: SparkSession, path: str, with_meta: bool = False
+    spark: SparkSession,
+    path: str,
+    with_meta: bool = False,
+    pbf_granularity: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """path: file/dir/glob of OSM files in any supported format
     (all expanded files must share one format, like the reference's
@@ -75,7 +78,10 @@ def read_osm_auto(
                 f"mixed formats under {path}: {fmt} vs {other} ({f})"
             )
     if fmt == "pbf":
-        return read_pbf(spark, path, with_meta=with_meta)
+        return read_pbf(
+            spark, path, with_meta=with_meta,
+            force_granularity=pbf_granularity,
+        )
     if fmt == "o5m":
         return read_o5m(spark, path, with_meta=with_meta)
     return read_osm_xml(spark, path, with_meta=with_meta)

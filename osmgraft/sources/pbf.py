@@ -116,10 +116,21 @@ def _delta_zig(raw: list[int]) -> list[int]:
     return out
 
 
-def parse_pbf(data: bytes, with_meta: bool = False):
+def parse_pbf(
+    data: bytes,
+    with_meta: bool = False,
+    force_granularity: int | None = None,
+):
     """-> (nodes, ways, rels) row-dict lists (fixed-point coords,
     tag dicts). with_meta=True decodes DenseInfo / Info author
-    fields (version, timestamp seconds, changeset, uid, user)."""
+    fields (version, timestamp seconds, changeset, uid, user).
+
+    force_granularity mirrors osmconvert's --pbf-granularity
+    (osmconvert.c:579-582, 3567-3569): the value OVERRIDES the
+    file's granularity field and lat/lon offsets are ignored —
+    the reference never reads fields 17/19/20 and scales raw
+    deltas by val/100 only when flagged. Default None keeps this
+    reader's standards behavior (honor field 17 and offsets)."""
     nodes, ways, rels = [], [], []
     i = 0
     n = len(data)
@@ -145,7 +156,10 @@ def parse_pbf(data: bytes, with_meta: bool = False):
                 raw = zlib.decompress(v)
         if btype != "OSMData" or raw is None:
             continue
-        _parse_block(raw, nodes, ways, rels, with_meta)
+        _parse_block(
+            raw, nodes, ways, rels, with_meta,
+            force_granularity=force_granularity,
+        )
     return nodes, ways, rels
 
 
@@ -180,7 +194,12 @@ _NO_META = {
 
 
 def _parse_block(
-    block: bytes, nodes, ways, rels, with_meta: bool = False
+    block: bytes,
+    nodes,
+    ways,
+    rels,
+    with_meta: bool = False,
+    force_granularity: int | None = None,
 ) -> None:
     strings: list[str] = []
     groups = []
@@ -203,6 +222,12 @@ def _parse_block(
             lat_off = v
         elif fno == 20:
             lon_off = v
+    if force_granularity is not None:
+        # reference parity under --pbf-granularity: the flag value
+        # wins and offsets are ignored (osmconvert reads neither)
+        gran = int(force_granularity)
+        lat_off = 0
+        lon_off = 0
 
     def coord(off: int, raw: int) -> int:
         # nanodeg -> 100-nanodeg fixed point (C int division)
@@ -433,7 +458,11 @@ def _expand(path: str) -> list[str]:
     return [path]
 
 
-def _range_reader(kind: int, with_meta: bool = False):
+def _range_reader(
+    kind: int,
+    with_meta: bool = False,
+    force_granularity: int | None = None,
+):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for path, start, end in zip(
@@ -442,7 +471,10 @@ def _range_reader(kind: int, with_meta: bool = False):
                 with open(path, "rb") as f:
                     f.seek(int(start))
                     data = f.read(int(end) - int(start))
-                rows = parse_pbf(data, with_meta)[kind]
+                rows = parse_pbf(
+                    data, with_meta,
+                    force_granularity=force_granularity,
+                )[kind]
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -454,6 +486,7 @@ def read_pbf(
     path: str,
     target_split_bytes: int = 32 * 1024 * 1024,
     with_meta: bool = False,
+    force_granularity: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """path: file/dir/glob of .pbf files. Parallelism is per
     blob-range split (intra-file), not per file: one planet.pbf
@@ -480,7 +513,8 @@ def read_pbf(
         if with_meta
         else (NODES_SCHEMA, WAYS_SCHEMA, RELS_SCHEMA)
     )
-    nodes = sdf.mapInPandas(_range_reader(0, with_meta), ns)
-    ways = sdf.mapInPandas(_range_reader(1, with_meta), ws)
-    rels = sdf.mapInPandas(_range_reader(2, with_meta), rs)
+    fg = force_granularity
+    nodes = sdf.mapInPandas(_range_reader(0, with_meta, fg), ns)
+    ways = sdf.mapInPandas(_range_reader(1, with_meta, fg), ws)
+    rels = sdf.mapInPandas(_range_reader(2, with_meta, fg), rs)
     return nodes, ways, rels

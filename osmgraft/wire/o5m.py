@@ -176,7 +176,11 @@ def encode_o5m(
     `osmconvert --out-timestamp` probes (K8) and what
     updateplan.plan_updates consumes as old_timestamp."""
     hdr = b"o5c2" if change else b"o5m2"
-    out = bytearray(b"\xff\xe0\x04" + hdr + b"\xff")
+    # reference layout (oo__writeo5mheader): header record, then
+    # 0xdc timestamp / 0xdb border WITHOUT an intervening reset,
+    # then the 0xff reset, then objects — byte-checked against
+    # `osmconvert --timestamp=` output
+    out = bytearray(b"\xff\xe0\x04" + hdr)
     if file_timestamp is not None:
         body = bytearray()
         _sv(body, int(file_timestamp))
@@ -190,6 +194,7 @@ def encode_o5m(
         out.append(0xDB)
         _uv(out, len(body))
         out.extend(body)
+    out.append(0xFF)
     out += encode_o5m_body(nodes, ways, rels)
     out.append(0xFE)
     return bytes(out)

@@ -240,6 +240,7 @@ def encode_osm_xml(
     dialect: str | None = None,
     osh: bool = False,
     fake_lonlat: bool = False,
+    header_timestamp: str | None = None,
 ) -> str:
     """Row-dict lists (the readers' shape) -> one .osm document.
     tags=None tombstones are skipped: plain .osm carries no delete
@@ -253,9 +254,14 @@ def encode_osm_xml(
     lat="0" lon="0" on deleted nodes."""
     if dialect is not None:
         return _encode_emulated(nodes, ways, rels, dialect)
+    # --timestamp= lands as an <osm> header attribute in XML
+    # output (osmconvert wo_start, probe-verified)
+    ts_attr = (
+        f' timestamp="{header_timestamp}"' if header_timestamp else ""
+    )
     parts = [
         "<?xml version='1.0' encoding='UTF-8'?>",
-        '<osm version="0.6" generator="osmgraft">',
+        f'<osm version="0.6" generator="osmgraft"{ts_attr}>',
     ]
     body = encode_osm_xml_body(
         nodes, ways, rels, osh=osh, fake_lonlat=fake_lonlat

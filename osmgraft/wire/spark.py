@@ -225,6 +225,7 @@ def write_wire_single(
     fmt: str = "o5m",
     dialect: str | None = None,
     parts: int = 8,
+    file_timestamp: int | None = None,
 ) -> None:
     """One complete wire file, globally id-ordered.
 
@@ -280,10 +281,35 @@ def write_wire_single(
             chunks[kind] = sorted(
                 r["path"] for r in part.collect()
             )
-        with open(path, "wb") as f:
-            f.write(
-                _pbf_header() if fmt == "pbf" else _HEADERS[fmt]
+        header = _pbf_header() if fmt == "pbf" else _HEADERS[fmt]
+        if file_timestamp is not None and fmt == "o5m":
+            # --timestamp=: the 0xdc timestamp dataset sits BETWEEN
+            # the header record and the 0xff reset (reference
+            # layout, byte-checked) — splice it in
+            from .o5m import _sv, _uv
+
+            body = bytearray()
+            _sv(body, int(file_timestamp))
+            rec = bytearray(b"\xdc")
+            _uv(rec, len(body))
+            rec.extend(body)
+            assert header.endswith(b"\xff")
+            header = header[:-1] + bytes(rec) + b"\xff"
+        elif file_timestamp is not None and fmt in (
+            "osm", "osh", "osh-fakell"
+        ):
+            import datetime as _dt
+
+            iso = _dt.datetime.fromtimestamp(
+                file_timestamp, _dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            header = header.replace(
+                b'generator="osmgraft">',
+                b'generator="osmgraft" timestamp="%s">'
+                % iso.encode(),
             )
+        with open(path, "wb") as f:
+            f.write(header)
             for kind in ("nodes", "ways", "rels"):
                 for chunk in chunks[kind]:
                     with open(chunk, "rb") as c:
