@@ -6,11 +6,13 @@ The container has no image/audio libraries, so two tiers coexist:
 below) exercising the Spark-side plumbing — binary schema, Arrow
 batch shape, mapInPandas signatures, partition behavior; and
 (2) REAL decoders for the formats pure numpy/stdlib can fully
-express — uncompressed 24-bit BMP (decode_bmp) and RIFF/WAVE 16-bit
-PCM (decode_wav), defined near the end of this module, with genuine
-synthesized files and byte-level corner tests. `decode_image_real`
-routes BMP natively and falls back to Pillow (import-gated) for
-compressed formats; `resample_audio_real` stays gated on
+express — uncompressed 24-bit BMP (decode_bmp), RIFF/WAVE 16-bit
+PCM (decode_wav), and baseline grayscale JPEG (the vendored T.81
+codec in operators/jpeg.py — genuine Huffman entropy coding, round
+5), with genuine synthesized files and byte-level corner tests.
+`decode_image_real` routes BMP and baseline-gray JPEG natively and
+falls back to Pillow (import-gated) for the rest (color/progressive
+JPEG, PNG); `resample_audio_real` stays gated on
 soundfile/librosa.
 
 Fake payload format (pure function of doc_id, reproducible in SQL):
@@ -175,18 +177,28 @@ def media_features(meta: DataFrame) -> DataFrame:
 
 
 def decode_image_real(payload: bytes):
-    """Real image decode. Uncompressed 24-bit BMP decodes natively
-    (decode_bmp below — pure numpy, tested in this environment);
-    compressed formats (JPEG/PNG/...) require Pillow and raise
+    """Real image decode. Uncompressed 24-bit BMP and baseline
+    grayscale JPEG decode natively (decode_bmp below and the
+    vendored pure-numpy T.81 codec in operators/jpeg.py — both
+    tested in this environment); remaining compressed formats
+    (color/progressive JPEG, PNG, ...) require Pillow and raise
     NotImplementedError where it is absent."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_gray
+
+        try:
+            return decode_jpeg_gray(payload)
+        except ValueError:
+            pass  # outside the vendored scope -> Pillow fallback
     try:
         from PIL import Image  # type: ignore
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "Pillow not available in this environment; only BMP "
-            "decodes natively (decode_bmp)"
+            "Pillow not available in this environment; BMP and "
+            "baseline grayscale JPEG decode natively (decode_bmp, "
+            "operators/jpeg.decode_jpeg_gray)"
         ) from e
     import io
 
@@ -815,3 +827,107 @@ def bmp_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(ah, AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------
+# Baseline JPEG (vendored pure-numpy codec, operators/jpeg.py):
+# genuine entropy-coded lossy files whose DECODED pixels still have
+# an integer closed form, because every 8x8 block is constant — the
+# DCT then has only a DC coefficient and the quantize/dequantize
+# round trip collapses to min(l + l % 2, 255) per block (see the
+# jpeg.py module docstring for the derivation). The oracle checks
+# decoded-pixel statistics arithmetically while the payload bytes
+# in between went through real Huffman coding.
+# ---------------------------------------------------------------
+
+
+def _jpeg_payload(doc_id: int) -> bytes:
+    """A real baseline JFIF grayscale file of 8x8-constant blocks:
+        blocks_w = 2 + doc_id % 5,  blocks_h = 2 + (doc_id*3) % 4
+        level(bx, by) = (bx*31 + by*53 + doc_id*11) % 256
+    Mirrored literally in the q235 oracle."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg_gray
+
+    bw = 2 + doc_id % 5
+    bh = 2 + (doc_id * 3) % 4
+    img = np.zeros((bh * 8, bw * 8), np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            lvl = (bx * 31 + by * 53 + doc_id * 11) % 256
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = lvl
+    return encode_jpeg_gray(img)
+
+
+def synth_jpeg(spark: SparkSession, n: int,
+               partitions: int | None = None) -> DataFrame:
+    """Deterministic table of real baseline JPEG files for doc_ids
+    % 3 == 0 (same distributed synthesis shape as synth_bmp)."""
+    if partitions is None:
+        partitions = max(
+            2,
+            min(spark.sparkContext.defaultParallelism, n // 20_000 + 1),
+        )
+    rng = spark.range(0, n, 1, partitions).where(F.col("id") % 3 == 0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "payload": [_jpeg_payload(int(i)) for i in ids],
+                }
+            )
+
+    return rng.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("min_px", LongType(), False),
+        StructField("max_px", LongType(), False),
+    ]
+)
+
+
+def jpeg_gray_stats(media: DataFrame) -> DataFrame:
+    """REAL lossy-image decode + pixel statistics: each payload
+    goes through the full vendored baseline decoder (segment walk,
+    Huffman entropy decode, dezigzag, dequantize, IDCT) and is
+    reduced to exact integer pixel stats. Map-only mapInPandas."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg_gray
+
+    def st(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, ws, hs, sm, mn, mx = [], [], [], [], [], []
+            for did, p in zip(b["doc_id"], b["payload"]):
+                if p[:2] != b"\xff\xd8":
+                    continue
+                a = decode_jpeg_gray(p).astype(np.int64)
+                ids.append(did)
+                hs.append(a.shape[0])
+                ws.append(a.shape[1])
+                sm.append(int(a.sum()))
+                mn.append(int(a.min()))
+                mx.append(int(a.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "sum_px": pd.Series(sm, dtype="int64"),
+                    "min_px": pd.Series(mn, dtype="int64"),
+                    "max_px": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(st, JPEG_STATS_SCHEMA)

@@ -3985,6 +3985,26 @@ def q168_wav_decode(spark, sf_dir):
     return wav_pcm_stats(synth_wav(spark, n))
 
 
+def q235_jpeg_decode(spark, sf_dir):
+    """REAL lossy-image decode: genuine baseline JFIF grayscale
+    files (vendored pure-numpy T.81 codec, operators/jpeg.py —
+    spec-conformant Huffman entropy coding, any standard viewer
+    opens them) decoded through the FULL inverse pipeline (segment
+    walk, canonical Huffman rebuild, DC-predictive + RLE/EOB/ZRL
+    entropy decode, dezigzag, dequantize, float IDCT) into exact
+    integer pixel statistics. Every 8x8 block is constant, so the
+    lossy round trip has the integer closed form
+    min(l + l % 2, 255) per block (derived in jpeg.py) and the
+    oracle recomputes every statistic arithmetically without
+    touching a payload — full-fidelity coverage of a real
+    entropy-coded decode path, completing the BMP/WAV family
+    (q167/q168)."""
+    from .operators.multimodal import jpeg_gray_stats, synth_jpeg
+
+    n = load(spark, sf_dir, "documents").count()
+    return jpeg_gray_stats(synth_jpeg(spark, n))
+
+
 def q170_edit_neardup(spark, sf_dir):
     """Character-level near-duplicate pairs: 40-char text prefixes
     within Levenshtein distance 1, candidates from the EXACT
@@ -6261,6 +6281,7 @@ QUERIES = {
     "q165_image_neardup": q165_image_neardup,
     "q167_bmp_decode": q167_bmp_decode,
     "q168_wav_decode": q168_wav_decode,
+    "q235_jpeg_decode": q235_jpeg_decode,
     "q169_bmp_ahash": q169_bmp_ahash,
     "q170_edit_neardup": q170_edit_neardup,
     "q171_cusum_alarms": q171_cusum_alarms,
@@ -6880,6 +6901,32 @@ FROM px GROUP BY 1
         # exact PCM statistics from the sample planting
         # s[i] = ((d*7 + i*13) % 2001) - 1000 — validates the REAL
         # RIFF chunk walk + int16 decode end to end
+        # decoded-JPEG pixel stats from the block-level closed form
+        # min(l + l % 2, 255) — the DC-only quantization round trip
+        # (operators/jpeg.py docstring derivation)
+        "q235_jpeg_decode": """
+WITH jdims AS (
+  SELECT doc_id, 2 + doc_id % 5 AS bw, 2 + (doc_id * 3) % 4 AS bh
+  FROM documents WHERE doc_id % 3 = 0
+),
+jblk AS (
+  SELECT d.doc_id, d.bw, d.bh,
+    LEAST((bx.x * 31 + by.y * 53 + d.doc_id * 11) % 256
+          + ((bx.x * 31 + by.y * 53 + d.doc_id * 11) % 256) % 2,
+          255) AS px
+  FROM jdims d
+  CROSS JOIN (SELECT unnest(range(0, 6)) AS x) bx
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS y) by
+  WHERE bx.x < d.bw AND by.y < d.bh
+)
+SELECT doc_id,
+  CAST(MIN(bw) * 8 AS BIGINT) AS width,
+  CAST(MIN(bh) * 8 AS BIGINT) AS height,
+  CAST(SUM(px) * 64 AS BIGINT) AS sum_px,
+  CAST(MIN(px) AS BIGINT) AS min_px,
+  CAST(MAX(px) AS BIGINT) AS max_px
+FROM jblk GROUP BY 1
+""",
         "q168_wav_decode": """
 WITH p AS (
   SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate,
