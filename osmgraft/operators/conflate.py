@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..geo.cells import DEFAULT_SHIFT, _lon_bits
-from .dedup import dedup_clusters
+from .dedup import cluster_star
 from .spatial import with_cell
 
 
@@ -31,10 +31,16 @@ def conflate_places(
     the connected component under the relation "same name_key AND
     squared fixed-point distance <= radius_fix^2".  Transitive by
     design (A~B, B~C merges all three even when A-C exceeds the
-    radius) — the standard conflation contract, resolved by the
-    same min-label propagation as LSH dup groups (dedup_clusters;
-    conflation chains are shallow for the same reason dup groups
-    are).
+    radius) — the standard conflation contract, resolved by STAR
+    CONTRACTION (cluster_star, O(log^2 n) rounds regardless of
+    component diameter). Min-label propagation was the round-4
+    resolver and is WRONG here at scale: geographic conflation
+    chains grow with data density (a line of places each within
+    radius of the next), and the sf0.1 oracle sweep caught exactly
+    that — 12 propagation passes left a long chain split
+    (canonical 771 vs the true min 673) while the sf0.01 sample
+    was shallow enough to hide it. Diameter-unbounded relations
+    get the diameter-independent resolver.
 
     Scale shape: candidate pairs come from one equi-join on
     (name_key, cell) with the probe side exploded to its 3x3 cell
@@ -83,7 +89,7 @@ def conflate_places(
         .where(dlat * dlat + dlon * dlon <= F.lit(r2))
         .select(F.col("_pid").alias("a"), F.col("_bid").alias("b"))
     )
-    comp = dedup_clusters(pairs, "a", "b", max_passes=max_passes)
+    comp = cluster_star(pairs, "a", "b", max_rounds=max_passes)
     return (
         places.select(
             F.col(id_col).alias(id_col), F.col(key_col).alias(key_col)
