@@ -121,6 +121,9 @@ def _parse_args(argv: list[str]) -> dict:
         "timestamp": None,
         # --pbf-granularity= input override (osmconvert.c:579-582)
         "pbf_granularity": None,
+        # --object-type-offset= (osmconvert.c:632-640)
+        "otype_offset": None,
+        "otype_step": False,
         "out_timestamp": False,
         "csv_headline": False,
         "drop_broken_refs": False,
@@ -269,6 +272,14 @@ def _parse_args(argv: list[str]) -> dict:
             opts["timestamp"] = parse_osm_timestamp(a[12:])
         elif a.startswith("--pbf-granularity=") and a[18:]:
             opts["pbf_granularity"] = int(a[18:])
+        elif a.startswith("--object-type-offset=") and a[21:]:
+            # id offset for --all-to-nodes pseudo-nodes; a "+1"
+            # suffix switches to SEQUENTIAL ids in write order
+            # (osmconvert.c:12992-12999, 11657, 11826)
+            val = a[21:]
+            opts["otype_step"] = "+1" in val
+            num = int(val.split("+", 1)[0])
+            opts["otype_offset"] = max(num, 10)
         elif a == "--subtract":
             opts["subtract"] = True
         elif a in ("--diff", "--diff-contents"):
@@ -299,11 +310,20 @@ def _parse_args(argv: list[str]) -> dict:
                 a[12:] if a.startswith("--out-count=") else ""
             )
             opts["out_sort"] = True
-        elif a == "--emulate-pbf2osm":
+        elif a.startswith("--emulate-pbf2osm"):
             opts["emulate"] = "pbf2osm"
-        elif a == "--emulate-osmosis":
+        elif a.startswith("--emulate-osmo"):
+            # prefix compare like the reference (strzcmp)
             opts["emulate"] = "osmosis"
-        elif a in ("--out-osm", "--out-o5m", "--out-o5c", "--out-pbf"):
+        elif a.startswith("--emulate-osmi"):
+            # Osmium XML dialect (wformat 14, osmconvert.c:12883)
+            opts["emulate"] = "osmium"
+        elif a == "--in-josm":
+            # deprecated, accepted for compatibility
+            # (osmconvert.c:12818-12822)
+            pass
+        elif a in ("--out-osm", "--out-o5m", "--out-o5c",
+                   "--out-pbf", "--out-osc"):
             opts["out_fmt"] = a[6:]
         elif a.startswith("-o="):
             opts["out"] = a[3:]
@@ -317,13 +337,15 @@ def _parse_args(argv: list[str]) -> dict:
             opts["csv_cols"] = a[6:]
         elif a.startswith("--csv-separator="):
             opts["csv_sep"] = a[16:]
-        elif a == "--drop-version":
+        elif a.startswith("--drop-ver"):
+            # prefix compares + deprecated --drop-his* alias for
+            # --drop-author (osmconvert.c:12736-12760)
             opts["drop_version"] = True
-        elif a == "--drop-author":
+        elif a.startswith(("--drop-aut", "--drop-his")):
             opts["drop_author"] = True
-        elif a == "--fake-author":
+        elif a.startswith(("--fake-aut", "--fake-his")):
             opts["fake_author"] = True
-        elif a == "--fake-version":
+        elif a.startswith("--fake-ver"):
             opts["fake_version"] = True
         elif a == "--fake-lonlat":
             # faked lat="0" lon="0" on delete records
@@ -1258,7 +1280,9 @@ def _apply_bbox_tags(nodes, ways, rels, which):
     return nodes, ways, rels
 
 
-def _all_to_nodes_bbox(nodes, ways, rels, which):
+def _all_to_nodes_bbox(
+    nodes, ways, rels, which, off=None, step=False
+):
     """--all-to-nodes combined with --add-bbox*: replacement
     nodes carry the bbox tags; relation centers switch to the
     bbox-union middle (see _rel_boxes_centers); original nodes
@@ -1290,16 +1314,64 @@ def _all_to_nodes_bbox(nodes, ways, rels, which):
         ),
         which,
     ).select("id", "lat_i", "lon_i", *extra)
+    way_nodes, rel_nodes = _remap_pseudo_ids(
+        way_nodes, rel_nodes, off, step
+    )
     all_nodes = nodes.unionByName(way_nodes).unionByName(rel_nodes)
     return all_nodes, None, None
 
 
-def _all_to_nodes(nodes, ways, rels):
+def _remap_pseudo_ids(way_nodes, rel_nodes, off, step):
+    """--object-type-offset: emitted pseudo-node ids leave the
+    default 10^15/2*10^15 spaces. Offset mode: way -> way_id + off,
+    rel -> rel_id + 2*off (posi_ini scaling). Step mode ("+1"):
+    SEQUENTIAL ids in write order — ways ascending, then relations
+    ascending, starting at off (osmconvert.c:11657, 11826) —
+    assigned with the distributed dense index, plus one bounded
+    count for the relations' starting point. Internal member
+    resolution keeps the 10^15 spaces either way (the reference's
+    posr does too; only the written ids change)."""
+    if off is None:
+        return way_nodes, rel_nodes
+    if not step:
+        way_nodes = way_nodes.withColumn(
+            "id", F.col("id") - F.lit(OFF10) + F.lit(off)
+        )
+        rel_nodes = rel_nodes.withColumn(
+            "id", F.col("id") - F.lit(OFF20) + F.lit(2 * off)
+        )
+        return way_nodes, rel_nodes
+    from .operators.indexing import with_global_index
+
+    way_nodes = (
+        with_global_index(
+            way_nodes, order_cols=["id"], index_col="_seq",
+            start=off,
+        )
+        .withColumn("id", F.col("_seq"))
+        .drop("_seq")
+    )
+    n_ways = way_nodes.count()  # bounded: one scalar job
+    rel_nodes = (
+        with_global_index(
+            rel_nodes, order_cols=["id"], index_col="_seq",
+            start=off + n_ways,
+        )
+        .withColumn("id", F.col("_seq"))
+        .drop("_seq")
+    )
+    return way_nodes, rel_nodes
+
+
+def _all_to_nodes(nodes, ways, rels, off=None, step=False):
     way_nodes = _way_centers(ways, nodes)
     rel_nodes = _rel_centers(
         rels,
         nodes.select("id", "lon_i", "lat_i"),
         way_nodes.select("id", "lon_i", "lat_i"),
+    )
+    way_nodes, rel_nodes = _remap_pseudo_ids(
+        way_nodes, rel_nodes, off, step
     )
     all_nodes = nodes.unionByName(way_nodes).unionByName(rel_nodes)
     return all_nodes, None, None
@@ -1732,7 +1804,7 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
     change_out = (
         opts["diff"]
         or out_ext in ("osc", "o5c")
-        or opts["out_fmt"] == "o5c"
+        or opts["out_fmt"] in ("o5c", "osc")
     )
     tombs = None
     if not opts["diff"]:
@@ -1860,10 +1932,14 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
     if opts["all_to_nodes"]:
         if opts["add_bbox"]:
             nodes, ways, rels = _all_to_nodes_bbox(
-                nodes, ways, rels, opts["add_bbox"]
+                nodes, ways, rels, opts["add_bbox"],
+                off=opts["otype_offset"], step=opts["otype_step"],
             )
         else:
-            nodes, ways, rels = _all_to_nodes(nodes, ways, rels)
+            nodes, ways, rels = _all_to_nodes(
+                nodes, ways, rels,
+                off=opts["otype_offset"], step=opts["otype_step"],
+            )
     elif opts["add_bbox"]:
         nodes, ways, rels = _apply_bbox_tags(
             nodes, ways, rels, opts["add_bbox"]
@@ -1930,6 +2006,13 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
                         format_osm_timestamp(ts) if ts else None
                     ),
                 )
+            )
+        elif fmt == "osc":
+            # --out-osc (osmconvert.c:63, 12840-12844) to stdout
+            from .wire import encode_osc as _enc_osc
+
+            sys.stdout.write(
+                _enc_osc(*rows, fake_lonlat=opts["fake_lonlat"])
             )
         elif fmt in ("o5m", "o5c"):
             sys.stdout.buffer.write(

@@ -7,10 +7,19 @@ every row through ONE task; this utility builds the same index in
 two distributed passes:
 
   1. repartitionByRange on the order columns + sort within
-     partitions (the total order, distributed);
-  2. count rows per partition (tiny collect: one long per
+     partitions (the total order, distributed), with the partition
+     id BAKED INTO THE DATA at checkpoint time;
+  2. count rows per stored pid (tiny collect: one long per
      partition — a manifest, not data);
-  3. mapInPandas adds offset[pid] + local position.
+  3. mapInPandas adds offset[stored pid] + local position.
+
+The pid travels as a column rather than TaskContext.partitionId():
+the task-context index is the CONSUMING stage's partition number,
+which gets renumbered when this result is read under a union
+(branch partitions concatenate, so the second branch's tasks see
+shifted ids and every offset lookup would silently miss — caught
+round 5 by --object-type-offset step mode, whose pseudo-nodes are
+consumed exactly that way).
 
 The order columns must form a TOTAL order (include a tiebreaker):
 then the index is deterministic regardless of where the range
@@ -47,12 +56,16 @@ def with_running_total(
             *[F.col(c) for c in order_cols],
         )
         .sortWithinPartitions(*order_cols)
+        # pid baked into the data BEFORE the checkpoint pins it:
+        # the count pass (first action) materializes branch-local
+        # ids; TaskContext would lie under union consumption
+        .withColumn("_gpid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     sums = {
         r._pid: r._s
         for r in parts.groupBy(
-            F.spark_partition_id().alias("_pid")
+            F.col("_gpid").alias("_pid")
         )
         .agg(F.sum(value_col).alias("_s"))
         .collect()
@@ -66,16 +79,18 @@ def with_running_total(
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
-        list(parts.schema.fields)
+        [f for f in parts.schema.fields if f.name != "_gpid"]
         + [StructField(out_col, LongType())]
     )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        base = offsets.get(TaskContext.get().partitionId(), 0)
+        base = None
         for pdf in it:
-            pdf = pdf.copy()
+            if base is None:
+                base = offsets.get(
+                    int(pdf["_gpid"].iloc[0]) if len(pdf) else -1, 0
+                )
+            pdf = pdf.drop(columns=["_gpid"])
             cs = pdf[value_col].cumsum() + base
             pdf[out_col] = cs
             if len(cs):
@@ -98,22 +113,24 @@ def with_global_index(
             *[F.col(c) for c in order_cols],
         )
         .sortWithinPartitions(*order_cols)
-        # pin the partitioning: the count pass and the index pass
-        # must see the identical row placement (the range sampler
-        # must not re-run between jobs)
+        # pin the partitioning AND bake the pid into the data: the
+        # count pass (first action) materializes the checkpoint
+        # with branch-local partition ids; TaskContext.partitionId
+        # would be the CONSUMING stage's index, which unions
+        # renumber (see module docstring)
+        .withColumn("_gpid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     counts = {
         r._pid: r._n
         for r in parts.groupBy(
-            F.spark_partition_id().alias("_pid")
+            F.col("_gpid").alias("_pid")
         )
         .agg(F.count("*").alias("_n"))
         .collect()
     }
-    # offsets keyed by partition id from the count pass — partitions
-    # absent from `counts` are empty and never consult an offset, so
-    # no RDD conversion is needed just for getNumPartitions
+    # offsets keyed by stored pid from the count pass — partitions
+    # absent from `counts` are empty and never consult an offset
     offsets: dict[int, int] = {}
     acc = start
     for pid in sorted(counts):
@@ -123,17 +140,18 @@ def with_global_index(
     from pyspark.sql.types import LongType, StructField, StructType
 
     schema = StructType(
-        list(parts.schema.fields)
+        [f for f in parts.schema.fields if f.name != "_gpid"]
         + [StructField(index_col, LongType())]
     )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        # empty partitions have no offset entry (and yield nothing)
-        pos = offsets.get(TaskContext.get().partitionId(), 0)
+        pos = None
         for pdf in it:
-            pdf = pdf.copy()
+            if pos is None:
+                pos = offsets.get(
+                    int(pdf["_gpid"].iloc[0]) if len(pdf) else -1, 0
+                )
+            pdf = pdf.drop(columns=["_gpid"])
             pdf[index_col] = range(pos, pos + len(pdf))
             pos += len(pdf)
             yield pdf

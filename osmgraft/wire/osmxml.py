@@ -159,6 +159,16 @@ def _sfix7o(v: int) -> str:
     return f"{s}{a // 10_000_000}.{a % 10_000_000:07d}"
 
 
+def _sfix6o_r(v: int) -> str:
+    """Osmium coordinate: 100-nanodeg value rounded half-away to
+    1e-6 with C-truncating division ((v+5)/10, osmconvert.c
+    wo_node case 14), then 6 decimals with trailing zeros KEPT."""
+    a = abs(int(v))
+    a = (a + 5) // 10
+    s = "-" if (v < 0 and a != 0) else ""
+    return f"{s}{a // 1_000_000}.{a % 1_000_000:06d}"
+
+
 def _encode_emulated(nodes, ways, rels, dialect: str) -> str:
     """The reference's --emulate-pbf2osm / --emulate-osmosis XML
     dialects, byte-exact for metadata-less objects (hisver=0 =>
@@ -171,17 +181,38 @@ def _encode_emulated(nodes, ways, rels, dialect: str) -> str:
       two-space indentation, author before lat/lon, trailing
       zeros stripped (write_sfix7), tags/nd/member indented four
       spaces;
-    - both end with "<!--End of emulated output.-->"
+    - Osmium (wo__format 14, osmconvert.c:8598-8607, 8299-8308):
+      DOUBLE-quoted XML declaration, the Osmium generator URL,
+      coordinates AFTER the author block with lon BEFORE lat,
+      rounded half-away to 1e-6 by C-truncating (v+5)/10 and
+      printed with 6 decimals trailing zeros kept (write_sfix6o);
+      tags/nd/member identical to the Osmosis branch (the case 13
+      and 14 arms share code);
+    - all three end with "<!--End of emulated output.-->"
       (wo_end, osmconvert.c:8516-8518).
     """
     p2 = dialect == "pbf2osm"
-    gen = "pbf2osm" if p2 else "Osmosis 0.40"
+    osmium = dialect == "osmium"
+    gen = (
+        "pbf2osm"
+        if p2
+        else (
+            "Osmium (http://wiki.openstreetmap.org/wiki/Osmium)"
+            if osmium
+            else "Osmosis 0.40"
+        )
+    )
     ind1 = "\t" if p2 else "  "
     ind2 = "\t\t" if p2 else "    "
     tag_close = '" />' if p2 else '"/>'
     fmt = _sfix7o if p2 else _sfix7
+    decl = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        if osmium
+        else "<?xml version='1.0' encoding='UTF-8'?>"
+    )
     parts = [
-        "<?xml version='1.0' encoding='UTF-8'?>",
+        decl,
         f'<osm version="0.6" generator="{gen}">',
     ]
 
@@ -202,10 +233,17 @@ def _encode_emulated(nodes, ways, rels, dialect: str) -> str:
     for nd in nodes:
         if nd.get("tags") is None:
             continue
-        head = (
-            f'{ind1}<node id="{nd["id"]}"'
-            f' lat="{fmt(nd["lat_i"])}" lon="{fmt(nd["lon_i"])}'
-        )
+        if osmium:
+            head = (
+                f'{ind1}<node id="{nd["id"]}"'
+                f' lon="{_sfix6o_r(nd["lon_i"])}"'
+                f' lat="{_sfix6o_r(nd["lat_i"])}'
+            )
+        else:
+            head = (
+                f'{ind1}<node id="{nd["id"]}"'
+                f' lat="{fmt(nd["lat_i"])}" lon="{fmt(nd["lon_i"])}'
+            )
         obj(head, tag_lines(nd["tags"]), f"{ind1}</node>")
     for wy in ways:
         if wy.get("tags") is None:

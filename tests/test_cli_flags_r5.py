@@ -362,3 +362,125 @@ def test_pbf_granularity_byte_exact(spark, tmp_path):
         capture_output=True, text=True,
     )
     assert raw.returncode != 0 or _norm(raw.stdout) != got
+
+
+def test_emulate_osmium_byte_exact(spark, tmp_path):
+    """--emulate-osmium (wformat 14): double-quoted declaration,
+    Osmium generator URL, lon-before-lat coordinates rounded
+    half-away to 1e-6 — byte-diff vs the binary on a
+    version-dropped world (the metadata-less scope the other two
+    dialect differentials use)."""
+    osm = _world(tmp_path)
+    nv = tmp_path / "nv.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, "--drop-version",
+         f"-o={nv}"],
+        check=True,
+    )
+    ref = _ref("osmconvert", str(nv), "--emulate-osmium",
+               "--out-osm")
+    ours = tmp_path / "ours.osm"
+    convert(
+        spark,
+        [str(nv), "--emulate-osmium", f"-o={ours}"],
+    )
+    assert ref == ours.read_text()
+
+
+def test_deprecated_aliases_and_injosm(spark, tmp_path):
+    """--drop-history / --fake-history / --in-josm: deprecated
+    spellings accepted exactly like the binary (prefix compare)."""
+    osm = _world(tmp_path)
+    for alias, canonical in (
+        ("--drop-history", "--drop-author"),
+        ("--fake-history", "--fake-author"),
+    ):
+        a = tmp_path / "a.osm"
+        b = tmp_path / "b.osm"
+        convert(spark, [osm, alias, f"-o={a}"])
+        convert(spark, [osm, canonical, f"-o={b}"])
+        assert a.read_text() == b.read_text(), alias
+        ref = tmp_path / "r.osm"
+        subprocess.run(
+            [f"{REFBIN}/osmconvert", osm, alias, f"-o={ref}"],
+            check=True,
+        )
+        assert _norm(ref.read_text()) == a.read_text(), alias
+    ref, got = _both_osm(spark, tmp_path, [osm, "--in-josm"])
+    assert ref == got
+
+
+def test_object_type_offset_modes(spark, tmp_path):
+    """--object-type-offset: plain offset shifts way/relation
+    pseudo-ids by off / 2*off; the '+1' suffix assigns SEQUENTIAL
+    ids in write order (ways ascending, then relations) — both
+    byte-exact vs the binary, including combined with bbox tags."""
+    osm = _world(tmp_path)
+    for args in (
+        [osm, "--all-to-nodes", "--object-type-offset=4000"],
+        [osm, "--all-to-nodes", "--object-type-offset=4000+1"],
+        [osm, "--all-to-nodes-bbox", "--object-type-offset=9000+1"],
+    ):
+        ref, got = _both_osm(spark, tmp_path, args)
+        assert ref == got, args[1:]
+
+
+def test_global_index_stable_under_union(spark):
+    """Regression: the distributed dense index must survive being
+    CONSUMED UNDER A UNION. TaskContext.partitionId() is the
+    consuming stage's partition number, which a union renumbers
+    (branch partitions concatenate) — the old implementation's
+    offset lookups silently missed and every branch restarted at
+    0. The pid now travels in the data, pinned at checkpoint
+    time. Caught by --object-type-offset step mode, whose
+    pseudo-nodes are unioned with the original nodes before the
+    write."""
+    from pyspark.sql import functions as F
+
+    from osmgraft.operators.indexing import (
+        with_global_index,
+        with_running_total,
+    )
+
+    base = spark.range(0, 50, 1, 4).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    idx = with_global_index(
+        base, order_cols=["id"], index_col="seq", start=1000
+    )
+    other = spark.range(100, 140).select(
+        F.col("id"), F.lit(-1).cast("long").alias("seq")
+    )
+    unioned = other.select("id", "seq").unionByName(
+        idx.select("id", "seq")
+    )
+    got = {
+        r["id"]: r["seq"]
+        for r in unioned.where(F.col("seq") >= 0).collect()
+    }
+    assert got == {i: 1000 + i for i in range(50)}
+
+    rt = with_running_total(
+        base, order_cols=["id"], value_col="v", out_col="cum"
+    )
+    u2 = other.select(
+        "id", F.lit(-1).cast("long").alias("cum")
+    ).unionByName(rt.select("id", "cum"))
+    got2 = {
+        r["id"]: r["cum"]
+        for r in u2.where(F.col("cum") >= 0).collect()
+    }
+    assert got2 == {
+        i: 3 * (i * (i + 1) // 2) for i in range(50)
+    }
+
+
+def test_out_osc_flag_stdout(spark, tmp_path, capsys):
+    """Explicit --out-osc streams osmChange XML to stdout (the
+    .osc-extension path already existed; the flag is the
+    reference's spelling)."""
+    osm = _world(tmp_path)
+    convert(spark, [osm, "--out-osc"])
+    out = capsys.readouterr().out
+    assert out.startswith("<?xml")
+    assert "<osmChange" in out and "</osmChange>" in out
