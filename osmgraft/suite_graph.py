@@ -346,7 +346,16 @@ def q128_snap_to_ways(spark, sf_dir):
 
     docs, n = _docs_and_n(spark, sf_dir)
     ways = synth_ways(docs, n)
-    return snap_to_ways(_nodes(spark, sf_dir), ways, _nodes(spark, sf_dir), shift=20)
+    # index_join="auto": this input scales the WAYS side with the
+    # corpus, so the broadcast-or-shuffle choice is left to AQE
+    # size stats (same rationale and hash-invariance proof as q131)
+    return snap_to_ways(
+        _nodes(spark, sf_dir),
+        ways,
+        _nodes(spark, sf_dir),
+        shift=20,
+        index_join="auto",
+    )
 
 
 def q130_addr_interp(spark, sf_dir):
@@ -457,7 +466,9 @@ def q133_snap_geodesic(spark, sf_dir):
     docs, n = _docs_and_n(spark, sf_dir)
     ways = synth_ways(docs, n)
     nodes = _nodes(spark, sf_dir)
-    return snap_to_ways_geodesic(nodes, ways, nodes, shift=20)
+    return snap_to_ways_geodesic(
+        nodes, ways, nodes, shift=20, index_join="auto"
+    )
 
 
 def q140_coverage_gaps(spark, sf_dir):
