@@ -298,24 +298,24 @@ def main() -> None:
     # 10x INPUT, not sf0.1: at sf0.1 every heavy suite query is
     # dominated by fixed per-job driver latency (~0.3-1 s/job), so a
     # core-count A/B measures Amdahl's serial floor, not the plan
-    # (q57 at sf0.1 scores 0.25; the SAME query on the 10x input
-    # scores ~0.97). Query choice is evidence-driven (BASELINE.md
-    # round-4 scaling audit): q57 (banded ANN -> exact cosine ->
-    # components) and q153 (presence-dedup + composite-key
-    # self-join) are the heaviest shuffle-dominant plans and both
-    # clear 0.8 decisively; the iterative DPs (q156/q131/q101) are
-    # driver-job-count-bound at ANY feasible local scale, and the
-    # snap family (q128/q133) plateaus at ~0.7 because the synth
-    # 10x input scales the WAYS side with the corpus, so the
-    # broadcast-cover build (serial by design; roads are the
-    # contractually-small side in production) becomes ~14% of wall
-    # — both causes are documented with probe numbers in
-    # BASELINE.md rather than hidden by cherry-picking the input.
+    # (a sub-5s wall at 8 cores is fixed-job-latency-dominated at
+    # ANY efficiency). Query choice is evidence-driven and was
+    # REVISED in round 5: the round-4 probes q57/q153 became too
+    # fast on the 10x input once auto-sized ANN bits and the
+    # density guard landed (3-9 s at 8 cores -> overhead-bound
+    # readings of ~0.4 that say nothing about the plan), while the
+    # snap family's former ~0.7 plateau was the pinned
+    # broadcast-index build, ELIMINATED by index_join="auto" —
+    # q128/q133 now measure 1.0+ at 2v8 on the 10x input with
+    # 18-25 s walls, making them the meaningful shuffle-dominant
+    # probes. The iterative DPs (q156/q131/q101) stay out: they
+    # are driver-job-count-bound at any feasible local scale.
+    # History and probe numbers live in BASELINE.md.
     scale_qs = [
         n
         for n in (
-            "q57_semantic_dedup",
-            "q153_colocation",
+            "q128_snap_to_ways",
+            "q133_snap_geodesic",
         )
         if n in QUERIES
     ]

@@ -127,6 +127,9 @@ def _parse_args(argv: list[str]) -> dict:
         "out_timestamp": False,
         "csv_headline": False,
         "drop_broken_refs": False,
+        # --ignore-dependencies (osmfilter.c:58, 487-488): keep
+        # filters normally PULL referenced objects; this disables it
+        "ignore_dependencies": False,
         "complete_ways": False,
         "complete_mp": False,
         "complete_boundaries": False,
@@ -248,17 +251,31 @@ def _parse_args(argv: list[str]) -> dict:
             opts["modify_tags"] = a[14:]
         elif a.startswith(
             ("--modify-node-tags=", "--modify-way-tags=",
-             "--modify-relation-tags=")
+             "--modify-relation-tags=",
+             "--modify-node-way-tags=",
+             "--modify-node-relation-tags=",
+             "--modify-way-relation-tags=")
         ):
-            kind = a[len("--modify-"):a.index("-tags=")]
+            spec = a[len("--modify-"):a.index("-tags=")]
             expr = a.partition("=")[2]
             slot = opts["modify_tags_t"]
-            # rules are space-separated (modi_parse); repeating
-            # the flag appends to the type's rule list
-            slot[kind] = (
-                expr if slot[kind] is None
-                else f"{slot[kind]} {expr}"
-            )
+            # combo spellings feed two type lists (osmfilter.c
+            # D(--modify-node-way-tags=, F(0)F(1)) etc.); rules
+            # are space-separated (modi_parse) and repeating a
+            # flag appends to the type's rule list
+            kinds = {
+                "node": ["node"],
+                "way": ["way"],
+                "relation": ["relation"],
+                "node-way": ["node", "way"],
+                "node-relation": ["node", "relation"],
+                "way-relation": ["way", "relation"],
+            }[spec]
+            for kind in kinds:
+                slot[kind] = (
+                    expr if slot[kind] is None
+                    else f"{slot[kind]} {expr}"
+                )
         elif a in _BBOX_FLAG:
             if _BBOX_FLAG[a] not in opts["add_bbox"]:
                 opts["add_bbox"].append(_BBOX_FLAG[a])
@@ -293,6 +310,8 @@ def _parse_args(argv: list[str]) -> dict:
             opts["out_none"] = True
         elif a == "--drop-broken-refs":
             opts["drop_broken_refs"] = True
+        elif a == "--ignore-dependencies":
+            opts["ignore_dependencies"] = True
         elif a == "--complete-ways":
             opts["complete_ways"] = True
         elif a in ("--complete-multipolygons", "--complex-ways"):
@@ -1818,11 +1837,28 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
         ways = ways.where(F.col("tags").isNotNull())
         rels = rels.where(F.col("tags").isNotNull())
 
+    nodes0, ways0, rels0 = nodes, ways, rels  # pre-filter frames
+
     if opts["keep"]:
         pred = parse_keep(opts["keep"])
         nodes = nodes.filter(keep_column(F.col("tags"), pred))
         ways = ways.filter(keep_column(F.col("tags"), pred))
         rels = rels.filter(keep_column(F.col("tags"), pred))
+
+    def _drop_only(df, kind):
+        """Apply ONLY the drop side (fil_check1 + bare section
+        drops) — the survivors dependency marking may pull."""
+        if opts["drop_t"][kind] is not None:
+            df = df.filter(
+                ~keep_column(
+                    F.col("tags"),
+                    parse_keep(opts["drop_t"][kind]),
+                    mode="drop",
+                )
+            )
+        if opts["drop_all"][kind]:
+            df = df.limit(0)
+        return df
 
     # per-type keep, then per-type drop (fil_check0/fil_check1
     # order, osmfilter.c:6450-6467); bare --drop-nodes/-ways/
@@ -1835,18 +1871,77 @@ def convert(spark: SparkSession, argv: list[str]) -> str | None:
                     F.col("tags"), parse_keep(opts["keep_t"][kind])
                 )
             )
-        if opts["drop_t"][kind] is not None:
-            df = df.filter(
-                ~keep_column(
-                    F.col("tags"),
-                    parse_keep(opts["drop_t"][kind]),
-                    mode="drop",
-                )
-            )
-        if opts["drop_all"][kind]:
-            df = df.limit(0)
-        kinds[kind] = df
+        kinds[kind] = _drop_only(df, kind)
     nodes, ways, rels = kinds["node"], kinds["way"], kinds["relation"]
+
+    has_keep = opts["keep"] is not None or any(
+        opts["keep_t"].values()
+    )
+    if has_keep and not opts["ignore_dependencies"]:
+        # osmfilter's DEFAULT dependency completion (the behavior
+        # --ignore-dependencies turns OFF): kept relations pull
+        # the relations they reference (downward closure,
+        # oo__inverserrprocessing), every marked relation pulls
+        # its way/node members, and every marked way pulls its
+        # nodes. Binary-probed corner semantics honored: the DROP
+        # filter kills pulled objects too, and the closure never
+        # propagates THROUGH a dropped object (a dropped relation
+        # pulls nothing; a dropped way pulls no nodes).
+        from .operators.graph import rel_closure_down
+
+        n_nd = _drop_only(nodes0, "node")
+        w_nd = _drop_only(ways0, "way")
+        r_nd = _drop_only(rels0, "relation")
+
+        redges = (
+            rels0.select(
+                F.col("id").alias("rel_id"),
+                F.explode("members").alias("m"),
+            )
+            .where(F.col("m.mtype") == "relation")
+            .select("rel_id", F.col("m.ref").alias("child_rel"))
+            # propagation passes only through not-dropped rels
+            .join(
+                r_nd.select(F.col("id").alias("child_rel")),
+                "child_rel",
+                "left_semi",
+            )
+        )
+        marked_rels = rel_closure_down(
+            redges, rels.select(F.col("id").alias("rel_id"))
+        )
+        rels = r_nd.join(
+            marked_rels.select(F.col("rel_id").alias("id")),
+            "id",
+            "left_semi",
+        )
+        marked_members = (
+            rels.select(F.explode("members").alias("m"))
+            .select(
+                F.col("m.mtype").alias("mtype"),
+                F.col("m.ref").alias("id"),
+            )
+            .distinct()
+        )
+        way_ids = ways.select("id").unionByName(
+            marked_members.where(F.col("mtype") == "way").select(
+                "id"
+            )
+        ).distinct()
+        ways = w_nd.join(way_ids, "id", "left_semi")
+        node_ids = (
+            nodes.select("id")
+            .unionByName(
+                marked_members.where(
+                    F.col("mtype") == "node"
+                ).select("id")
+            )
+            .unionByName(
+                ways.select(F.explode("refs").alias("id"))
+            )
+            .distinct()
+        )
+        nodes = n_nd.join(node_ids, "id", "left_semi")
 
     kt, dt = opts["keep_tags_t"], opts["drop_tags_t"]
     if any(kt.values()) or any(dt.values()):

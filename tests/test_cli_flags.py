@@ -216,15 +216,30 @@ def test_keep_with_drop_broken_refs(spark, tmp_path):
     parts.append("</osm>")
     osm.write_text("".join(parts))
     out = tmp_path / "out.o5m"
+    # round 5: --keep now dependency-completes by default (the
+    # osmfilter contract), so the kept way PULLS node 2 and no ref
+    # is broken; --ignore-dependencies restores the plain filter
+    # and the prune scenario
     convert(
         spark,
-        [str(osm), "--keep=keep=yes", "--drop-broken-refs",
-         f"-o={out}"],
+        [str(osm), "--keep=keep=yes", "--ignore-dependencies",
+         "--drop-broken-refs", f"-o={out}"],
     )
     xml = _run("osmconvert", str(out), "--out-osm")
     # node 2 was filtered out, so the way must not reference it
     assert '<nd ref="2"/>' not in xml
     assert '<nd ref="1"/>' in xml and '<nd ref="3"/>' in xml
+
+    out2 = tmp_path / "out2.o5m"
+    convert(
+        spark,
+        [str(osm), "--keep=keep=yes", "--drop-broken-refs",
+         f"-o={out2}"],
+    )
+    xml2 = _run("osmconvert", str(out2), "--out-osm")
+    # default mode: the dependency pull keeps node 2 alive
+    assert '<nd ref="2"/>' in xml2
+    assert '<node id="2"' in xml2
 
 
 def test_out_statistics_matches_osmconvert(spark, tmp_path, capsys):
@@ -399,8 +414,15 @@ def test_per_type_keep_drop_match_osmfilter(spark, tmp_path):
         ["--keep-nodes=amenity=kind1", "--drop-ways=highway=h0"],
     ]
     for args in cases:
+        # both sides plain-filter mode (round 5: keep now
+        # dependency-completes by default on BOTH engines); the
+        # default-mode differential lives in
+        # test_cli_flags_r5.test_keep_dependency_completion
         ours = tmp_path / "ours.o5m"
-        convert(spark, [osm, *args, f"-o={ours}"])
+        convert(
+            spark,
+            [osm, *args, "--ignore-dependencies", f"-o={ours}"],
+        )
         theirs = tmp_path / "theirs.o5m"
         subprocess.run(
             [f"{REFBIN}/osmfilter", str(o5m), *args,
@@ -408,6 +430,16 @@ def test_per_type_keep_drop_match_osmfilter(spark, tmp_path):
             check=True,
         )
         assert _view(str(ours)) == _view(str(theirs)), args
+        ours_d = tmp_path / "ours_d.o5m"
+        convert(spark, [osm, *args, f"-o={ours_d}"])
+        theirs_d = tmp_path / "theirs_d.o5m"
+        subprocess.run(
+            [f"{REFBIN}/osmfilter", str(o5m), *args,
+             f"-o={theirs_d}"],
+            check=True,
+        )
+        assert _view(str(ours_d)) == _view(str(theirs_d)), (
+            args, "default dependency mode")
 
 
 def test_drop_all_sections(spark, tmp_path):

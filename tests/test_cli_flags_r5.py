@@ -484,3 +484,40 @@ def test_out_osc_flag_stdout(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.startswith("<?xml")
     assert "<osmChange" in out and "</osmChange>" in out
+
+
+def _filt(*args) -> str:
+    out = subprocess.run(
+        [f"{REFBIN}/osmfilter", *args],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    return out.replace(
+        'generator="osmfilter 1.4.6"', 'generator="osmgraft"'
+    )
+
+
+def test_keep_dependency_completion(spark, tmp_path, capsys):
+    """osmfilter's DEFAULT keep semantics: kept relations pull
+    referenced relations transitively, marked relations pull their
+    way/node members, marked ways pull their nodes — and the drop
+    filter kills pulled objects without letting the closure pass
+    through them (all binary-probed). --ignore-dependencies
+    restores the plain filter. Byte-diff vs osmfilter on the
+    fixture world (rel->rel chains, shared members)."""
+    osm = _world(tmp_path)
+    o5m = tmp_path / "w.o5m"
+    subprocess.run(
+        [f"{REFBIN}/osmconvert", osm, f"-o={o5m}"], check=True
+    )
+    for args in (
+        ["--keep=type=multipolygon"],
+        ["--keep=highway=h1"],
+        ["--keep=type=multipolygon", "--drop=highway=h0"],
+        ["--keep=type=multipolygon", "--ignore-dependencies"],
+        ["--keep-relations=type=multipolygon"],
+        ["--keep=amenity=kind2", "--drop=name=shared name"],
+    ):
+        ref = _filt(str(o5m), *args, "--out-osm")
+        convert(spark, [str(o5m), *args, "--out-osm"])
+        got = capsys.readouterr().out
+        assert ref == got, args
